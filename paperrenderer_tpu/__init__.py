@@ -1,0 +1,43 @@
+"""paperrenderer_tpu — a TPU-native hybrid raster + ray-tracing rendering
+framework in JAX/Pallas, with the capabilities of the Vulkan PaperRenderer
+library re-designed for TPU hardware.
+
+Scene API mirrors the reference (RenderEngine / Model / ModelInstance /
+Material / RenderPass / RayTraceRender / Camera); the backend is XLA + Pallas:
+  * instance preprocess (cull + LOD + draw build) = fused scan/scatter kernels
+  * rasterization = tile-based binned rasterizer on the MXU
+  * BLAS/TLAS = implicit Morton BVHs (sort + level-wise reductions)
+  * ray tracing = wavefront traversal kernels
+  * the whole frame is one jitted function; multi-chip scaling via shard_map
+    over screen tiles.
+"""
+
+from .core import (
+    Camera,
+    CameraMatrices,
+    GeometryArena,
+    Material,
+    MaterialInstance,
+    MaterialMesh,
+    MaterialRegistry,
+    Model,
+    ModelInstance,
+    Scene,
+    make_cube,
+    make_icosphere,
+    make_plane,
+    make_torus,
+    make_uv_sphere,
+)
+from .utils import Logger, LogType, StatisticsTracker, Timer
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Camera", "CameraMatrices", "GeometryArena",
+    "Material", "MaterialInstance", "MaterialMesh", "MaterialRegistry",
+    "Model", "ModelInstance", "Scene",
+    "make_cube", "make_icosphere", "make_plane", "make_torus", "make_uv_sphere",
+    "Logger", "LogType", "StatisticsTracker", "Timer",
+    "__version__",
+]

@@ -1,0 +1,155 @@
+"""Materials: parameter tables + shading model selection.
+
+The reference's ``Material`` is a raster pipeline + a user bind lambda, and
+``MaterialInstance`` binds per-instance parameters via dynamic-offset UBOs
+(src/PaperRenderer/Material.h:11-53, example/src/Materials.cpp). On TPU there
+are no pipelines to bind: a material is a row in a device-side SoA *parameter
+table* plus a shading-model id the fragment/hit kernels switch on. The SBT
+hit-group machinery (Pipeline.cpp:497-529) collapses into the same table —
+``shading_model`` plays the role of the hit-group record.
+
+Parameters mirror the example app's PBR material definition
+(example/src/Materials.h: albedo, emissive, roughness, metallic) plus alpha /
+translucency for the sorted path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Shading models (the RT "hit group" / raster pipeline analogue).
+SHADE_PBR = 0        # opaque Cook-Torrance PBR (example Default.frag / raytrace.rchit)
+SHADE_LEAF = 1       # alpha-cutout PBR (example leaf.frag / leaf.rahit)
+SHADE_EMISSIVE = 2   # pure emissive
+SHADE_TRANSLUCENT = 3  # sorted back-to-front blended (RenderPass sorted path)
+
+_N_PARAMS = 12  # albedo(3) emissive(3) roughness metallic alpha shading_model pad(2)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MaterialTable:
+    """Device SoA of material-instance parameters, indexed by material id."""
+
+    albedo: jax.Array        # f32[M, 3]
+    emissive: jax.Array      # f32[M, 3]
+    roughness: jax.Array     # f32[M]
+    metallic: jax.Array      # f32[M]
+    alpha: jax.Array         # f32[M]
+    shading_model: jax.Array  # i32[M]
+
+
+class Material:
+    """Host-side material definition (reference ``Material``, Material.h:11-44)."""
+
+    def __init__(
+        self,
+        name: str = "material",
+        *,
+        albedo=(1.0, 1.0, 1.0),
+        emissive=(0.0, 0.0, 0.0),
+        roughness: float = 0.5,
+        metallic: float = 0.0,
+        alpha: float = 1.0,
+        shading_model: int = SHADE_PBR,
+    ):
+        self.name = name
+        self.albedo = tuple(albedo)
+        self.emissive = tuple(emissive)
+        self.roughness = float(roughness)
+        self.metallic = float(metallic)
+        self.alpha = float(alpha)
+        self.shading_model = int(shading_model)
+
+    def instance(self, **overrides) -> "MaterialInstance":
+        return MaterialInstance(self, **overrides)
+
+
+class MaterialInstance:
+    """Per-instance parameter override (reference ``MaterialInstance``)."""
+
+    def __init__(self, base: Material, **overrides):
+        self.base = base
+        self.overrides = overrides
+
+    def resolved(self) -> Dict:
+        vals = dict(
+            albedo=self.base.albedo,
+            emissive=self.base.emissive,
+            roughness=self.base.roughness,
+            metallic=self.base.metallic,
+            alpha=self.base.alpha,
+            shading_model=self.base.shading_model,
+        )
+        vals.update(self.overrides)
+        return vals
+
+
+class MaterialRegistry:
+    """Assigns dense ids to (Material|MaterialInstance) and builds the table.
+
+    Replaces descriptor-set binding: render kernels index the table by the
+    per-mesh material id resolved at preprocess time.
+    """
+
+    def __init__(self):
+        self._rows = []
+        self._ids: Dict[int, int] = {}  # id(obj) -> row
+        # Hold references: ids are memory addresses, so registered objects
+        # must stay alive or a GC'd temporary's address can be reused and
+        # silently dedup a *different* material.
+        self._objects = []
+        self.default = Material("default")
+        self.register(self.default)
+
+    def register(self, mat) -> int:
+        key = id(mat)
+        if key in self._ids:
+            return self._ids[key]
+        vals = mat.resolved() if isinstance(mat, MaterialInstance) else Material.instance(mat).resolved()
+        row = len(self._rows)
+        self._rows.append(vals)
+        self._ids[key] = row
+        self._objects.append(mat)
+        return row
+
+    def update(self, mat) -> None:
+        """Re-read a registered material's parameters (live material editing,
+        like the example GUI's material sliders)."""
+        key = id(mat)
+        if key not in self._ids:
+            raise KeyError("material not registered")
+        vals = mat.resolved() if isinstance(mat, MaterialInstance) else Material.instance(mat).resolved()
+        self._rows[self._ids[key]] = vals
+
+    def __len__(self) -> int:
+        return len(self._rows)
+
+    def table(self) -> MaterialTable:
+        n = max(1, len(self._rows))
+        albedo = np.ones((n, 3), np.float32)
+        emissive = np.zeros((n, 3), np.float32)
+        roughness = np.full((n,), 0.5, np.float32)
+        metallic = np.zeros((n,), np.float32)
+        alpha = np.ones((n,), np.float32)
+        shading = np.zeros((n,), np.int32)
+        for i, vals in enumerate(self._rows):
+            albedo[i] = vals["albedo"]
+            emissive[i] = vals["emissive"]
+            roughness[i] = vals["roughness"]
+            metallic[i] = vals["metallic"]
+            alpha[i] = vals["alpha"]
+            shading[i] = vals["shading_model"]
+        return MaterialTable(
+            albedo=jnp.asarray(albedo),
+            emissive=jnp.asarray(emissive),
+            roughness=jnp.asarray(roughness),
+            metallic=jnp.asarray(metallic),
+            alpha=jnp.asarray(alpha),
+            shading_model=jnp.asarray(shading),
+        )

@@ -1,0 +1,313 @@
+"""Rasterization: triangle batch build, rasterize, G-buffer resolve.
+
+The reference rasterizes via hardware ``vkCmdDrawIndexedIndirect`` fed by the
+GPU-driven preprocess (src/PaperRenderer/IndirectDraw.cpp:207-242). A TPU has
+no triangle hardware, so rasterization is re-designed as three data-parallel
+stages, all shape-static and fused under jit:
+
+  1. ``build_triangle_batch`` — expand the compacted draw list into a flat
+     triangle SoA of static capacity, transform to clip space (one matmul),
+     and precompute screen-space edge/interpolation coefficients.
+  2. ``rasterize`` — for every pixel, find the nearest covering triangle.
+     Coverage/depth for a (pixel-block x triangle-chunk) pair is a small
+     matmul: [P, 3] pixel coords x [3, 4C] coefficients -> edge values + depth.
+     The depth test is a running min over chunks (a scan), replacing the
+     hardware ROP. A Pallas tile kernel (ops/raster_pallas.py) implements the
+     same contract with VMEM-resident chunking + binning; this module's pure
+     XLA version is the reference implementation and the CPU/test path.
+  3. ``resolve_gbuffer`` — gather vertex attributes for the winning triangle,
+     perspective-correct interpolate (the fragment-shader input block of
+     example Default.vert/frag).
+
+Fill convention: a pixel is covered when all three (CCW, y-down screen) edge
+functions are >= 0; ties on shared edges follow a top-left-style bias applied
+by nudging sample positions by half a pixel (pixel centers).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.camera import CameraMatrices
+from ..core.geometry import GeometryArrays
+from .preprocess import PreprocessResult
+
+NO_HIT = jnp.int32(-1)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TriangleBatch:
+    """Flat clip-space triangle SoA of static capacity T."""
+
+    clip: jax.Array         # f32[T, 3, 4] — clip-space positions
+    world: jax.Array        # f32[T, 3, 3] — world-space positions
+    normal: jax.Array       # f32[T, 3, 3] — world-space vertex normals
+    uv: jax.Array           # f32[T, 3, 2]
+    material: jax.Array     # i32[T] — resolved material id
+    valid: jax.Array        # bool[T]
+
+    @property
+    def capacity(self) -> int:
+        return self.clip.shape[0]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GBuffer:
+    """Per-pixel geometry attributes, input to deferred shading."""
+
+    depth: jax.Array     # f32[H, W] — NDC depth, +inf where empty
+    tri_id: jax.Array    # i32[H, W] — triangle row, -1 where empty
+    world_pos: jax.Array  # f32[H, W, 3]
+    normal: jax.Array     # f32[H, W, 3]
+    uv: jax.Array         # f32[H, W, 2]
+    material: jax.Array   # i32[H, W]
+
+    @property
+    def coverage(self) -> jax.Array:
+        return self.tri_id >= 0
+
+
+def _row_for_triangle(tri_counts: jax.Array, capacity: int) -> Tuple[jax.Array, jax.Array]:
+    """Map a flat triangle index -> (draw row, index within row).
+
+    Deterministic expansion of variable-length rows into a static batch:
+    searchsorted over the exclusive cumsum (the scan+gather replacement for
+    a GPU's per-thread append).
+    """
+    ends = jnp.cumsum(tri_counts)                       # inclusive
+    starts = ends - tri_counts
+    t = jnp.arange(capacity, dtype=jnp.int32)
+    row = jnp.searchsorted(ends, t, side="right").astype(jnp.int32)
+    row_c = jnp.minimum(row, tri_counts.shape[0] - 1)
+    within = t - starts[row_c]
+    return row_c, within
+
+
+def build_triangle_batch(
+    pre: PreprocessResult,
+    geo: GeometryArrays,
+    camera: CameraMatrices,
+    *,
+    capacity: int,
+) -> TriangleBatch:
+    """Expand draw rows into a clip-space triangle SoA (static capacity)."""
+    row, within = _row_for_triangle(pre.draw_tri_count, capacity)
+    valid = jnp.arange(capacity, dtype=jnp.int32) < pre.total_tris
+
+    inst = jnp.maximum(pre.draw_instance[row], 0)
+    tri_idx = pre.draw_tri_offset[row] + within
+    tri_idx = jnp.where(valid, tri_idx, 0)
+
+    vidx = geo.indices[tri_idx]                     # i32[T, 3]
+    v_obj = geo.positions[vidx]                     # f32[T, 3, 3]
+    n_obj = geo.normals[vidx]
+    uv = geo.uvs[vidx]
+
+    m = pre.matrices[inst]                          # f32[T, 3, 4]
+    world = jnp.einsum("tij,tkj->tki", m[:, :, :3], v_obj) + m[:, None, :, 3]
+    # normals: rotate (uniform-scale assumption matches the reference shaders,
+    # example Default.vert applies the same matrix to normals)
+    a = m[:, :, :3]
+    n_world = jnp.einsum("tij,tkj->tki", a, n_obj)
+    n_world = n_world / jnp.maximum(
+        jnp.linalg.norm(n_world, axis=-1, keepdims=True), 1e-12
+    )
+
+    vp = camera.view_proj                           # f32[4, 4]
+    world_h = jnp.concatenate([world, jnp.ones_like(world[..., :1])], axis=-1)
+    clip = jnp.einsum("ij,tkj->tki", vp, world_h)   # the vertex-transform matmul
+
+    material = jnp.where(valid, pre.draw_material[row], 0)
+    return TriangleBatch(
+        clip=clip, world=world, normal=n_world, uv=uv,
+        material=material, valid=valid,
+    )
+
+
+def triangle_coefficients(batch: TriangleBatch, width: int, height: int):
+    """Per-triangle setup for *clipless homogeneous* rasterization.
+
+    Instead of clipping against the near plane (branchy, shape-hostile — the
+    reference leans on hardware clipping), we rasterize directly in 2D
+    homogeneous space (Olano-Greer): with the 3x3 matrix M whose columns are
+    the vertices' (x_pix*w, y_pix*w, w), the adjugate rows e_i = cross of the
+    other two columns give edge functions b_i(p) = e_i . (px, py, 1) that are
+    all >= 0 (after orienting by sign(det)) exactly for pixels covered by the
+    *front-facing part* of the triangle — including triangles that cross the
+    w=0 plane. Normalized b are perspective-correct barycentrics, so attribute
+    interpolation needs no 1/w correction.
+
+    Returns coeffs f32[T, 5, 3] packing (e0, e1, e2, z_num, w_num): per pixel
+      b_i = e_i . p;  inside = all b_i >= 0  and  (w_num . p) > 0
+      depth = (z_num . p) / (w_num . p)       (NDC depth)
+    plus a validity mask and conservative pixel-space AABBs for binning
+    (triangles crossing w<=0 get a full-screen AABB).
+    """
+    clip = batch.clip                                   # f32[T, 3, 4]
+    w = clip[..., 3]
+    # Fold the viewport transform into homogeneous coords. Row 0 = image top =
+    # camera up (GL-style NDC, y flipped into raster order). The reference
+    # feeds GLM matrices to an unflipped Vulkan viewport, so its framebuffer
+    # is the vertical mirror of ours — flip before any pixel comparison.
+    xh = (clip[..., 0] * 0.5 + w * 0.5) * width         # = x_pix * w
+    yh = (w * 0.5 - clip[..., 1] * 0.5) * height
+    v = jnp.stack([xh, yh, w], axis=-1)                 # f32[T, 3(vert), 3]
+
+    e0 = jnp.cross(v[:, 1], v[:, 2])
+    e1 = jnp.cross(v[:, 2], v[:, 0])
+    e2 = jnp.cross(v[:, 0], v[:, 1])
+    det = jnp.sum(v[:, 0] * e0, axis=-1)
+
+    ok = batch.valid & (jnp.abs(det) > 1e-14)
+    # Normalize by 1/det: rows become M^-1 (true barycentric coefficients,
+    # b_i in [0,1] inside). Keeps all coefficient magnitudes O(1), which is
+    # essential for f32 accuracy — raw adjugate terms reach ~1e6 and the
+    # edge test is a cancellation of them. Sign of det folds in for free.
+    inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)[:, None]
+    e0, e1, e2 = e0 * inv_det, e1 * inv_det, e2 * inv_det
+
+    z = clip[..., 2]
+    z_num = z[:, 0, None] * e0 + z[:, 1, None] * e1 + z[:, 2, None] * e2
+    w_num = w[:, 0, None] * e0 + w[:, 1, None] * e1 + w[:, 2, None] * e2
+
+    coeffs = jnp.stack([e0, e1, e2, z_num, w_num], axis=1)  # f32[T, 5, 3]
+    never = jnp.zeros((5, 3), jnp.float32).at[:3, 2].set(-1.0)
+    coeffs = jnp.where(ok[:, None, None], coeffs, never)
+
+    # conservative screen AABBs for binning: exact when all w > eps,
+    # full-screen for near-plane-crossing triangles
+    safe_w = jnp.maximum(w, 1e-6)
+    px = xh / safe_w
+    py = yh / safe_w
+    unbounded = jnp.any(w <= 1e-6, axis=-1)
+    full_lo = jnp.zeros((), jnp.float32)
+    aabb_lo = jnp.stack(
+        [
+            jnp.where(unbounded, full_lo, px.min(axis=-1)),
+            jnp.where(unbounded, full_lo, py.min(axis=-1)),
+        ],
+        axis=-1,
+    )
+    aabb_hi = jnp.stack(
+        [
+            jnp.where(unbounded, jnp.float32(width), px.max(axis=-1)),
+            jnp.where(unbounded, jnp.float32(height), py.max(axis=-1)),
+        ],
+        axis=-1,
+    )
+    return coeffs, ok, (aabb_lo, aabb_hi)
+
+
+def rasterize(
+    batch: TriangleBatch,
+    width: int,
+    height: int,
+    *,
+    chunk: int = 128,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Pure-XLA rasterizer: nearest covering triangle per pixel.
+
+    Returns (depth f32[H, W], tri_id i32[H, W], bary f32[H, W, 2]) where bary
+    holds *perspective-correct* barycentrics (a1, a2); a0 = 1 - a1 - a2.
+    """
+    coeffs, ok, _aabb = triangle_coefficients(batch, width, height)
+    t_cap = batch.capacity
+    n_chunks = (t_cap + chunk - 1) // chunk
+    pad = n_chunks * chunk - t_cap
+    coeffs = jnp.pad(coeffs, ((0, pad), (0, 0), (0, 0)),
+                     constant_values=0.0)
+    if pad:
+        # padded rows: never cover
+        coeffs = coeffs.at[t_cap:, :3, 2].set(-1.0)
+    coeffs = coeffs.reshape(n_chunks, chunk, 5, 3)
+
+    xs = (jnp.arange(width, dtype=jnp.float32) + 0.5)[None, :]
+    ys = (jnp.arange(height, dtype=jnp.float32) + 0.5)[:, None]
+    px = jnp.broadcast_to(xs, (height, width)).reshape(-1)
+    py = jnp.broadcast_to(ys, (height, width)).reshape(-1)
+    pix = jnp.stack([px, py, jnp.ones_like(px)], axis=-1)       # f32[P, 3]
+
+    p = pix.shape[0]
+    init = (
+        jnp.full((p,), jnp.inf, jnp.float32),   # depth
+        jnp.full((p,), -1, jnp.int32),          # tri id
+        jnp.zeros((p, 2), jnp.float32),         # bary (b1, b2)
+    )
+
+    def body(carry, inputs):
+        depth, tid, bary = carry
+        c, chunk_base = inputs                                   # c: [C, 5, 3]
+        # Evaluate the 5 affine functions per (pixel, triangle) with explicit
+        # broadcast FMA on the VPU. Deliberately NOT a matmul: GEMM paths
+        # (bf16-truncated MXU on TPU, fast CPU kernels) lose precision the
+        # edge test can't afford, and K=3 wastes the systolic array anyway.
+        cf = c.reshape(-1, 3)                                    # [5C, 3]
+        vals = (
+            pix[:, 0:1] * cf[None, :, 0]
+            + pix[:, 1:2] * cf[None, :, 1]
+            + cf[None, :, 2]
+        )
+        vals = vals.reshape(p, chunk, 5)
+        e = vals[..., :3]
+        z_num = vals[..., 3]
+        w_num = vals[..., 4]
+        inside = jnp.all(e >= 0.0, axis=-1) & (w_num > 1e-12)
+        z = jnp.where(inside, z_num / jnp.where(inside, w_num, 1.0), jnp.inf)
+        best = jnp.argmin(z, axis=-1)                            # [P]
+        best_z = jnp.take_along_axis(z, best[:, None], axis=1)[:, 0]
+        win = best_z < depth
+        best_e = jnp.take_along_axis(e, best[:, None, None], axis=1)[:, 0]
+        esum = jnp.maximum(best_e.sum(axis=-1), 1e-30)
+        depth = jnp.where(win, best_z, depth)
+        tid = jnp.where(win, chunk_base + best.astype(jnp.int32), tid)
+        bary = jnp.where(win[:, None], best_e[:, 1:3] / esum[:, None], bary)
+        return (depth, tid, bary), None
+
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    (depth, tid, bary), _ = jax.lax.scan(body, init, (coeffs, bases))
+    return (
+        depth.reshape(height, width),
+        tid.reshape(height, width),
+        bary.reshape(height, width, 2),
+    )
+
+
+def resolve_gbuffer(
+    batch: TriangleBatch,
+    depth: jax.Array,
+    tri_id: jax.Array,
+    bary: jax.Array,
+) -> GBuffer:
+    """Gather winning-triangle attributes and interpolate.
+
+    The rasterizer's barycentrics are already perspective-correct (homogeneous
+    rasterization), so interpolation is a plain weighted sum.
+    """
+    tid = jnp.maximum(tri_id, 0)
+    covered = tri_id >= 0
+
+    b1 = bary[..., 0]
+    b2 = bary[..., 1]
+    b0 = 1.0 - b1 - b2
+    pw = jnp.stack([b0, b1, b2], axis=-1)                        # [H, W, 3]
+
+    world = jnp.einsum("hwk,hwkc->hwc", pw, batch.world[tid])
+    normal = jnp.einsum("hwk,hwkc->hwc", pw, batch.normal[tid])
+    normal = normal / jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-12)
+    uv = jnp.einsum("hwk,hwkc->hwc", pw, batch.uv[tid])
+
+    material = jnp.where(covered, batch.material[tid], 0)
+    return GBuffer(
+        depth=depth,
+        tri_id=tri_id,
+        world_pos=jnp.where(covered[..., None], world, 0.0),
+        normal=jnp.where(covered[..., None], normal, 0.0),
+        uv=jnp.where(covered[..., None], uv, 0.0),
+        material=material,
+    )

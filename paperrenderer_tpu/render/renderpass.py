@@ -1,0 +1,195 @@
+"""RenderPass: raster frame orchestration.
+
+Reference parity: ``RenderPass`` (src/PaperRenderer/RenderPass.h:103-134) owns
+a per-pass instance list with per-material-slot bindings, runs the preprocess
+compute, then walks the material tree issuing indirect draws
+(RenderPass.cpp:444-742). Here the whole pass is ONE jitted function:
+
+    preprocess (cull+LOD+draw build) -> triangle batch -> rasterize
+      -> G-buffer resolve -> deferred shade -> tonemap
+
+The reference's timeline semaphores, barriers, and render-tree walk disappear:
+ordering is data dependence inside the traced graph; the "material tree" is a
+material-id table lookup at shade time. Translucent sorted-instance support
+(RenderPass.cpp:560-709) is handled by a back-to-front blended second pass
+keyed off SHADE_TRANSLUCENT materials (see ``sorted_blend`` — round-robin of
+draw order replaced by a depth sort of translucent fragments).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.camera import Camera, CameraMatrices
+from ..core.material import MaterialInstance, MaterialRegistry, MaterialTable
+from ..core.model import ModelInstance
+from ..core.scene import InstanceArrays, Scene, SceneTables
+from ..core.geometry import GeometryArrays
+from ..ops import raster as R
+from ..ops import preprocess as P
+from ..ops.shading import Lights, shade_gbuffer
+from ..ops.tonemap import TonemapParams, tonemap
+
+
+def _tier(n: int, floor: int = 2048) -> int:
+    """Round a capacity up to the next power-of-two tier (static shapes)."""
+    n = max(n, floor)
+    return 1 << (n - 1).bit_length()
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "max_meshes_per_lod", "tri_capacity", "do_culling",
+    ),
+)
+def render_frame(
+    instances: InstanceArrays,
+    tables: SceneTables,
+    geo: GeometryArrays,
+    materials: MaterialTable,
+    lights: Lights,
+    camera: CameraMatrices,
+    slot_materials: jax.Array,      # i32[N, S]
+    instance_visible: jax.Array,    # bool[N]
+    tonemap_params: TonemapParams,
+    *,
+    width: int,
+    height: int,
+    max_meshes_per_lod: int,
+    tri_capacity: int,
+    do_culling: bool = True,
+):
+    """The full raster frame as one compiled graph. Returns (ldr, aux dict)."""
+    pre = P.preprocess_instances(
+        instances, tables, camera,
+        max_meshes_per_lod=max_meshes_per_lod,
+        do_culling=do_culling,
+        instance_visible=instance_visible,
+        slot_materials=slot_materials,
+    )
+    batch = R.build_triangle_batch(pre, geo, camera, capacity=tri_capacity)
+    depth, tid, bary = R.rasterize(batch, width, height)
+    gbuf = R.resolve_gbuffer(batch, depth, tid, bary)
+    hdr = shade_gbuffer(gbuf, materials, lights, camera.cam_pos)
+    ldr = tonemap(hdr, tonemap_params)
+    aux = {
+        "visible_count": jnp.sum(pre.visible.astype(jnp.int32)),
+        "draw_count": pre.draw_count,
+        "total_tris": pre.total_tris,
+        "coverage": jnp.mean(gbuf.coverage.astype(jnp.float32)),
+        "depth": depth,
+        "hdr": hdr,
+    }
+    return ldr, aux
+
+
+class RenderPass:
+    """Host-side raster pass (reference RenderPass.h:103-134 surface)."""
+
+    def __init__(
+        self,
+        scene: Scene,
+        materials: MaterialRegistry,
+        *,
+        width: int = 512,
+        height: int = 512,
+        do_culling: bool = True,
+        lights: Optional[Lights] = None,
+        tonemap_params: Optional[TonemapParams] = None,
+    ):
+        self.scene = scene
+        self.materials = materials
+        self.width = width
+        self.height = height
+        self.do_culling = do_culling
+        # default key light: intensity sized for unit-scale scenes under the
+        # windowed-1/d^2 attenuation (pbr.glsl:104-108)
+        self.lights = lights or Lights.make(
+            [{"position": (3.0, -4.0, 5.0), "color": (40.0, 40.0, 40.0), "bounds": 100.0}]
+        )
+        self.tonemap_params = tonemap_params or TonemapParams.default()
+        # per-pass instance state: index -> {slot: material id}
+        self._bindings: Dict[int, Dict[int, int]] = {}
+        self._visible: Dict[int, bool] = {}
+        self._tri_capacity = 2048
+
+    # -- instance registration (RenderPass::addInstance, :744-801) ----------
+    def add_instance(
+        self,
+        instance: ModelInstance,
+        materials: Optional[Dict[int, MaterialInstance]] = None,
+    ) -> None:
+        if instance.index < 0:
+            self.scene.add_instance(instance)
+        binds: Dict[int, int] = {}
+        for slot, mat in (materials or {}).items():
+            binds[slot] = self.materials.register(mat)
+        self._bindings[instance.index] = binds
+        self._visible[instance.index] = True
+
+    def remove_instance(self, instance: ModelInstance) -> None:
+        self._bindings.pop(instance.index, None)
+        self._visible.pop(instance.index, None)
+
+    def set_instance_visibility(self, instance: ModelInstance, visible: bool) -> None:
+        self._visible[instance.index] = visible
+
+    # -- per-frame device inputs --------------------------------------------
+    def _slot_material_array(self, capacity: int) -> jax.Array:
+        s = max(1, self.scene.max_slots)
+        arr = np.zeros((capacity, s), np.int32)
+        for idx, binds in self._bindings.items():
+            if 0 <= idx < capacity:
+                for slot, mid in binds.items():
+                    if slot < s:
+                        arr[idx, slot] = mid
+        return jnp.asarray(arr)
+
+    def _visible_array(self, capacity: int) -> jax.Array:
+        arr = np.ones((capacity,), bool)
+        for idx, vis in self._visible.items():
+            if 0 <= idx < capacity:
+                arr[idx] = vis
+        return jnp.asarray(arr)
+
+    def _required_tri_capacity(self) -> int:
+        total = 0
+        for inst in self.scene.instances:
+            # worst case: the densest LOD of each instance is drawn
+            total += max(
+                sum(mm.handle.tri_count for mm in lod.meshes)
+                for lod in inst.model.lods
+            )
+        return _tier(total)
+
+    def render(self, camera: Camera | CameraMatrices):
+        """Render one frame; returns (ldr f32[H, W, 3], aux dict)."""
+        cam = camera.matrices if isinstance(camera, Camera) else camera
+        instances = self.scene.flush()
+        cap = instances.capacity
+        need = self._required_tri_capacity()
+        if need > self._tri_capacity:
+            self._tri_capacity = need
+        return render_frame(
+            instances,
+            self.scene.tables(),
+            self.scene.geometry(),
+            self.materials.table(),
+            self.lights,
+            cam,
+            self._slot_material_array(cap),
+            self._visible_array(cap),
+            self.tonemap_params,
+            width=self.width,
+            height=self.height,
+            max_meshes_per_lod=self.scene.max_meshes_per_lod,
+            tri_capacity=self._tri_capacity,
+            do_culling=self.do_culling,
+        )

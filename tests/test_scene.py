@@ -1,0 +1,141 @@
+"""Scene/geometry bookkeeping tests: arena packing, compaction, swap-remove
+instance registry semantics (mirroring the reference's addObject/removeObject
+property: indices stay dense, last element fills holes)."""
+
+import numpy as np
+
+from paperrenderer_tpu.core import (
+    GeometryArena,
+    MaterialMesh,
+    Model,
+    ModelInstance,
+    Scene,
+    make_cube,
+    make_uv_sphere,
+)
+
+
+def _cube_model(scene, name="cube"):
+    pos, idx, nrm, uv = make_cube()
+    return Model.from_mesh(scene.arena, pos, idx, nrm, uv, name=name)
+
+
+def test_arena_packing_and_global_indices():
+    arena = GeometryArena()
+    p1, i1, n1, u1 = make_cube()
+    p2, i2, n2, u2 = make_uv_sphere()
+    h1 = arena.add_mesh(p1, i1, n1, u1)
+    h2 = arena.add_mesh(p2, i2, n2, u2)
+    assert h2.vertex_offset == h1.vertex_count
+    assert h2.tri_offset == h1.tri_count
+    dev = arena.device_arrays()
+    # triangle indices are arena-global: mesh 2's indices point past mesh 1
+    tris2 = np.asarray(dev.indices[h2.tri_offset : h2.tri_offset + h2.tri_count])
+    assert tris2.min() >= h1.vertex_count
+
+
+def test_arena_growth_preserves_data():
+    arena = GeometryArena(vertex_capacity=16, tri_capacity=16)
+    p, i, n, u = make_cube()
+    h1 = arena.add_mesh(p, i, n, u)
+    before = np.asarray(arena.device_arrays().positions[: h1.vertex_count]).copy()
+    for _ in range(50):  # force several growths
+        arena.add_mesh(p, i, n, u)
+    after = np.asarray(arena.device_arrays().positions[: h1.vertex_count])
+    np.testing.assert_array_equal(before, after)
+
+
+def test_arena_compaction_relocates():
+    arena = GeometryArena()
+    p, i, n, u = make_cube()
+    h1 = arena.add_mesh(p, i, n, u)
+    h2 = arena.add_mesh(p + 10.0, i, n, u)
+    h3 = arena.add_mesh(p + 20.0, i, n, u)
+    arena.remove_mesh(h2)
+    remap = arena.compact()
+    assert arena.vertex_count == 2 * h1.vertex_count
+    nh3 = remap[h3.mesh_id]
+    assert nh3.vertex_offset == h1.vertex_count
+    dev = arena.device_arrays()
+    pos3 = np.asarray(dev.positions[nh3.vertex_offset : nh3.vertex_offset + nh3.vertex_count])
+    np.testing.assert_allclose(pos3, p + 20.0)
+    # indices were rebased and still point at mesh-3 vertices
+    t = np.asarray(dev.indices[nh3.tri_offset : nh3.tri_offset + nh3.tri_count])
+    assert t.min() >= nh3.vertex_offset
+    assert t.max() < nh3.vertex_offset + nh3.vertex_count
+
+
+def test_instance_swap_remove_semantics():
+    scene = Scene()
+    model = _cube_model(scene)
+    insts = [scene.add_instance(ModelInstance(model)) for _ in range(5)]
+    assert [i.index for i in insts] == [0, 1, 2, 3, 4]
+    scene.remove_instance(insts[1])
+    # last instance swapped into slot 1
+    assert insts[4].index == 1
+    assert scene.instances[1] is insts[4]
+    assert scene.count == 4
+    assert insts[1].index == -1
+    # removing again is a no-op
+    scene.remove_instance(insts[1])
+    assert scene.count == 4
+
+
+def test_instance_flush_and_dirty_scatter():
+    scene = Scene()
+    model = _cube_model(scene)
+    insts = [scene.add_instance(ModelInstance(model)) for _ in range(3)]
+    insts[0].set_transform(pos=(1, 2, 3))
+    arrays = scene.flush()
+    np.testing.assert_allclose(np.asarray(arrays.pos[0]), [1, 2, 3])
+    assert int(np.asarray(arrays.model_id[2])) == model.model_id
+    assert int(np.asarray(arrays.model_id[3])) == -1  # dead slot
+
+    # dirty-row scatter path (no growth)
+    insts[2].set_transform(pos=(9, 9, 9), scale=2.0)
+    arrays = scene.flush()
+    np.testing.assert_allclose(np.asarray(arrays.pos[2]), [9, 9, 9])
+    np.testing.assert_allclose(np.asarray(arrays.scale[2]), [2, 2, 2])
+    # untouched rows survive the scatter
+    np.testing.assert_allclose(np.asarray(arrays.pos[0]), [1, 2, 3])
+
+    # removal marks the tail row dead on next flush
+    scene.remove_instance(insts[1])
+    arrays = scene.flush()
+    alive = np.asarray(arrays.model_id[:4]) >= 0
+    assert alive.tolist() == [True, True, False, False]
+
+
+def test_capacity_growth_keeps_live_rows():
+    scene = Scene()
+    model = _cube_model(scene)
+    for k in range(200):  # beyond the 128 floor -> growth + full rebuild
+        inst = scene.add_instance(ModelInstance(model))
+        inst.set_transform(pos=(float(k), 0, 0))
+    arrays = scene.flush()
+    assert arrays.capacity >= 200
+    np.testing.assert_allclose(np.asarray(arrays.pos[199]), [199, 0, 0])
+
+
+def test_scene_tables_layout():
+    scene = Scene()
+    pos, idx, nrm, uv = make_cube()
+    h_hi = scene.arena.add_mesh(pos, idx, nrm, uv)
+    p2, i2, n2, u2 = make_uv_sphere(rings=4, sectors=6)
+    h_lo = scene.arena.add_mesh(p2, i2, n2, u2)
+    model = Model(
+        scene.arena,
+        [[MaterialMesh(h_hi, 0), MaterialMesh(h_hi, 1)], [MaterialMesh(h_lo, 0)]],
+        name="two-lod",
+    )
+    scene.register_model(model)
+    t = scene.tables()
+    assert int(t.model_lod_count[0]) == 2
+    lod0 = int(t.model_lod_offset[0])
+    assert int(t.lod_mesh_count[lod0]) == 2
+    assert int(t.lod_mesh_count[lod0 + 1]) == 1
+    m0 = int(t.lod_mesh_offset[lod0])
+    assert int(t.mesh_slot[m0 + 1]) == 1
+    assert int(t.mesh_tri_offset[m0]) == h_hi.tri_offset
+    assert scene.max_meshes_per_lod == 2
+    assert scene.max_slots == 2
