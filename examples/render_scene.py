@@ -7,51 +7,32 @@ camera, tonemap — rendered headless and written to PNG.
 Usage:  python examples/render_scene.py [--size 512] [--out scene.png] [--cpu]
 """
 
-import argparse
 import os
 import sys
-import time
-
-parser = argparse.ArgumentParser()
-parser.add_argument("--size", type=int, default=512)
-parser.add_argument("--out", type=str, default="scene.png")
-parser.add_argument("--cpu", action="store_true", help="force CPU platform")
-args = parser.parse_args()
-
-if args.cpu:
-    os.environ["JAX_PLATFORMS"] = "cpu"
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-import jax
-import numpy as np
 
-from paperrenderer_tpu import (
-    Camera,
-    Material,
-    MaterialRegistry,
-    Model,
-    ModelInstance,
-    Scene,
-    make_cube,
-    make_plane,
-    make_torus,
-    make_uv_sphere,
-)
-from paperrenderer_tpu.io import write_png
-from paperrenderer_tpu.ops.shading import Lights
-from paperrenderer_tpu.render import RenderPass
+def build_example_scene(width: int = 512, height: int = 512):
+    """The bundled example scene; returns (RenderPass, Camera)."""
+    from paperrenderer_tpu import (
+        Camera, Material, MaterialRegistry, Model, ModelInstance, Scene,
+        make_cube, make_plane, make_torus, make_uv_sphere,
+    )
+    from paperrenderer_tpu.ops.shading import Lights
+    from paperrenderer_tpu.render import RenderPass
 
-
-def main():
-    print("devices:", jax.devices())
     scene = Scene()
     registry = MaterialRegistry()
 
     ground = Model.from_mesh(scene.arena, *make_plane(size=30.0), name="ground")
-    sphere = Model.from_mesh(scene.arena, *make_uv_sphere(radius=1.0, rings=24, sectors=32), name="sphere")
+    sphere = Model.from_mesh(
+        scene.arena, *make_uv_sphere(radius=1.0, rings=24, sectors=32), name="sphere"
+    )
     cube = Model.from_mesh(scene.arena, *make_cube(size=1.4), name="cube")
-    torus = Model.from_mesh(scene.arena, *make_torus(major=0.9, minor=0.32, rings=32, sides=16), name="torus")
+    torus = Model.from_mesh(
+        scene.arena, *make_torus(major=0.9, minor=0.32, rings=32, sides=16), name="torus"
+    )
 
     gray = Material("gray", albedo=(0.55, 0.55, 0.6), roughness=0.9)
     red = Material("red", albedo=(0.9, 0.12, 0.1), roughness=0.35, metallic=0.0)
@@ -61,13 +42,14 @@ def main():
 
     lights = Lights.make(
         [
-            {"position": (4.0, -4.0, 6.0), "color": (120.0, 115.0, 100.0), "bounds": 60.0, "radius": 0.3},
+            {"position": (4.0, -4.0, 6.0), "color": (120.0, 115.0, 100.0),
+             "bounds": 60.0, "radius": 0.3},
             {"position": (-5.0, -2.0, 3.0), "color": (25.0, 35.0, 60.0), "bounds": 40.0},
         ],
         ambient=(0.6, 0.7, 1.0, 0.08),
     )
 
-    rp = RenderPass(scene, registry, width=args.size, height=args.size, lights=lights)
+    rp = RenderPass(scene, registry, width=width, height=height, lights=lights)
 
     g = ModelInstance(ground)
     rp.add_instance(g, {0: gray.instance()})
@@ -88,8 +70,32 @@ def main():
     s2.set_transform(pos=(-1.0, -2.0, 0.35), scale=0.35)
     rp.add_instance(s2, {0: glow.instance()})
 
-    cam = Camera(yfov_deg=55.0, aspect=1.0, near=0.1, far=200.0)
+    cam = Camera(yfov_deg=55.0, aspect=width / height, near=0.1, far=200.0)
     cam.look_at((0.0, -7.5, 3.6), (0.0, 0.0, 0.8), up=(0, 0, 1))
+    return rp, cam
+
+
+def main():
+    import argparse
+    import time
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--size", type=int, default=512)
+    parser.add_argument("--out", type=str, default="scene.png")
+    parser.add_argument("--cpu", action="store_true", help="force CPU platform")
+    args = parser.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax._src.xla_bridge._clear_backends()
+    import numpy as np
+
+    from paperrenderer_tpu.io import write_png
+
+    print("devices:", jax.devices())
+    rp, cam = build_example_scene(args.size, args.size)
 
     t0 = time.time()
     ldr, aux = rp.render(cam)

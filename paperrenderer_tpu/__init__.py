@@ -12,10 +12,19 @@ Material / RenderPass / RayTraceRender / Camera); the backend is XLA + Pallas:
     over screen tiles.
 """
 
+import jax as _jax
+
+# Geometry math cannot tolerate bf16-truncated matmuls (the platform default):
+# vertex transforms, camera unprojection, and edge setup all involve
+# cancellation. Force full f32 matmul precision; kernels that can afford
+# lower precision opt in locally via precision= / preferred_element_type.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from .core import (
     Camera,
     CameraMatrices,
     GeometryArena,
+    RenderEngine,
     Material,
     MaterialInstance,
     MaterialMesh,
@@ -34,7 +43,7 @@ from .utils import Logger, LogType, StatisticsTracker, Timer
 __version__ = "0.1.0"
 
 __all__ = [
-    "Camera", "CameraMatrices", "GeometryArena",
+    "Camera", "CameraMatrices", "GeometryArena", "RenderEngine",
     "Material", "MaterialInstance", "MaterialMesh", "MaterialRegistry",
     "Model", "ModelInstance", "Scene",
     "make_cube", "make_icosphere", "make_plane", "make_torus", "make_uv_sphere",

@@ -1,4 +1,5 @@
 from .camera import Camera, CameraMatrices, look_at, orthographic, perspective
+from .engine import RenderEngine
 from .geometry import (
     GeometryArena,
     GeometryArrays,
@@ -25,6 +26,7 @@ from . import transforms
 
 __all__ = [
     "Camera", "CameraMatrices", "look_at", "orthographic", "perspective",
+    "RenderEngine",
     "GeometryArena", "GeometryArrays", "MeshHandle",
     "make_cube", "make_icosphere", "make_plane", "make_torus", "make_uv_sphere",
     "Material", "MaterialInstance", "MaterialRegistry", "MaterialTable",

@@ -1,3 +1,3 @@
-from . import preprocess, raster, shading, tonemap
+from . import animation, bvh, preprocess, raster, shading, tonemap, trace
 
-__all__ = ["preprocess", "raster", "shading", "tonemap"]
+__all__ = ["animation", "bvh", "preprocess", "raster", "shading", "tonemap", "trace"]

@@ -123,6 +123,8 @@ def preprocess_instances(
     do_culling: bool = True,
     instance_visible: Optional[jax.Array] = None,  # bool[N] user flag
     slot_materials: Optional[jax.Array] = None,    # i32[N, S] slot -> material id
+    lod_override: Optional[int] = None,            # force an LOD (RT uses LOD 0,
+                                                   # like reference BLAS geometry)
 ) -> PreprocessResult:
     """The full preprocess pass as one fused, jittable function.
 
@@ -144,7 +146,12 @@ def preprocess_instances(
     if do_culling:
         visible &= frustum_cull(aabb_min, aabb_max, matrices, camera)
 
-    lod = select_lod(instances.pos, aabb_min, aabb_max, lod_count, camera.cam_pos)
+    if lod_override is None:
+        lod = select_lod(instances.pos, aabb_min, aabb_max, lod_count, camera.cam_pos)
+    else:
+        lod = jnp.minimum(
+            jnp.full_like(lod_count, lod_override), jnp.maximum(lod_count - 1, 0)
+        )
 
     # Resolve chosen LOD -> mesh rows. Static bound: max_meshes_per_lod.
     lod_row = tables.model_lod_offset[model_id] + lod           # i32[N]

@@ -210,13 +210,22 @@ def rasterize(
     height: int,
     *,
     chunk: int = 128,
+    full_width: int | None = None,
+    full_height: int | None = None,
+    origin: Tuple[jax.Array, jax.Array] = (0, 0),
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Pure-XLA rasterizer: nearest covering triangle per pixel.
 
     Returns (depth f32[H, W], tri_id i32[H, W], bary f32[H, W, 2]) where bary
     holds *perspective-correct* barycentrics (a1, a2); a0 = 1 - a1 - a2.
+
+    For screen-tile sharding, render a (width x height) window of a larger
+    (full_width x full_height) viewport at pixel offset ``origin=(x0, y0)`` —
+    each device rasterizes its own window against the replicated batch.
     """
-    coeffs, ok, _aabb = triangle_coefficients(batch, width, height)
+    fw = full_width or width
+    fh = full_height or height
+    coeffs, ok, _aabb = triangle_coefficients(batch, fw, fh)
     t_cap = batch.capacity
     n_chunks = (t_cap + chunk - 1) // chunk
     pad = n_chunks * chunk - t_cap
@@ -227,17 +236,21 @@ def rasterize(
         coeffs = coeffs.at[t_cap:, :3, 2].set(-1.0)
     coeffs = coeffs.reshape(n_chunks, chunk, 5, 3)
 
-    xs = (jnp.arange(width, dtype=jnp.float32) + 0.5)[None, :]
-    ys = (jnp.arange(height, dtype=jnp.float32) + 0.5)[:, None]
+    x0, y0 = origin
+    xs = (jnp.arange(width, dtype=jnp.float32) + 0.5 + x0)[None, :]
+    ys = (jnp.arange(height, dtype=jnp.float32) + 0.5 + y0)[:, None]
     px = jnp.broadcast_to(xs, (height, width)).reshape(-1)
     py = jnp.broadcast_to(ys, (height, width)).reshape(-1)
     pix = jnp.stack([px, py, jnp.ones_like(px)], axis=-1)       # f32[P, 3]
 
     p = pix.shape[0]
+    # Derive the carry init from pix so its device-varying type matches the
+    # body outputs under shard_map (origin depends on axis_index there).
+    zero = px * 0.0 + py * 0.0  # varying on every axis either coord varies on
     init = (
-        jnp.full((p,), jnp.inf, jnp.float32),   # depth
-        jnp.full((p,), -1, jnp.int32),          # tri id
-        jnp.zeros((p, 2), jnp.float32),         # bary (b1, b2)
+        zero + jnp.inf,                          # depth
+        zero.astype(jnp.int32) - 1,              # tri id
+        jnp.stack([zero, zero], axis=-1),        # bary (b1, b2)
     )
 
     def body(carry, inputs):

@@ -1,0 +1,367 @@
+"""Wavefront ray tracing: raygen, hit resolve, RT lighting passes.
+
+TPU-native re-design of the reference RT pipeline (example shaders
+raytrace.rgen / raytrace.rchit / raycommon.glsl): the recursive
+``traceRayEXT`` call tree becomes flat wavefront passes over ray SoAs:
+
+  primary rays -> trace -> surface hits
+    -> shadow rays   (per light x sample, any-hit, sphere-light sampling)
+    -> AO rays       (cosine hemisphere, distance-weighted — RTAO,
+                      raytrace.rchit:173-219)
+    -> reflection rays (cosine-perturbed mirror, 1 bounce —
+                      raytrace.rchit:124-167), whose hits are shaded with
+                      the same lighting (recursion depth 1, no 2nd bounce)
+
+Sampling matches the reference's math (cosineSample raycommon.glsl:44-57,
+sphere-light sampling rchit:71-90); the RNG is JAX threefry instead of the
+reference's TEA/LCG (statistical, not bitwise, parity). Known reference quirk
+NOT replicated: rchit:115 divides the running light total (including earlier
+lights) by shadowSamples inside the per-light loop; here each light's
+contribution is scaled by its own visibility fraction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.camera import CameraMatrices
+from ..core.material import MaterialTable
+from .bvh import BVH, HitRecord, bvh_trace
+from .raster import TriangleBatch
+from .shading import Lights, point_light_contribution
+
+BACKGROUND_RGB = (0.1, 0.1, 0.1)  # environment color, raytrace.rgen:52
+BACKGROUND = jnp.asarray(BACKGROUND_RGB, jnp.float32)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RTParams:
+    """Mirror of the example's RT uniform block (RayTraceInfo: shadow /
+    reflection / AO sample counts + AO radius)."""
+
+    shadow_samples: int = 1
+    reflection_samples: int = 1
+    ao_samples: int = 1
+    ao_radius: float = 2.0
+
+    # static dataclass (python ints) — used as jit static argument
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SurfaceHits:
+    """Resolved hit attributes for a ray wavefront."""
+
+    world_pos: jax.Array  # f32[R, 3]
+    normal: jax.Array     # f32[R, 3]
+    uv: jax.Array         # f32[R, 2]
+    material: jax.Array   # i32[R]
+    valid: jax.Array      # bool[R]
+    t: jax.Array          # f32[R]
+
+
+def raygen(
+    camera: CameraMatrices,
+    width: int,
+    height: int,
+    *,
+    full_width: int | None = None,
+    full_height: int | None = None,
+    origin=(0, 0),
+):
+    """Primary camera rays, matching raytrace.rgen:16-22: NDC -> unproject ->
+    world. Returns (origins f32[P,3], dirs f32[P,3]) with P = H*W, row-major
+    y-down (row 0 = image top = camera up, same as the rasterizer).
+
+    ``origin``/``full_*`` generate rays for a screen-tile window (sharding)."""
+    fw = full_width or width
+    fh = full_height or height
+    x0, y0 = origin
+    xs = (jnp.arange(width, dtype=jnp.float32) + 0.5 + x0) / fw * 2.0 - 1.0
+    ys = 1.0 - (jnp.arange(height, dtype=jnp.float32) + 0.5 + y0) / fh * 2.0
+    dx = jnp.broadcast_to(xs[None, :], (height, width)).reshape(-1)
+    dy = jnp.broadcast_to(ys[:, None], (height, width)).reshape(-1)
+
+    inv_proj = jnp.linalg.inv(camera.projection)
+    ndc = jnp.stack([dx, dy, jnp.ones_like(dx), jnp.ones_like(dx)], axis=-1)
+    target = ndc @ inv_proj.T
+    tdir = target[:, :3] / jnp.maximum(
+        jnp.linalg.norm(target[:, :3], axis=-1, keepdims=True), 1e-12
+    )
+    view_rot = camera.view[:3, :3]
+    d = tdir @ view_rot  # = inv(view)[:3,:3] @ tdir, row-vector form
+    o = jnp.broadcast_to(camera.cam_pos, d.shape)
+    return o, d
+
+
+def resolve_hits(
+    batch: TriangleBatch, rec: HitRecord, ray_o: jax.Array, ray_d: jax.Array
+) -> SurfaceHits:
+    """Interpolate hit attributes (the hitcommon.glsl getHitInfo analogue)."""
+    pid = jnp.maximum(rec.prim, 0)
+    u = rec.bary[:, 0]
+    v = rec.bary[:, 1]
+    w0 = 1.0 - u - v
+    bw = jnp.stack([w0, u, v], axis=-1)  # moller-trumbore bary order (v0,v1,v2)
+
+    world = jnp.einsum("rk,rkc->rc", bw, batch.world[pid])
+    normal = jnp.einsum("rk,rkc->rc", bw, batch.normal[pid])
+    normal = normal / jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-12)
+    # face forward: shade the side the ray arrives from (two-sided geometry)
+    facing = jnp.sum(normal * ray_d, axis=-1) < 0.0
+    normal = jnp.where(facing[:, None], normal, -normal)
+    uv = jnp.einsum("rk,rkc->rc", bw, batch.uv[pid])
+    return SurfaceHits(
+        world_pos=world,
+        normal=normal,
+        uv=uv,
+        material=jnp.where(rec.hit, batch.material[pid], 0),
+        valid=rec.hit,
+        t=rec.t,
+    )
+
+
+def _default_basis(n: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """ComputeDefaultBasis (raycommon.glsl:61-69), vectorized."""
+    z = n
+    yz = -z[..., 1] * z[..., 2]
+    near_z = jnp.abs(z[..., 2]) > 0.99999
+    y = jnp.where(
+        near_z[..., None],
+        jnp.stack([-z[..., 0] * z[..., 1], 1.0 - z[..., 1] ** 2, yz], axis=-1),
+        jnp.stack([-z[..., 0] * z[..., 2], yz, 1.0 - z[..., 2] ** 2], axis=-1),
+    )
+    y = y / jnp.maximum(jnp.linalg.norm(y, axis=-1, keepdims=True), 1e-12)
+    x = jnp.cross(y, z)
+    return x, y
+
+
+def _cosine_sample(
+    n: jax.Array, tx: jax.Array, ty: jax.Array,
+    max_offset: jax.Array, r1: jax.Array, r2: jax.Array,
+) -> jax.Array:
+    """cosineSample (raycommon.glsl:44-57), vectorized over rays."""
+    sq = jnp.sqrt(1.0 - r2) * jnp.clip(max_offset, 0.0, 1.0)
+    phi = 2.0 * jnp.pi * r1
+    lx = jnp.cos(phi) * sq
+    ly = jnp.sin(phi) * sq
+    lz = jnp.maximum(jnp.sqrt(r2), 1e-4)
+    d = lx[..., None] * tx + ly[..., None] * ty + lz[..., None] * n
+    return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+
+
+def _trace(batch: TriangleBatch, bvh: BVH, o, d, t_max, *, any_hit=False, active=None):
+    return bvh_trace(
+        bvh,
+        batch.world[:, 0], batch.world[:, 1], batch.world[:, 2],
+        o, d, t_max, any_hit=any_hit, active=active,
+    )
+
+
+def shadow_visibility(
+    surf: SurfaceHits,
+    batch: TriangleBatch,
+    bvh: BVH,
+    lights: Lights,
+    key: jax.Array,
+    samples: int,
+) -> jax.Array:
+    """Per-light soft-shadow visibility in [0,1], f32[L, R].
+
+    Reproduces raytrace.rchit:61-116: N samples toward a sphere light
+    (radius>0) or the light point; occlusion = any-hit up to the light-center
+    distance; lights with cast_shadow=false are fully visible.
+    """
+    r = surf.world_pos.shape[0]
+    n_lights = lights.count
+    vis = []
+    for li in range(n_lights):
+        lpos = lights.position[li]
+        to_l = lpos - surf.world_pos
+        dist = jnp.linalg.norm(to_l, axis=-1)
+        ldir = to_l / jnp.maximum(dist, 1e-9)[:, None]
+        tx, ty = _default_basis(ldir)
+        unshadowed = jnp.zeros((r,), jnp.float32)
+        for si in range(samples):
+            k = jax.random.fold_in(jax.random.fold_in(key, li), si)
+            r1, r2 = jax.random.uniform(k, (2, r))
+            # sample a point on the light sphere (rchit:84-89)
+            sq = jnp.sqrt(1.0 - r2)
+            phi = 2.0 * jnp.pi * r1
+            offs = (
+                (jnp.cos(phi) * sq)[:, None] * tx
+                + (jnp.sin(phi) * sq)[:, None] * ty
+                + jnp.sqrt(r2)[:, None] * ldir
+            ) * lights.radius[li]
+            sample_pos = lpos + offs
+            sdir = sample_pos - surf.world_pos
+            sdir = sdir / jnp.maximum(jnp.linalg.norm(sdir, axis=-1, keepdims=True), 1e-9)
+            sdir = jnp.where(lights.radius[li] > 0.0, sdir, ldir)
+            rec = _trace(
+                batch, bvh, surf.world_pos, sdir, dist,
+                any_hit=True, active=surf.valid,
+            )
+            unshadowed += jnp.where(rec.hit, 0.0, 1.0)
+        v = unshadowed / samples
+        v = jnp.where(lights.cast_shadow[li], v, 1.0)
+        vis.append(v)
+    return jnp.stack(vis, axis=0)
+
+
+def ambient_occlusion(
+    surf: SurfaceHits,
+    batch: TriangleBatch,
+    bvh: BVH,
+    materials: MaterialTable,
+    key: jax.Array,
+    samples: int,
+    radius: float,
+) -> jax.Array:
+    """RTAO factor in [0,1] (raytrace.rchit:175-219): cosine-hemisphere rays,
+    occlusion weighted by 1 - t/radius, scaled by mix(1, roughness, metallic)."""
+    r = surf.world_pos.shape[0]
+    if samples <= 0 or radius <= 0.0:
+        return jnp.ones((r,), jnp.float32)
+    tx, ty = _default_basis(surf.normal)
+    occ = jnp.zeros((r,), jnp.float32)
+    for si in range(samples):
+        k = jax.random.fold_in(key, 1000 + si)
+        r1, r2 = jax.random.uniform(k, (2, r))
+        d = _cosine_sample(surf.normal, tx, ty, jnp.ones((r,)), r1, r2)
+        o = surf.world_pos + surf.normal * 1e-3  # OffsetRay analogue
+        rec = _trace(batch, bvh, o, d, jnp.full((r,), radius), active=surf.valid)
+        occ += jnp.where(rec.hit, 1.0 - jnp.minimum(rec.t, radius) / radius, 0.0)
+    rough = materials.roughness[surf.material]
+    metal = materials.metallic[surf.material]
+    influence = (1.0 - metal) + rough * metal
+    ao = jnp.clip(1.0 - occ / samples, 0.0, 1.0) * influence
+    return jnp.where(surf.valid, ao, 1.0)
+
+
+def shade_surfaces(
+    surf: SurfaceHits,
+    materials: MaterialTable,
+    lights: Lights,
+    cam_or_prev_pos: jax.Array,  # f32[3] or f32[R, 3] — viewer position(s)
+    shadow_vis: jax.Array,       # f32[L, R]
+    ao: jax.Array,               # f32[R]
+) -> jax.Array:
+    """Direct lighting + ambient + emissive at hit points (rchit:48-122,
+    :173-226 minus reflections). Returns f32[R, 3]; invalid rays -> 0."""
+    albedo = materials.albedo[surf.material]
+    emissive = materials.emissive[surf.material]
+    roughness = materials.roughness[surf.material]
+    metallic = materials.metallic[surf.material]
+
+    view_dir = cam_or_prev_pos - surf.world_pos
+    view_dir = view_dir / jnp.maximum(jnp.linalg.norm(view_dir, axis=-1, keepdims=True), 1e-9)
+
+    total = jnp.zeros_like(albedo)
+    for li in range(lights.count):
+        contrib = point_light_contribution(
+            surf.normal, view_dir, surf.world_pos,
+            albedo, roughness, metallic,
+            lights.position[li], lights.color[li], lights.bounds[li],
+        )
+        total = total + contrib * shadow_vis[li][:, None]
+    total = total + lights.ambient[:3] * lights.ambient[3] * albedo * ao[:, None]
+    total = total + emissive
+    return jnp.where(surf.valid[:, None], total, 0.0)
+
+
+def reflections(
+    surf: SurfaceHits,
+    batch: TriangleBatch,
+    bvh: BVH,
+    materials: MaterialTable,
+    lights: Lights,
+    cam_pos: jax.Array,
+    key: jax.Array,
+    params: RTParams,
+) -> jax.Array:
+    """1-bounce glossy reflections (rchit:124-167): cosine-perturbed mirror
+    direction with cone angle roughness*(1-(1-N.V)^5); reflected hits get
+    full direct lighting (with shadows + AO, depth-1 shading); misses get the
+    environment color. Returns radiance to ADD, f32[R, 3]."""
+    r = surf.world_pos.shape[0]
+    if params.reflection_samples <= 0:
+        return jnp.zeros((r, 3), jnp.float32)
+
+    albedo = materials.albedo[surf.material]
+    rough = materials.roughness[surf.material]
+    metal = materials.metallic[surf.material]
+
+    v = cam_pos - surf.world_pos
+    v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-9)
+    n_dot_v = jnp.maximum(jnp.sum(surf.normal * v, axis=-1), 0.0)
+    max_angle = rough * (1.0 - jnp.power(1.0 - n_dot_v, 5.0))
+    tx, ty = _default_basis(surf.normal)
+
+    acc = jnp.zeros((r, 3), jnp.float32)
+    for si in range(params.reflection_samples):
+        k = jax.random.fold_in(key, 2000 + si)
+        r1, r2 = jax.random.uniform(k, (2, r))
+        pert_n = _cosine_sample(surf.normal, tx, ty, max_angle, r1, r2)
+        rdir = -v + 2.0 * jnp.sum(pert_n * v, axis=-1, keepdims=True) * pert_n
+        o = surf.world_pos + surf.normal * 1e-3
+        rec = _trace(batch, bvh, o, rdir, jnp.full((r,), 1000.0), active=surf.valid)
+        hit2 = resolve_hits(batch, rec, o, rdir)
+
+        svis = shadow_visibility(
+            surf=hit2, batch=batch, bvh=bvh, lights=lights,
+            key=jax.random.fold_in(k, 1), samples=max(1, params.shadow_samples),
+        )
+        ao2 = ambient_occlusion(
+            hit2, batch, bvh, materials,
+            jax.random.fold_in(k, 2), params.ao_samples, params.ao_radius,
+        )
+        color2 = shade_surfaces(hit2, materials, lights, surf.world_pos, svis, ao2)
+        acc = acc + jnp.where(hit2.valid[:, None], color2, BACKGROUND)
+    refl = acc / params.reflection_samples
+    influence = jnp.clip(metal, 0.04, 1.0)[:, None]
+    tint = (1.0 - metal)[:, None] + albedo * metal[:, None]  # mix(1, albedo, metal)
+    return refl * influence * tint
+
+
+def trace_frame(
+    batch: TriangleBatch,
+    bvh: BVH,
+    materials: MaterialTable,
+    lights: Lights,
+    camera: CameraMatrices,
+    key: jax.Array,
+    *,
+    width: int,
+    height: int,
+    params: RTParams,
+    full_width: int | None = None,
+    full_height: int | None = None,
+    origin=(0, 0),
+) -> jax.Array:
+    """Full RT frame -> HDR image f32[H, W, 3] (the RayTraceRender::render +
+    rgen/rchit/rmiss pipeline as one wavefront graph). ``origin``/``full_*``
+    trace a screen-tile window for multi-chip sharding."""
+    o, d = raygen(
+        camera, width, height,
+        full_width=full_width, full_height=full_height, origin=origin,
+    )
+    r = o.shape[0]
+    rec = _trace(batch, bvh, o, d, jnp.full((r,), 1000.0))
+    surf = resolve_hits(batch, rec, o, d)
+
+    svis = shadow_visibility(surf, batch, bvh, lights, key, max(1, params.shadow_samples))
+    ao = ambient_occlusion(
+        surf, batch, bvh, materials, key, params.ao_samples, params.ao_radius
+    )
+    color = shade_surfaces(surf, materials, lights, camera.cam_pos, svis, ao)
+    color = color + reflections(
+        surf, batch, bvh, materials, lights, camera.cam_pos,
+        jax.random.fold_in(key, 7), params,
+    )
+    color = jnp.where(surf.valid[:, None], color, BACKGROUND)
+    return color.reshape(height, width, 3)

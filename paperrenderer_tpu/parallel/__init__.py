@@ -1,0 +1,4 @@
+from .mesh import make_tile_mesh
+from .tiles import sharded_render_frame, sharded_rt_frame
+
+__all__ = ["make_tile_mesh", "sharded_render_frame", "sharded_rt_frame"]

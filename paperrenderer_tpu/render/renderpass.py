@@ -47,6 +47,7 @@ def _tier(n: int, floor: int = 2048) -> int:
     jax.jit,
     static_argnames=(
         "width", "height", "max_meshes_per_lod", "tri_capacity", "do_culling",
+        "use_pallas",
     ),
 )
 def render_frame(
@@ -65,6 +66,7 @@ def render_frame(
     max_meshes_per_lod: int,
     tri_capacity: int,
     do_culling: bool = True,
+    use_pallas: bool = False,
 ):
     """The full raster frame as one compiled graph. Returns (ldr, aux dict)."""
     pre = P.preprocess_instances(
@@ -75,7 +77,12 @@ def render_frame(
         slot_materials=slot_materials,
     )
     batch = R.build_triangle_batch(pre, geo, camera, capacity=tri_capacity)
-    depth, tid, bary = R.rasterize(batch, width, height)
+    if use_pallas:
+        from ..ops.raster_pallas import rasterize_tiles
+
+        depth, tid, bary = rasterize_tiles(batch, width, height)
+    else:
+        depth, tid, bary = R.rasterize(batch, width, height)
     gbuf = R.resolve_gbuffer(batch, depth, tid, bary)
     hdr = shade_gbuffer(gbuf, materials, lights, camera.cam_pos)
     ldr = tonemap(hdr, tonemap_params)
@@ -103,12 +110,24 @@ class RenderPass:
         do_culling: bool = True,
         lights: Optional[Lights] = None,
         tonemap_params: Optional[TonemapParams] = None,
+        use_pallas: Optional[bool] = None,
     ):
         self.scene = scene
         self.materials = materials
         self.width = width
         self.height = height
         self.do_culling = do_culling
+        if use_pallas is None:
+            # Pallas tile raster on TPU when the image tiles evenly;
+            # pure-XLA fallback elsewhere (CPU tests, odd sizes)
+            from ..ops.raster_pallas import TILE_H, TILE_W
+
+            use_pallas = (
+                jax.default_backend() not in ("cpu",)
+                and width % TILE_W == 0
+                and height % TILE_H == 0
+            )
+        self.use_pallas = use_pallas
         # default key light: intensity sized for unit-scale scenes under the
         # windowed-1/d^2 attenuation (pbr.glsl:104-108)
         self.lights = lights or Lights.make(
@@ -119,6 +138,13 @@ class RenderPass:
         self._bindings: Dict[int, Dict[int, int]] = {}
         self._visible: Dict[int, bool] = {}
         self._tri_capacity = 2048
+        # device-input caches (rebuilt only when bindings/materials change —
+        # uploading these per frame dominated frame time before)
+        self._cache_dirty = True
+        self._cached_slots = None
+        self._cached_visible = None
+        self._cached_table = None
+        self._cached_capacity = -1
 
     # -- instance registration (RenderPass::addInstance, :744-801) ----------
     def add_instance(
@@ -133,13 +159,21 @@ class RenderPass:
             binds[slot] = self.materials.register(mat)
         self._bindings[instance.index] = binds
         self._visible[instance.index] = True
+        self._cache_dirty = True
 
     def remove_instance(self, instance: ModelInstance) -> None:
         self._bindings.pop(instance.index, None)
         self._visible.pop(instance.index, None)
+        self._cache_dirty = True
 
     def set_instance_visibility(self, instance: ModelInstance, visible: bool) -> None:
         self._visible[instance.index] = visible
+        self._cache_dirty = True
+
+    def invalidate(self) -> None:
+        """Force re-upload of material/visibility tables (call after editing
+        a registered Material's parameters live)."""
+        self._cache_dirty = True
 
     # -- per-frame device inputs --------------------------------------------
     def _slot_material_array(self, capacity: int) -> jax.Array:
@@ -169,27 +203,37 @@ class RenderPass:
             )
         return _tier(total)
 
+    def _device_inputs(self, capacity: int):
+        if self._cache_dirty or capacity != self._cached_capacity:
+            self._cached_slots = self._slot_material_array(capacity)
+            self._cached_visible = self._visible_array(capacity)
+            self._cached_table = self.materials.table()
+            self._cached_capacity = capacity
+            self._cache_dirty = False
+        return self._cached_slots, self._cached_visible, self._cached_table
+
     def render(self, camera: Camera | CameraMatrices):
         """Render one frame; returns (ldr f32[H, W, 3], aux dict)."""
         cam = camera.matrices if isinstance(camera, Camera) else camera
         instances = self.scene.flush()
-        cap = instances.capacity
         need = self._required_tri_capacity()
         if need > self._tri_capacity:
             self._tri_capacity = need
+        slots, visible, table = self._device_inputs(instances.capacity)
         return render_frame(
             instances,
             self.scene.tables(),
             self.scene.geometry(),
-            self.materials.table(),
+            table,
             self.lights,
             cam,
-            self._slot_material_array(cap),
-            self._visible_array(cap),
+            slots,
+            visible,
             self.tonemap_params,
             width=self.width,
             height=self.height,
             max_meshes_per_lod=self.scene.max_meshes_per_lod,
             tri_capacity=self._tri_capacity,
             do_culling=self.do_culling,
+            use_pallas=self.use_pallas,
         )

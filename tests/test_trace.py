@@ -1,0 +1,174 @@
+"""Ray-tracing tests: raygen, primary hits vs rasterizer depth, shadows, AO,
+reflections — behavioral parity with raytrace.rgen/rchit."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from paperrenderer_tpu.core import (
+    Camera,
+    Material,
+    MaterialRegistry,
+    Model,
+    ModelInstance,
+    Scene,
+    make_cube,
+    make_plane,
+    make_uv_sphere,
+)
+from paperrenderer_tpu.ops import preprocess as P, raster as R
+from paperrenderer_tpu.ops import trace as T
+from paperrenderer_tpu.ops.shading import Lights
+from paperrenderer_tpu.render import RayTraceRender, build_world_scene
+from paperrenderer_tpu.render.raytrace import rt_frame
+
+
+def _cam(eye=(0.0, -4.0, 2.0), at=(0.0, 0.0, 0.5)):
+    cam = Camera(yfov_deg=60.0, aspect=1.0, near=0.1, far=100.0)
+    cam.look_at(eye, at, up=(0, 0, 1))
+    return cam
+
+
+def _scene_sphere_on_plane():
+    scene = Scene()
+    registry = MaterialRegistry()
+    ground = Model.from_mesh(scene.arena, *make_plane(size=20.0), name="ground")
+    sphere = Model.from_mesh(scene.arena, *make_uv_sphere(radius=0.8, rings=12, sectors=16), name="sphere")
+    g = scene.add_instance(ModelInstance(ground))
+    s = scene.add_instance(ModelInstance(sphere))
+    s.set_transform(pos=(0.0, 0.0, 0.8))
+    return scene, registry, g, s
+
+
+def test_raygen_directions():
+    cam = _cam()
+    o, d = T.raygen(cam.matrices, 16, 16)
+    assert o.shape == (256, 3) and d.shape == (256, 3)
+    np.testing.assert_allclose(np.asarray(o[0]), np.asarray(cam.matrices.cam_pos), atol=1e-5)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(d), axis=1), 1.0, atol=1e-5)
+    # center ray points from eye toward the look-at target
+    center = np.asarray(d[8 * 16 + 8])
+    want = np.asarray([0.0, 0.0, 0.5]) - np.asarray([0.0, -4.0, 2.0])
+    want /= np.linalg.norm(want)
+    assert np.dot(center, want) > 0.99
+
+
+def test_primary_hits_match_rasterizer():
+    """RT primary visibility should agree with the rasterizer's G-buffer."""
+    scene, registry, g, s = _scene_sphere_on_plane()
+    cam = _cam()
+    arrays = scene.flush()
+    sm = jnp.zeros((arrays.capacity, 1), jnp.int32)
+    batch, bvh = build_world_scene(
+        arrays, scene.tables(), scene.geometry(), cam.matrices, sm,
+        max_meshes_per_lod=1, tri_capacity=1024,
+    )
+    size = 48
+    o, d = T.raygen(cam.matrices, size, size)
+    rec = T._trace(batch, bvh, o, d, jnp.full((size * size,), 1000.0))
+    rt_cov = np.asarray(rec.hit).reshape(size, size)
+
+    depth, tid, bary = R.rasterize(batch, size, size)
+    raster_cov = np.asarray(tid >= 0)
+    # plane covers everything below horizon; disagreement only at edges
+    disagree = (rt_cov != raster_cov).mean()
+    assert disagree < 0.03, f"coverage disagreement {disagree}"
+
+
+def test_shadow_visibility_blocked_by_sphere():
+    """Light directly above: plane points under the sphere are shadowed."""
+    scene, registry, g, s = _scene_sphere_on_plane()
+    cam = _cam()
+    arrays = scene.flush()
+    sm = jnp.zeros((arrays.capacity, 1), jnp.int32)
+    batch, bvh = build_world_scene(
+        arrays, scene.tables(), scene.geometry(), cam.matrices, sm,
+        max_meshes_per_lod=1, tri_capacity=1024,
+    )
+    lights = Lights.make([
+        {"position": (0.0, 0.0, 10.0), "color": (100, 100, 100), "bounds": 50.0, "radius": 0.0},
+    ])
+    # surface points: under the sphere (shadowed) and far away (lit)
+    surf = T.SurfaceHits(
+        world_pos=jnp.asarray([[0.0, 0.0, 0.0], [5.0, 5.0, 0.0]]),
+        normal=jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]]),
+        uv=jnp.zeros((2, 2)),
+        material=jnp.zeros((2,), jnp.int32),
+        valid=jnp.asarray([True, True]),
+        t=jnp.ones((2,)),
+    )
+    vis = T.shadow_visibility(surf, batch, bvh, lights, jax.random.PRNGKey(0), 1)
+    assert float(vis[0, 0]) == 0.0   # occluded by sphere
+    assert float(vis[0, 1]) == 1.0   # clear path
+
+
+def test_ao_darker_under_overhang():
+    scene, registry, g, s = _scene_sphere_on_plane()
+    cam = _cam()
+    arrays = scene.flush()
+    sm = jnp.zeros((arrays.capacity, 1), jnp.int32)
+    batch, bvh = build_world_scene(
+        arrays, scene.tables(), scene.geometry(), cam.matrices, sm,
+        max_meshes_per_lod=1, tri_capacity=1024,
+    )
+    registry_table = registry.table()
+    surf = T.SurfaceHits(
+        world_pos=jnp.asarray([[0.0, 0.0, 0.0], [8.0, 8.0, 0.0]]),  # under sphere vs open
+        normal=jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]]),
+        uv=jnp.zeros((2, 2)),
+        material=jnp.zeros((2,), jnp.int32),
+        valid=jnp.asarray([True, True]),
+        t=jnp.ones((2,)),
+    )
+    ao = T.ambient_occlusion(
+        surf, batch, bvh, registry_table, jax.random.PRNGKey(1), samples=8, radius=2.0
+    )
+    assert float(ao[0]) < float(ao[1])
+    assert float(ao[1]) > 0.9
+
+
+def test_rt_full_frame_shadows_and_reflections():
+    scene = Scene()
+    registry = MaterialRegistry()
+    ground = Model.from_mesh(scene.arena, *make_plane(size=20.0), name="ground")
+    cube = Model.from_mesh(scene.arena, *make_cube(size=1.0), name="cube")
+    rt = RayTraceRender(
+        scene, registry, width=48, height=48,
+        lights=Lights.make([
+            {"position": (0.0, -1.0, 6.0), "color": (150, 150, 150), "bounds": 50.0, "radius": 0.2},
+        ], ambient=(1, 1, 1, 0.15)),
+        shadow_samples=2, reflection_samples=1, ao_samples=1, ao_radius=1.5,
+    )
+    white = Material("white", albedo=(0.8, 0.8, 0.8), roughness=0.8)
+    mirror = Material("mirror", albedo=(0.9, 0.9, 0.9), roughness=0.05, metallic=1.0)
+    g = ModelInstance(ground)
+    rt.add_instance(g, {0: white.instance()})
+    c = ModelInstance(cube)
+    c.set_transform(pos=(0.0, 0.0, 0.5))
+    rt.add_instance(c, {0: mirror.instance()})
+    cam = _cam(eye=(0.0, -5.0, 3.0), at=(0.0, 0.0, 0.5))
+    ldr, aux = rt.render(cam)
+    img = np.asarray(ldr)
+    assert img.shape == (48, 48, 3)
+    assert np.isfinite(img).all()
+    assert img.max() > 0.05  # something is lit
+    # shadow: the plane point just behind the cube (away from light) is
+    # darker than a far lit plane point at similar distance
+    # (just sanity-check global variance — detailed checks above)
+    assert img.std() > 0.02
+
+
+def test_rt_camera_pixel_matches_raster_material():
+    """Material ids must flow through RT hits like they do in raster."""
+    scene = Scene()
+    registry = MaterialRegistry()
+    sphere = Model.from_mesh(scene.arena, *make_uv_sphere(radius=1.0, rings=12, sectors=16))
+    rt = RayTraceRender(scene, registry, width=32, height=32,
+                        shadow_samples=0, reflection_samples=0, ao_samples=0)
+    red = Material("red", albedo=(0.9, 0.05, 0.05), roughness=0.6)
+    inst = ModelInstance(sphere)
+    rt.add_instance(inst, {0: red.instance()})
+    cam = _cam(eye=(0.0, -4.0, 0.0), at=(0.0, 0.0, 0.0))
+    ldr, aux = rt.render(cam)
+    c = np.asarray(ldr)[16, 16]
+    assert c[0] > c[1] * 1.5 and c[0] > c[2] * 1.5
