@@ -16,7 +16,9 @@ import json
 import sys
 import time
 
-# Self-generated baseline: round-1 measurement on one TPU v5e chip.
+# Self-generated baseline: round-1 first-working-renderer measurement on one
+# TPU v5e chip (brute-force rasterizer, pre-optimization: 6 fps). The static
+# expansion + binned Pallas raster path brought round 1 to ~70 fps.
 BASELINE_FPS = 6.0
 
 WIDTH = HEIGHT = 512

@@ -67,29 +67,27 @@ def run(n_instances=10000, width=1920, height=1080, frames=20, out=None):
     import jax.numpy as jnp
 
     from paperrenderer_tpu.ops.animation import animate_instances
-    from paperrenderer_tpu.render.renderpass import render_frame
+    from paperrenderer_tpu.render.renderpass import render_frame_static
 
     eng, rp, cam = build_dynamic_scene(n_instances, width, height)
     arrays = eng.begin_frame()
     slots, visible, table = rp._device_inputs(arrays.capacity)
-    need = rp._required_tri_capacity()
-    rp._tri_capacity = max(rp._tri_capacity, need)
+    mapping = rp._current_mapping()
+    tables = eng.scene.tables()
+    cm = cam.matrices
 
-    static_kw = dict(
-        width=width, height=height,
-        max_meshes_per_lod=eng.scene.max_meshes_per_lod,
-        tri_capacity=rp._tri_capacity,
-        do_culling=True,
-        use_pallas=rp.use_pallas,
-    )
+    # one probe frame to size the raster work queue (overflow growth)
+    _ldr, aux = rp.render(cam)
+    work_cap = rp._work_capacity
 
     @jax.jit
     def frame(arrays, t):
         arrays = animate_instances(arrays, t)
-        ldr, aux = render_frame(
-            arrays, eng.scene.tables(), eng.scene.geometry(), table,
-            rp.lights, cam.matrices, slots, visible, rp.tonemap_params,
-            **static_kw,
+        ldr, aux = render_frame_static(
+            mapping, arrays, tables, table, rp.lights, cm,
+            slots, visible, rp.tonemap_params,
+            width=width, height=height, do_culling=True,
+            use_pallas=rp.use_pallas, work_capacity=work_cap,
         )
         return arrays, ldr, aux
 

@@ -98,13 +98,28 @@ def _grow(n: int, floor: int = INSTANCE_FLOOR) -> int:
 
 
 class Scene:
-    """Host-side registry; owns the geometry arena, model tables, instances."""
+    """Host-side registry; owns the geometry arena, model tables, instances.
 
-    def __init__(self, arena: Optional[GeometryArena] = None):
+    When the native scenecore library is built (make -C native), the instance
+    SoA lives in a C++ DeltaPacker: transform writes and dirty-row packing run
+    native (the reference's C++ registry/staging hot loops), and full uploads
+    are zero-copy views. Pure-python fallback otherwise.
+    """
+
+    def __init__(self, arena: Optional[GeometryArena] = None, use_native: bool = True):
         self.arena = arena or GeometryArena()
         self.models: List[Model] = []
         self.instances: List[ModelInstance] = []
         self._dirty: Set[int] = set()
+        self._native = None
+        if use_native:
+            try:
+                from ..native import AVAILABLE, NativeDeltaPacker
+
+                if AVAILABLE:
+                    self._native = NativeDeltaPacker(INSTANCE_FLOOR)
+            except Exception:
+                self._native = None
         self._tables: Optional[SceneTables] = None
         self._tables_dirty = True
         self._capacity = INSTANCE_FLOOR
@@ -112,12 +127,16 @@ class Scene:
         self._full_upload = True
         self.max_meshes_per_lod = 1  # static bound used by the preprocess kernel
         self.max_slots = 1
+        # topology version: bumps on instance add/remove + model registration;
+        # consumers (static mappings, BVH caches) key their rebuilds on it
+        self.version = 0
 
     # -- models --------------------------------------------------------------
     def register_model(self, model: Model) -> int:
         model.model_id = len(self.models)
         self.models.append(model)
         self._tables_dirty = True
+        self.version += 1
         self.max_meshes_per_lod = max(
             self.max_meshes_per_lod,
             max(len(l.meshes) for l in model.lods),
@@ -181,15 +200,26 @@ class Scene:
         instance._scene = self
         self.instances.append(instance)
         self._dirty.add(instance.index)
+        self.version += 1
         if len(self.instances) > self._capacity:
             self._capacity = _grow(len(self.instances))
             self._full_upload = True
+        if self._native is not None:
+            if self._native.capacity < self._capacity:
+                self._native.grow(self._capacity)
+            self._native.set(
+                instance.index,
+                pos=instance.position, scale=instance.scale,
+                quat=instance.rotation, model_id=instance.model.model_id,
+            )
         return instance
 
     def remove_instance(self, instance: ModelInstance) -> None:
         idx = instance.index
         if idx < 0 or idx >= len(self.instances) or self.instances[idx] is not instance:
             return
+        if self._native is not None:
+            self._native.swap_remove(idx, len(self.instances) - 1)
         last = self.instances.pop()
         if last is not instance:
             # swap-remove: the previously-last instance takes the freed slot
@@ -199,10 +229,17 @@ class Scene:
         self._dirty.add(len(self.instances))  # stale tail row -> model_id -1
         instance.index = -1
         instance._scene = None
+        self.version += 1
 
     def mark_instance_dirty(self, instance: ModelInstance) -> None:
         if instance.index >= 0:
             self._dirty.add(instance.index)
+            if self._native is not None:
+                self._native.set(
+                    instance.index,
+                    pos=instance.position, scale=instance.scale,
+                    quat=instance.rotation, model_id=instance.model.model_id,
+                )
 
     @property
     def count(self) -> int:
@@ -211,6 +248,19 @@ class Scene:
     # -- device sync -----------------------------------------------------------
     def _build_full(self) -> InstanceArrays:
         cap = self._capacity
+        if self._native is not None:
+            if self._native.capacity < cap:
+                self._native.grow(cap)
+            self._native._lib.packer_clear_dirty(self._native._h)
+            pos_v, scale_v, quat_v, model_v = self._native.views()
+            for inst in self.instances:
+                inst.dirty = False
+            return InstanceArrays(
+                pos=jnp.asarray(pos_v[:cap]),
+                scale=jnp.asarray(scale_v[:cap]),
+                quat=jnp.asarray(quat_v[:cap]),
+                model_id=jnp.asarray(model_v[:cap]),
+            )
         pos = np.zeros((cap, 3), np.float32)
         scale = np.ones((cap, 3), np.float32)
         quat = np.tile(np.asarray([1, 0, 0, 0], np.float32), (cap, 1))
@@ -242,20 +292,30 @@ class Scene:
         if self._dirty:
             n = len(self._dirty)
             batch = 1 << max(4, (n - 1).bit_length())  # tiered batch size
-            idx = np.full((batch,), 2**31 - 1, np.int32)  # OOB -> dropped
-            pos = np.zeros((batch, 3), np.float32)
-            scale = np.ones((batch, 3), np.float32)
-            quat = np.tile(np.asarray([1, 0, 0, 0], np.float32), (batch, 1))
-            model_id = np.full((batch,), -1, np.int32)
-            for j, i in enumerate(sorted(self._dirty)):
-                idx[j] = i
-                if i < len(self.instances):
-                    inst = self.instances[i]
-                    pos[j] = inst.position
-                    scale[j] = inst.scale
-                    quat[j] = inst.rotation
-                    model_id[j] = inst.model.model_id
-                    inst.dirty = False
+            if self._native is not None:
+                # native dirty-row packing (C++ loop instead of python)
+                nd = self._native.dirty_count
+                batch = 1 << max(4, (max(nd, 1) - 1).bit_length())
+                cnt, idx, pos, scale, quat, model_id = self._native.pack(batch)
+                idx[cnt:] = 2**31 - 1  # padding -> dropped by scatter
+                for i in self._dirty:
+                    if i < len(self.instances):
+                        self.instances[i].dirty = False
+            else:
+                idx = np.full((batch,), 2**31 - 1, np.int32)  # OOB -> dropped
+                pos = np.zeros((batch, 3), np.float32)
+                scale = np.ones((batch, 3), np.float32)
+                quat = np.tile(np.asarray([1, 0, 0, 0], np.float32), (batch, 1))
+                model_id = np.full((batch,), -1, np.int32)
+                for j, i in enumerate(sorted(self._dirty)):
+                    idx[j] = i
+                    if i < len(self.instances):
+                        inst = self.instances[i]
+                        pos[j] = inst.position
+                        scale[j] = inst.scale
+                        quat[j] = inst.rotation
+                        model_id[j] = inst.model.model_id
+                        inst.dirty = False
             self._device = _scatter_rows(
                 self._device,
                 jnp.asarray(idx),

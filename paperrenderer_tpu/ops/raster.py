@@ -291,6 +291,52 @@ def rasterize(
     )
 
 
+def resolve_gbuffer_unproject(
+    batch: TriangleBatch,
+    depth: jax.Array,
+    tri_id: jax.Array,
+    bary: jax.Array,
+    camera,
+) -> GBuffer:
+    """Like resolve_gbuffer but reconstructs world positions by unprojecting
+    (pixel, depth) through inverse(view_proj) instead of gathering and
+    interpolating vertex positions — per-pixel row gathers are the slowest
+    op on TPU, and depth already encodes the position exactly."""
+    h, w = depth.shape
+    tid = jnp.maximum(tri_id, 0)
+    covered = tri_id >= 0
+
+    inv_vp = jnp.linalg.inv(camera.view_proj)
+    xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w * 2.0 - 1.0
+    ys = 1.0 - (jnp.arange(h, dtype=jnp.float32) + 0.5) / h * 2.0
+    ndc_x = jnp.broadcast_to(xs[None, :], (h, w))
+    ndc_y = jnp.broadcast_to(ys[:, None], (h, w))
+    z = jnp.where(covered, depth, 0.0)
+    # world_h = inv_vp @ (x, y, z, 1); world = xyz / w  (dense, no gathers)
+    cols = [
+        inv_vp[i, 0] * ndc_x + inv_vp[i, 1] * ndc_y + inv_vp[i, 2] * z + inv_vp[i, 3]
+        for i in range(4)
+    ]
+    inv_w = 1.0 / jnp.where(jnp.abs(cols[3]) < 1e-12, 1e-12, cols[3])
+    world = jnp.stack([cols[0] * inv_w, cols[1] * inv_w, cols[2] * inv_w], axis=-1)
+
+    b1 = bary[..., 0]
+    b2 = bary[..., 1]
+    pw = jnp.stack([1.0 - b1 - b2, b1, b2], axis=-1)
+    normal = jnp.einsum("hwk,hwkc->hwc", pw, batch.normal[tid])
+    normal = normal / jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-12)
+    uv = jnp.einsum("hwk,hwkc->hwc", pw, batch.uv[tid])
+    material = jnp.where(covered, batch.material[tid], 0)
+    return GBuffer(
+        depth=depth,
+        tri_id=tri_id,
+        world_pos=jnp.where(covered[..., None], world, 0.0),
+        normal=jnp.where(covered[..., None], normal, 0.0),
+        uv=jnp.where(covered[..., None], uv, 0.0),
+        material=material,
+    )
+
+
 def resolve_gbuffer(
     batch: TriangleBatch,
     depth: jax.Array,

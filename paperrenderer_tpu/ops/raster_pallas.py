@@ -24,7 +24,7 @@ This replaces the hardware rasterizer + ROP the reference gets from Vulkan
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -39,7 +39,9 @@ from .bvh import morton_codes
 # ≈ 3 MiB VMEM. Output blocks are exactly (8, 128)-aligned as Mosaic requires.
 TILE_H = 8
 TILE_W = 128
-CHUNK = 128
+CHUNK = 128      # streaming chunk for rasterize_tiles
+CHUNK_B = 128    # binned-path chunk (measured best: per-item overhead
+                 # dominates below this; see docs/PERF.md)
 
 
 def _kernel(aabb_ref, coef_ref, depth_ref, tid_ref, bary_ref, state_ref):
@@ -203,3 +205,214 @@ def rasterize_tiles(
     tid = jnp.where(miss, 0, tid)
     tid = jnp.where(miss, -1, perm[jnp.minimum(tid, t - 1)])
     return depth, tid, bary
+
+
+# ---------------------------------------------------------------------------
+# Work-queue variant: grid over compacted (tile, chunk) pairs.
+# ---------------------------------------------------------------------------
+
+def _make_wq_kernel(n_tx: int):
+    # wt/wc are scalar-prefetch work lists: work item j = (tile wt[j],
+    # chunk wc[j]); wc = -1 marks a seed (init-only) entry. Items are sorted
+    # by tile, so output blocks are revisited consecutively and Pallas keeps
+    # them resident in VMEM — they ARE the accumulator state. Coefficients
+    # arrive triangle-major [CHUNK_B, 16] in SMEM.
+    def kernel(wt_ref, wc_ref, coef_ref, depth_ref, tid_ref, bary_ref):
+        j = pl.program_id(0)
+        t = wt_ref[j]
+        k = wc_ref[j]
+        tile = (TILE_H, TILE_W)
+
+        # wc == -1: seed (init) entry; wc >= 0: chunk work; wc == -2: padding
+        @pl.when(k == -1)
+        def _init():
+            depth_ref[:, :] = jnp.full(tile, jnp.inf, jnp.float32)
+            tid_ref[:, :] = jnp.full(tile, -1.0, jnp.float32)
+            bary_ref[:, :, 0] = jnp.zeros(tile, jnp.float32)
+            bary_ref[:, :, 1] = jnp.zeros(tile, jnp.float32)
+
+        @pl.when(k >= 0)
+        def _body():
+            ty = t // n_tx
+            tx = t % n_tx
+            ys = jax.lax.broadcasted_iota(jnp.int32, tile, 0).astype(jnp.float32)
+            xs = jax.lax.broadcasted_iota(jnp.int32, tile, 1).astype(jnp.float32)
+            px = xs + (tx * TILE_W).astype(jnp.float32) + 0.5
+            py = ys + (ty * TILE_H).astype(jnp.float32) + 0.5
+
+            def tri_body(c, state):
+                depth, tid, b1s, b2s = state
+                e0 = px * coef_ref[c, 0] + py * coef_ref[c, 1] + coef_ref[c, 2]
+                e1 = px * coef_ref[c, 3] + py * coef_ref[c, 4] + coef_ref[c, 5]
+                e2 = px * coef_ref[c, 6] + py * coef_ref[c, 7] + coef_ref[c, 8]
+                zn = px * coef_ref[c, 9] + py * coef_ref[c, 10] + coef_ref[c, 11]
+                wn = px * coef_ref[c, 12] + py * coef_ref[c, 13] + coef_ref[c, 14]
+                inside = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & (wn > 1e-12)
+                z = zn / jnp.where(inside, wn, 1.0)
+                win = inside & (z < depth)
+                esum = jnp.maximum(e0 + e1 + e2, 1e-30)
+                tid_new = (k * CHUNK_B + c).astype(jnp.float32)
+                return (
+                    jnp.where(win, z, depth),
+                    jnp.where(win, tid_new, tid),
+                    jnp.where(win, e1 / esum, b1s),
+                    jnp.where(win, e2 / esum, b2s),
+                )
+
+            state = (
+                depth_ref[:, :], tid_ref[:, :],
+                bary_ref[:, :, 0], bary_ref[:, :, 1],
+            )
+            depth, tid, b1s, b2s = jax.lax.fori_loop(0, CHUNK_B, tri_body, state)
+            depth_ref[:, :] = depth
+            tid_ref[:, :] = tid
+            bary_ref[:, :, 0] = b1s
+            bary_ref[:, :, 1] = b2s
+
+    return kernel
+
+
+def rasterize_tiles_binned(
+    batch: TriangleBatch,
+    width: int,
+    height: int,
+    *,
+    work_capacity: Optional[int] = None,
+    presorted: bool = False,
+):
+    """Work-queue Pallas rasterizer.
+
+    Instead of visiting every (tile, chunk) pair like ``rasterize_tiles``,
+    build (in JAX, on device) a compacted work list of pairs whose screen
+    AABBs overlap, seeded with one init entry per tile, sorted by tile. The
+    Pallas grid walks only that list — empty screen regions cost one init
+    step per tile. Returns (depth, tid, bary, required_work) where
+    ``required_work`` (device scalar) must be <= work_capacity for a complete
+    image; callers treat it like the reference's buffer-growth overflow
+    (check occasionally, bump capacity + recompile).
+
+    ``presorted``: the batch is already spatially coherent (e.g. static
+    mappings built with spatial_sort) — skip the per-frame screen-morton
+    sort, saving an argsort + full coefficient shuffle per frame.
+    """
+    assert width % TILE_W == 0 and height % TILE_H == 0
+    coeffs, ok, (lo, hi) = triangle_coefficients(batch, width, height)
+    t = batch.capacity
+    n_chunks = pl.cdiv(t, CHUNK_B)
+    t_pad = n_chunks * CHUNK_B
+
+    if presorted:
+        perm = None
+        ok_sorted = ok
+    else:
+        coeffs, perm, lo, hi = _sort_by_screen_morton(coeffs, lo, hi, ok, width, height)
+        ok_sorted = ok[perm]
+
+    # triangle-major [T_pad, 16] (col 15 = padding); dead rows never cover
+    cf = jnp.pad(
+        coeffs.reshape(t, 15), ((0, t_pad - t), (0, 1)), constant_values=0.0
+    )
+    if t_pad > t:
+        cf = cf.at[t:, 2].set(-1.0)
+
+    n_ty = height // TILE_H
+    n_tx = width // TILE_W
+    n_tiles = n_ty * n_tx
+
+    chunk_lo = jnp.where(ok_sorted[:, None], lo, jnp.inf)
+    chunk_hi = jnp.where(ok_sorted[:, None], hi, -jnp.inf)
+    chunk_lo = jnp.pad(chunk_lo, ((0, t_pad - t), (0, 0)), constant_values=jnp.inf)
+    chunk_hi = jnp.pad(chunk_hi, ((0, t_pad - t), (0, 0)), constant_values=-jnp.inf)
+    cl = chunk_lo.reshape(n_chunks, CHUNK_B, 2).min(axis=1)
+    ch = chunk_hi.reshape(n_chunks, CHUNK_B, 2).max(axis=1)
+
+    # tile rect grid
+    ty_idx = jnp.arange(n_tiles, dtype=jnp.int32) // n_tx
+    tx_idx = jnp.arange(n_tiles, dtype=jnp.int32) % n_tx
+    tx0 = tx_idx.astype(jnp.float32) * TILE_W
+    ty0 = ty_idx.astype(jnp.float32) * TILE_H
+    ovl = (
+        (cl[None, :, 0] <= tx0[:, None] + TILE_W)
+        & (ch[None, :, 0] >= tx0[:, None])
+        & (cl[None, :, 1] <= ty0[:, None] + TILE_H)
+        & (ch[None, :, 1] >= ty0[:, None])
+    )  # [n_tiles, K]
+
+    # work list layout: [all n_tiles seed entries (chunk=-1)] then the
+    # overlapping (tile, chunk) pairs sorted by tile; padding entries use
+    # chunk=-2 (no-op). Overflow therefore only ever drops *pair* work —
+    # every tile is always initialized (graceful degradation, mirrored by
+    # the required_work growth contract).
+    flat = ovl.reshape(-1)
+    pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
+    required = n_tiles + pos[-1] + 1
+
+    w_cap = max(work_capacity or (n_tiles + 8 * n_chunks), n_tiles + 1)
+    tile_of = jnp.broadcast_to(
+        jnp.arange(n_tiles, dtype=jnp.int32)[:, None], (n_tiles, n_chunks)
+    ).reshape(-1)
+    chunk_of = jnp.broadcast_to(
+        jnp.arange(n_chunks, dtype=jnp.int32)[None, :], (n_tiles, n_chunks)
+    ).reshape(-1)
+    write = jnp.where(flat, n_tiles + pos, w_cap)  # OOB dropped
+    # seed entries come from an iota-select init (not a second scatter —
+    # chained scatters with computed indices SIGABRT the XLA:TPU compiler
+    # on libtpu 0.0.34)
+    slot = jnp.arange(w_cap, dtype=jnp.int32)
+    seed_init_tile = jnp.where(slot < n_tiles, slot, n_tiles - 1)
+    seed_init_chunk = jnp.where(slot < n_tiles, -1, -2)
+    work_tile = seed_init_tile.at[write].set(tile_of, mode="drop")
+    work_chunk = seed_init_chunk.at[write].set(chunk_of, mode="drop")
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(w_cap,),
+        in_specs=[
+            pl.BlockSpec(
+                (CHUNK_B, 16),
+                lambda j, wt, wc: (jnp.maximum(wc[j], 0), 0),
+                memory_space=pltpu.SMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (TILE_H, TILE_W),
+                lambda j, wt, wc: (wt[j] // n_tx, wt[j] % n_tx),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (TILE_H, TILE_W),
+                lambda j, wt, wc: (wt[j] // n_tx, wt[j] % n_tx),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (TILE_H, TILE_W, 2),
+                lambda j, wt, wc: (wt[j] // n_tx, wt[j] % n_tx, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+    )
+    # optimization_barrier: without it, XLA:TPU's fusion of the work-list
+    # scatters into the pallas_call operands SIGABRTs the compiler
+    # (observed on libtpu 0.0.34; op-by-op execution of the same graph works)
+    work_tile, work_chunk, cf = jax.lax.optimization_barrier(
+        (work_tile, work_chunk, cf)
+    )
+    depth, tidf, bary = pl.pallas_call(
+        _make_wq_kernel(n_tx),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((height, width), jnp.float32),
+            jax.ShapeDtypeStruct((height, width), jnp.float32),
+            jax.ShapeDtypeStruct((height, width, 2), jnp.float32),
+        ],
+    )(work_tile, work_chunk, cf)
+
+    tid = tidf.astype(jnp.int32)
+    miss = tid < 0
+    if perm is not None:
+        tid = jnp.where(miss, 0, tid)
+        tid = jnp.where(miss, -1, perm[jnp.minimum(tid, t - 1)])
+    else:
+        tid = jnp.where(miss, -1, jnp.minimum(tid, t - 1))
+    return depth, tid, bary, required

@@ -144,10 +144,23 @@ def shade_gbuffer(
     results into the same shading path (hybrid frames), replacing the
     reference's shadow-ray loop in raytrace.rchit:61-122.
     """
-    albedo = materials.albedo[gbuf.material]
-    emissive = materials.emissive[gbuf.material]
-    roughness = materials.roughness[gbuf.material]
-    metallic = materials.metallic[gbuf.material]
+    m = materials.albedo.shape[0]
+    if m <= 128:
+        # one-hot matmul instead of per-pixel row gathers: for small material
+        # tables this is dense VPU work, far faster than TPU gathers
+        onehot = jax.nn.one_hot(gbuf.material, m, dtype=jnp.float32)
+        albedo = onehot @ materials.albedo
+        emissive = onehot @ materials.emissive
+        scalars = onehot @ jnp.stack(
+            [materials.roughness, materials.metallic], axis=-1
+        )
+        roughness = scalars[..., 0]
+        metallic = scalars[..., 1]
+    else:
+        albedo = materials.albedo[gbuf.material]
+        emissive = materials.emissive[gbuf.material]
+        roughness = materials.roughness[gbuf.material]
+        metallic = materials.metallic[gbuf.material]
 
     view_dir = cam_pos - gbuf.world_pos
     view_dir = view_dir / jnp.maximum(

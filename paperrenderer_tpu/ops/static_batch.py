@@ -1,0 +1,241 @@
+"""Static triangle expansion: scene-topology-keyed triangle buffers.
+
+The draw-list path (ops.preprocess -> ops.raster.build_triangle_batch)
+mirrors the reference's per-frame GPU-driven draw build: compaction +
+searchsorted expansion + attribute gathers every frame. On TPU those gathers
+dominate frame time, and they are *redundant*: the (triangle -> instance,
+vertex data) mapping only changes when the scene's topology changes (instance
+add/remove, model registration) — exactly when the reference rebuilds its
+buffers (PaperRenderer.cpp:151-196).
+
+So the fast path pre-expands once per topology version:
+
+  * every instance contributes ALL of its model's LODs' triangles to a flat
+    static buffer (object-space positions/normals/uvs pre-gathered);
+  * per frame: instance matrices -> one [T] gather of 12 floats -> dense
+    transform + clip projection; frustum culling and LOD selection become
+    per-triangle *masks* (culled/wrong-LOD triangles are marked invalid and
+    cost nothing downstream thanks to the rasterizer's binning).
+
+Per-frame cost is pure vectorized math over [T] — the TPU equivalent of the
+reference's "static scenes use next to no CPU time" claim (docs.html:29-31).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.camera import CameraMatrices
+from ..core.scene import InstanceArrays, Scene, SceneTables
+from ..core.transforms import trs_to_mat34
+from .preprocess import frustum_cull, select_lod
+from .raster import TriangleBatch
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class StaticMapping:
+    """Pre-expanded per-triangle scene data (device-resident)."""
+
+    tri_instance: jax.Array  # i32[T] — instance slot
+    tri_lod: jax.Array       # i32[T] — LOD this triangle belongs to
+    tri_slot: jax.Array      # i32[T] — material slot
+    v_obj: jax.Array         # f32[T, 3, 3] object-space positions
+    n_obj: jax.Array         # f32[T, 3, 3] object-space normals
+    uv: jax.Array            # f32[T, 3, 2]
+    valid: jax.Array         # bool[T]
+
+    @property
+    def capacity(self) -> int:
+        return self.tri_instance.shape[0]
+
+
+def _tier(n: int, floor: int = 2048) -> int:
+    n = max(n, floor)
+    return 1 << (n - 1).bit_length()
+
+
+def _morton_u64(p: np.ndarray) -> np.ndarray:
+    """21-bit/axis morton codes for spatial ordering (host-side)."""
+    lo = p.min(axis=0)
+    ext = np.maximum(p.max(axis=0) - lo, 1e-12)
+    q = np.clip((p - lo) / ext * 2047.0, 0, 2047).astype(np.uint64)
+
+    def spread(v):
+        v = (v | (v << 16)) & np.uint64(0x0000FF0000FF)
+        v = (v | (v << 8)) & np.uint64(0x00F00F00F00F)
+        v = (v | (v << 4)) & np.uint64(0x0C30C30C30C3)
+        v = (v | (v << 2)) & np.uint64(0x249249249249)
+        return v
+
+    return (spread(q[:, 0]) << np.uint64(2)) | (spread(q[:, 1]) << np.uint64(1)) | spread(q[:, 2])
+
+
+def build_static_mapping(
+    scene: Scene, capacity: Optional[int] = None, spatial_sort: bool = True
+) -> StaticMapping:
+    """Host-side expansion (numpy); call when scene topology changes.
+
+    ``spatial_sort`` orders instances by world morton code so triangle chunks
+    stay spatially tight — the binned rasterizer then needs no per-frame
+    triangle sort (chunk AABBs are computed over this build-time order)."""
+    arena = scene.arena
+    rows_inst: list = []
+    rows_lod: list = []
+    rows_slot: list = []
+    tri_ranges: list = []  # (tri_offset, tri_count) in the arena
+    order = list(scene.instances)
+    if spatial_sort and len(order) > 1:
+        pos = np.stack([i.position for i in order])
+        codes = _morton_u64(pos)
+        order = [order[i] for i in np.argsort(codes, kind="stable")]
+    for inst in order:
+        for lod_i, lod in enumerate(inst.model.lods):
+            for mm in lod.meshes:
+                rows_inst.append(inst.index)
+                rows_lod.append(lod_i)
+                rows_slot.append(mm.material_slot)
+                tri_ranges.append((mm.handle.tri_offset, mm.handle.tri_count))
+    total = sum(c for _, c in tri_ranges)
+    cap = capacity or _tier(total)
+    if total > cap:
+        raise ValueError(f"static mapping overflow: {total} > {cap}")
+
+    tri_instance = np.zeros(cap, np.int32)
+    tri_lod = np.zeros(cap, np.int32)
+    tri_slot = np.zeros(cap, np.int32)
+    arena_tri = np.zeros(cap, np.int64)
+    valid = np.zeros(cap, bool)
+    w = 0
+    for (off, cnt), ii, ll, ss in zip(tri_ranges, rows_inst, rows_lod, rows_slot):
+        tri_instance[w : w + cnt] = ii
+        tri_lod[w : w + cnt] = ll
+        tri_slot[w : w + cnt] = ss
+        arena_tri[w : w + cnt] = np.arange(off, off + cnt)
+        valid[w : w + cnt] = True
+        w += cnt
+
+    idx = arena._idx[arena_tri]            # [cap, 3] vertex ids (0 for dead)
+    v_obj = arena._pos[idx]                # [cap, 3, 3]
+    n_obj = arena._nrm[idx]
+    uv = arena._uv[idx]
+
+    return StaticMapping(
+        tri_instance=jnp.asarray(tri_instance),
+        tri_lod=jnp.asarray(tri_lod),
+        tri_slot=jnp.asarray(tri_slot),
+        v_obj=jnp.asarray(v_obj),
+        n_obj=jnp.asarray(n_obj),
+        uv=jnp.asarray(uv),
+        valid=jnp.asarray(valid),
+    )
+
+
+def expand_static(
+    mapping: StaticMapping,
+    instances: InstanceArrays,
+    tables: SceneTables,
+    camera: CameraMatrices,
+    slot_materials: jax.Array,           # i32[N, S]
+    instance_visible: Optional[jax.Array] = None,
+    *,
+    do_culling: bool = True,
+    lod_override: Optional[int] = None,
+    animate_time: Optional[jax.Array] = None,
+    animate=None,
+) -> TriangleBatch:
+    """Per-frame: instance math + dense transform -> TriangleBatch.
+
+    ``animate`` optionally applies a vertex-space animation function
+    f(v_obj, time) -> v_obj before transforming (the unique-geometry
+    animation path, BasicAnimation.comp analogue).
+    """
+    model_id = jnp.maximum(instances.model_id, 0)
+    alive = instances.alive
+    matrices = trs_to_mat34(instances.pos, instances.scale, instances.quat)
+
+    aabb_min = tables.model_aabb_min[model_id]
+    aabb_max = tables.model_aabb_max[model_id]
+    lod_count = tables.model_lod_count[model_id]
+
+    visible = alive
+    if instance_visible is not None:
+        visible &= instance_visible
+    if do_culling:
+        visible &= frustum_cull(aabb_min, aabb_max, matrices, camera)
+
+    if lod_override is None:
+        lod = select_lod(instances.pos, aabb_min, aabb_max, lod_count, camera.cam_pos)
+    else:
+        lod = jnp.minimum(
+            jnp.full_like(lod_count, lod_override), jnp.maximum(lod_count - 1, 0)
+        )
+
+    ti = mapping.tri_instance
+    tri_valid = (
+        mapping.valid
+        & visible[ti]
+        & (lod[ti] == mapping.tri_lod)
+    )
+
+    v_obj = mapping.v_obj
+    if animate is not None and animate_time is not None:
+        v_obj = animate(v_obj, animate_time)
+
+    m = matrices[ti]                                   # [T, 3, 4] gather
+
+    # Explicit broadcast arithmetic instead of einsum: XLA lowers batched
+    # 3x3 einsums to tiny-matmul loops on TPU; these are plain VPU FMAs.
+    def apply34(mat, pts):  # mat [T,3,4], pts [T,3,3] -> [T,3,3]
+        out = []
+        for i in range(3):
+            out.append(
+                mat[:, None, i, 0] * pts[..., 0]
+                + mat[:, None, i, 1] * pts[..., 1]
+                + mat[:, None, i, 2] * pts[..., 2]
+                + mat[:, None, i, 3]
+            )
+        return jnp.stack(out, axis=-1)
+
+    def rotate(mat, vecs):
+        out = []
+        for i in range(3):
+            out.append(
+                mat[:, None, i, 0] * vecs[..., 0]
+                + mat[:, None, i, 1] * vecs[..., 1]
+                + mat[:, None, i, 2] * vecs[..., 2]
+            )
+        return jnp.stack(out, axis=-1)
+
+    world = apply34(m, v_obj)
+    n_world = rotate(m, mapping.n_obj)
+    n_world = n_world / jnp.maximum(
+        jnp.linalg.norm(n_world, axis=-1, keepdims=True), 1e-12
+    )
+    vp = camera.view_proj
+    clip = jnp.stack(
+        [
+            vp[i, 0] * world[..., 0]
+            + vp[i, 1] * world[..., 1]
+            + vp[i, 2] * world[..., 2]
+            + vp[i, 3]
+            for i in range(4)
+        ],
+        axis=-1,
+    )
+
+    material = slot_materials[jnp.maximum(ti, 0), mapping.tri_slot]
+    batch = TriangleBatch(
+        clip=clip,
+        world=world,
+        normal=n_world,
+        uv=mapping.uv,
+        material=material,
+        valid=tri_valid,
+    )
+    return batch, visible

@@ -68,7 +68,13 @@ def render_frame(
     do_culling: bool = True,
     use_pallas: bool = False,
 ):
-    """The full raster frame as one compiled graph. Returns (ldr, aux dict)."""
+    """The full raster frame as one compiled graph (draw-list path).
+
+    This is the reference-parity path: per-frame GPU-driven draw build via
+    preprocess + compaction, mirroring IndirectDrawBuild.comp semantics. The
+    performance path is ``render_frame_static`` (pre-expanded triangles +
+    binned Pallas raster).
+    """
     pre = P.preprocess_instances(
         instances, tables, camera,
         max_meshes_per_lod=max_meshes_per_lod,
@@ -91,6 +97,60 @@ def render_frame(
         "draw_count": pre.draw_count,
         "total_tris": pre.total_tris,
         "coverage": jnp.mean(gbuf.coverage.astype(jnp.float32)),
+        "depth": depth,
+        "hdr": hdr,
+    }
+    return ldr, aux
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "do_culling", "use_pallas", "work_capacity",
+    ),
+)
+def render_frame_static(
+    mapping,                      # ops.static_batch.StaticMapping
+    instances: InstanceArrays,
+    tables: SceneTables,
+    materials: MaterialTable,
+    lights: Lights,
+    camera: CameraMatrices,
+    slot_materials: jax.Array,
+    instance_visible: jax.Array,
+    tonemap_params: TonemapParams,
+    *,
+    width: int,
+    height: int,
+    do_culling: bool = True,
+    use_pallas: bool = True,
+    work_capacity: int = 0,
+):
+    """Fast raster frame: static triangle expansion + binned Pallas raster."""
+    from ..ops.static_batch import expand_static
+
+    batch, inst_visible = expand_static(
+        mapping, instances, tables, camera, slot_materials, instance_visible,
+        do_culling=do_culling,
+    )
+    if use_pallas:
+        from ..ops.raster_pallas import rasterize_tiles_binned
+
+        depth, tid, bary, required = rasterize_tiles_binned(
+            batch, width, height,
+            work_capacity=work_capacity or None, presorted=True,
+        )
+    else:
+        depth, tid, bary = R.rasterize(batch, width, height)
+        required = jnp.int32(0)
+    gbuf = R.resolve_gbuffer_unproject(batch, depth, tid, bary, camera)
+    hdr = shade_gbuffer(gbuf, materials, lights, camera.cam_pos)
+    ldr = tonemap(hdr, tonemap_params)
+    aux = {
+        "visible_count": jnp.sum(inst_visible.astype(jnp.int32)),
+        "total_tris": jnp.sum(batch.valid.astype(jnp.int32)),
+        "coverage": jnp.mean(gbuf.coverage.astype(jnp.float32)),
+        "required_work": required,
         "depth": depth,
         "hdr": hdr,
     }
@@ -145,6 +205,11 @@ class RenderPass:
         self._cached_visible = None
         self._cached_table = None
         self._cached_capacity = -1
+        # static fast path: pre-expanded triangles keyed on scene.version
+        self._mapping = None
+        self._mapping_version = -1
+        self._work_capacity = 0   # 0 = kernel default; grown on overflow
+        self._check_overflow = True
 
     # -- instance registration (RenderPass::addInstance, :744-801) ----------
     def add_instance(
@@ -212,14 +277,56 @@ class RenderPass:
             self._cache_dirty = False
         return self._cached_slots, self._cached_visible, self._cached_table
 
-    def render(self, camera: Camera | CameraMatrices):
-        """Render one frame; returns (ldr f32[H, W, 3], aux dict)."""
+    def _current_mapping(self):
+        from ..ops.static_batch import build_static_mapping
+
+        if self._mapping is None or self._mapping_version != self.scene.version:
+            self._mapping = build_static_mapping(self.scene)
+            self._mapping_version = self.scene.version
+            self._check_overflow = True
+        return self._mapping
+
+    def render(self, camera: Camera | CameraMatrices, *, static_path: bool = True):
+        """Render one frame; returns (ldr f32[H, W, 3], aux dict).
+
+        ``static_path=True`` (default) uses the pre-expanded triangle buffer +
+        binned Pallas raster; False runs the reference-parity per-frame
+        draw-list build (IndirectDrawBuild semantics).
+        """
         cam = camera.matrices if isinstance(camera, Camera) else camera
         instances = self.scene.flush()
+        slots, visible, table = self._device_inputs(instances.capacity)
+        if static_path:
+            mapping = self._current_mapping()
+            kwargs = dict(
+                width=self.width, height=self.height,
+                do_culling=self.do_culling, use_pallas=self.use_pallas,
+                work_capacity=self._work_capacity,
+            )
+            ldr, aux = render_frame_static(
+                mapping, instances, self.scene.tables(), table,
+                self.lights, cam, slots, visible, self.tonemap_params, **kwargs,
+            )
+            if self.use_pallas and self._check_overflow:
+                # amortized overflow check (reference buffer-growth analogue)
+                required = int(aux["required_work"])
+                cap = self._work_capacity or int(
+                    (self.height // 8) * (self.width // 128)
+                    + 8 * (mapping.capacity // 128)
+                )
+                if required > cap:
+                    self._work_capacity = 1 << int(required * 1.5 - 1).bit_length()
+                    kwargs["work_capacity"] = self._work_capacity
+                    ldr, aux = render_frame_static(
+                        mapping, instances, self.scene.tables(), table,
+                        self.lights, cam, slots, visible, self.tonemap_params,
+                        **kwargs,
+                    )
+                self._check_overflow = False
+            return ldr, aux
         need = self._required_tri_capacity()
         if need > self._tri_capacity:
             self._tri_capacity = need
-        slots, visible, table = self._device_inputs(instances.capacity)
         return render_frame(
             instances,
             self.scene.tables(),
