@@ -29,8 +29,10 @@ def build_hybrid_scene(width=256, height=256):
             [
                 {"position": (4.0, -4.0, 7.0), "color": (160.0, 150.0, 130.0),
                  "bounds": 60.0, "radius": 0.4},
+                {"position": (-6.0, -3.0, 4.0), "color": (40.0, 45.0, 60.0),
+                 "bounds": 40.0, "cast_shadow": False},
             ],
-            ambient=(0.6, 0.7, 1.0, 0.12),
+            ambient=(0.6, 0.7, 1.0, 0.25),
         ),
         shadow_samples=2, reflection_samples=1, ao_samples=2, ao_radius=2.0,
     )

@@ -42,7 +42,11 @@ class BVH:
 
     node_min: jax.Array  # f32[2L-1, 3]
     node_max: jax.Array  # f32[2L-1, 3]
-    perm: jax.Array      # i32[L]
+    perm: jax.Array      # i32[L, K] — K primitives per leaf (-1 = empty)
+    # packed child boxes: row i (internal node) = [min(2i+1), max(2i+1),
+    # min(2i+2), max(2i+2)] — ONE gather row per traversal step instead of
+    # four (TPU gathers are latency-bound per row, not per byte)
+    child_boxes: jax.Array  # f32[L-1 or 1, 12]
 
     @property
     def num_leaves(self) -> int:
@@ -83,10 +87,17 @@ def build_bvh(
     aabb_min: jax.Array,  # f32[N, 3] per-primitive AABBs
     aabb_max: jax.Array,  # f32[N, 3]
     valid: jax.Array,     # bool[N]
+    *,
+    leaf_size: int = 32,
 ) -> BVH:
-    """Build an implicit BVH over primitives (static N; invalid -> inf boxes)."""
+    """Build an implicit BVH over primitives (static N; invalid -> inf boxes).
+
+    ``leaf_size`` primitives share a leaf: fewer traversal iterations and one
+    packed gather tests the whole leaf."""
     n = aabb_min.shape[0]
-    l = _next_pow2(n)
+    k = leaf_size
+    n_pad = ((n + k - 1) // k) * k
+    l = _next_pow2(n_pad // k)
 
     inf = jnp.float32(jnp.inf)
     big_min = jnp.where(valid[:, None], aabb_min, inf)
@@ -100,11 +111,14 @@ def build_bvh(
     codes = jnp.where(valid, codes, jnp.uint32(0xFFFFFFFF))
     order = jnp.argsort(codes).astype(jnp.int32)
 
-    perm = jnp.full((l,), -1, jnp.int32).at[: n].set(
+    perm_flat = jnp.full((l * k,), -1, jnp.int32).at[: n].set(
         jnp.where(valid[order], order, -1)
     )
-    leaf_min = jnp.full((l, 3), inf, jnp.float32).at[: n].set(big_min[order])
-    leaf_max = jnp.full((l, 3), -inf, jnp.float32).at[: n].set(big_max[order])
+    s_min = jnp.full((l * k, 3), inf, jnp.float32).at[: n].set(big_min[order])
+    s_max = jnp.full((l * k, 3), -inf, jnp.float32).at[: n].set(big_max[order])
+    perm = perm_flat.reshape(l, k)
+    leaf_min = s_min.reshape(l, k, 3).min(axis=1)
+    leaf_max = s_max.reshape(l, k, 3).max(axis=1)
 
     return _fit_nodes(leaf_min, leaf_max, perm)
 
@@ -118,10 +132,22 @@ def _fit_nodes(leaf_min: jax.Array, leaf_max: jax.Array, perm: jax.Array) -> BVH
         m = cur_min.shape[0] // 2
         levels_min.insert(0, jnp.minimum(cur_min[0::2], cur_min[1::2]))
         levels_max.insert(0, jnp.maximum(cur_max[0::2], cur_max[1::2]))
+    node_min = jnp.concatenate(levels_min, axis=0)
+    node_max = jnp.concatenate(levels_max, axis=0)
+    l = leaf_min.shape[0]
+    if l > 1:
+        c0 = jnp.arange(1, 2 * l - 1, 2)
+        c1 = c0 + 1
+        child_boxes = jnp.concatenate(
+            [node_min[c0], node_max[c0], node_min[c1], node_max[c1]], axis=-1
+        )
+    else:
+        child_boxes = jnp.zeros((1, 12), jnp.float32)
     return BVH(
-        node_min=jnp.concatenate(levels_min, axis=0),
-        node_max=jnp.concatenate(levels_max, axis=0),
+        node_min=node_min,
+        node_max=node_max,
         perm=perm,
+        child_boxes=child_boxes,
     )
 
 
@@ -129,11 +155,20 @@ def refit_bvh(bvh: BVH, prim_min: jax.Array, prim_max: jax.Array) -> BVH:
     """Refit with new primitive AABBs, keeping the morton ordering (the
     TLAS::updateTLAS refit analogue). ``prim_*`` indexed by primitive id."""
     inf = jnp.float32(jnp.inf)
-    ok = bvh.perm >= 0
+    ok = bvh.perm >= 0                                  # [L, K]
     pid = jnp.maximum(bvh.perm, 0)
-    leaf_min = jnp.where(ok[:, None], prim_min[pid], inf)
-    leaf_max = jnp.where(ok[:, None], prim_max[pid], -inf)
+    leaf_min = jnp.where(ok[..., None], prim_min[pid], inf).min(axis=1)
+    leaf_max = jnp.where(ok[..., None], prim_max[pid], -inf).max(axis=1)
     return _fit_nodes(leaf_min, leaf_max, bvh.perm)
+
+
+def pack_leaf_tris(bvh: BVH, tri_v0, tri_v1, tri_v2) -> jax.Array:
+    """Gather triangle vertices into leaf-ordered packed rows f32[L, K*9] —
+    once per frame, so each leaf visit during traversal costs ONE gather."""
+    l, k = bvh.perm.shape
+    pid = jnp.maximum(bvh.perm, 0).reshape(-1)
+    tri9 = jnp.concatenate([tri_v0, tri_v1, tri_v2], axis=-1)
+    return tri9[pid].reshape(l, k * 9)
 
 
 # ---------------------------------------------------------------------------
@@ -214,6 +249,9 @@ def bvh_trace(
     leaf_base = l - 1
 
     inv_d = 1.0 / jnp.where(jnp.abs(ray_d) < 1e-12, 1e-12, ray_d)
+    # leaf-ordered packed triangle rows: one gather tests a whole leaf
+    k = bvh.perm.shape[1]
+    leaf_tris = pack_leaf_tris(bvh, tri_v0, tri_v1, tri_v2)  # f32[L, K*9]
 
     # Derive the init state from the rays so its device-varying type matches
     # the body outputs when traced inside shard_map (ray origins depend on
@@ -236,11 +274,17 @@ def bvh_trace(
         sp = state[0]
         return jnp.any(sp > 0)
 
+    cols = jnp.arange(stack_size, dtype=jnp.int32)[None, :]  # [1, S]
+
     def body(state):
         sp, stack, best_t, best_prim, best_bary = state
         live = sp > 0
         top = jnp.maximum(sp - 1, 0)
-        node = jnp.take_along_axis(stack, top[:, None], axis=1)[:, 0]
+        # dense one-hot pop/push: per-row dynamic indexing lowers to
+        # scatter/gather (~100ns/row on TPU); S-wide selects are ~free
+        node = jnp.sum(
+            jnp.where(cols == top[:, None], stack, 0), axis=1
+        )
         node = jnp.where(live, node, 0)
         sp = jnp.where(live, sp - 1, sp)
 
@@ -249,9 +293,11 @@ def bvh_trace(
         # --- internal: test children, push survivors (near last) ----------
         c0 = 2 * node + 1
         c1 = 2 * node + 2
-        ci = jnp.stack([c0, c1], axis=1) % (2 * l - 1)      # safe gather
-        cmin = bvh.node_min[ci]                              # [R, 2, 3]
-        cmax = bvh.node_max[ci]
+        # ONE packed gather row per step: both children's boxes
+        box_idx = jnp.clip(node, 0, max(leaf_base - 1, 0))
+        boxes = bvh.child_boxes[box_idx]
+        cmin = jnp.stack([boxes[:, 0:3], boxes[:, 6:9]], axis=1)   # [R, 2, 3]
+        cmax = jnp.stack([boxes[:, 3:6], boxes[:, 9:12]], axis=1)
         hit_c = ray_aabb(
             ray_o[:, None, :], inv_d[:, None, :], best_t[:, None], cmin, cmax
         )                                                    # [R, 2]
@@ -267,31 +313,41 @@ def bvh_trace(
         far_hit = jnp.where(first_is_0, hit_c[:, 1], hit_c[:, 0])
         near_hit = jnp.where(first_is_0, hit_c[:, 0], hit_c[:, 1])
 
-        # push far, then near (scatter into the per-ray stack; non-pushing
-        # rays write into the never-popped dummy slot at the stack top)
+        # push far, then near (dense select write into the per-ray stack)
         def push(sp, stack, nid, do):
-            idx = jnp.where(do, sp, stack_size - 1)
-            stack = stack.at[jnp.arange(r), idx].set(nid)
+            sel = (cols == sp[:, None]) & do[:, None]
+            stack = jnp.where(sel, nid[:, None], stack)
             sp = jnp.where(do, sp + 1, sp)
             return sp, stack
 
         sp, stack = push(sp, stack, far, far_hit)
         sp, stack = push(sp, stack, near, near_hit)
 
-        # --- leaf: intersect its triangle ---------------------------------
+        # --- leaf: intersect its K packed triangles ------------------------
         leaf_idx = jnp.clip(node - leaf_base, 0, l - 1)
-        prim = bvh.perm[leaf_idx]
-        do_leaf = is_leaf & live & (prim >= 0)
-        pid = jnp.maximum(prim, 0)
+        prims = bvh.perm[leaf_idx]                           # [R, K] one row
+        do_leaf = is_leaf & live
+        tri = leaf_tris[leaf_idx].reshape(r, k, 9)           # [R, K*9] one row
         t, u, v, hit = moller_trumbore(
-            ray_o, ray_d, tri_v0[pid], tri_v1[pid], tri_v2[pid], t_min=t_min
+            ray_o[:, None, :], ray_d[:, None, :],
+            tri[..., 0:3], tri[..., 3:6], tri[..., 6:9], t_min=t_min,
+        )                                                    # each [R, K]
+        cand = do_leaf[:, None] & hit & (prims >= 0) & (t < best_t[:, None])
+        t_m = jnp.where(cand, t, jnp.inf)
+        best_k = jnp.argmin(t_m, axis=1)                     # [R]
+        sel = jax.lax.broadcasted_iota(jnp.int32, (r, k), 1) == best_k[:, None]
+        any_win = jnp.any(cand, axis=1)
+        t_new = jnp.min(t_m, axis=1)
+        prim_new = jnp.sum(jnp.where(sel, prims, 0), axis=1)
+        u_new = jnp.sum(jnp.where(sel, u, 0.0), axis=1)
+        v_new = jnp.sum(jnp.where(sel, v, 0.0), axis=1)
+        best_t = jnp.where(any_win, t_new, best_t)
+        best_prim = jnp.where(any_win, prim_new, best_prim)
+        best_bary = jnp.where(
+            any_win[:, None], jnp.stack([u_new, v_new], axis=-1), best_bary
         )
-        win = do_leaf & hit & (t < best_t)
-        best_t = jnp.where(win, t, best_t)
-        best_prim = jnp.where(win, prim, best_prim)
-        best_bary = jnp.where(win[:, None], jnp.stack([u, v], axis=-1), best_bary)
         if any_hit:
-            sp = jnp.where(win, 0, sp)  # terminate on first accepted hit
+            sp = jnp.where(any_win, 0, sp)  # terminate on first accepted hit
 
         return sp, stack, best_t, best_prim, best_bary
 

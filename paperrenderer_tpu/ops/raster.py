@@ -159,18 +159,42 @@ def triangle_coefficients(batch: TriangleBatch, width: int, height: int):
     yh = (w * 0.5 - clip[..., 1] * 0.5) * height
     v = jnp.stack([xh, yh, w], axis=-1)                 # f32[T, 3(vert), 3]
 
-    e0 = jnp.cross(v[:, 1], v[:, 2])
-    e1 = jnp.cross(v[:, 2], v[:, 0])
-    e2 = jnp.cross(v[:, 0], v[:, 1])
+    def edge_row(p, q):
+        """cross(p, q) computed in a canonical vertex order.
+
+        Adjacent triangles share edges with opposite orientation; water-
+        tightness requires their edge rows to be EXACT negations. Plain
+        cross(p,q) vs cross(q,p) is not exactly antisymmetric once XLA
+        fuses multiply-subtract into FMAs, so order the operands
+        canonically (lexicographic) and flip the sign afterwards — sign
+        flips are exact, so both triangles agree bit-for-bit.
+        """
+        swap = (
+            (q[:, 0] < p[:, 0])
+            | ((q[:, 0] == p[:, 0]) & (q[:, 1] < p[:, 1]))
+            | ((q[:, 0] == p[:, 0]) & (q[:, 1] == p[:, 1]) & (q[:, 2] < p[:, 2]))
+        )[:, None]
+        a = jnp.where(swap, q, p)
+        b = jnp.where(swap, p, q)
+        row = jnp.cross(a, b)
+        return jnp.where(swap, -row, row)
+
+    e0 = edge_row(v[:, 1], v[:, 2])
+    e1 = edge_row(v[:, 2], v[:, 0])
+    e2 = edge_row(v[:, 0], v[:, 1])
     det = jnp.sum(v[:, 0] * e0, axis=-1)
 
     ok = batch.valid & (jnp.abs(det) > 1e-14)
-    # Normalize by 1/det: rows become M^-1 (true barycentric coefficients,
-    # b_i in [0,1] inside). Keeps all coefficient magnitudes O(1), which is
-    # essential for f32 accuracy — raw adjugate terms reach ~1e6 and the
-    # edge test is a cancellation of them. Sign of det folds in for free.
-    inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)[:, None]
-    e0, e1, e2 = e0 * inv_det, e1 * inv_det, e2 * inv_det
+    # Orient by sign(det) ONLY (an exact sign-bit flip): shared edges of
+    # adjacent triangles then evaluate as exact IEEE negations of each other,
+    # which makes the mesh watertight (one side's test always passes).
+    # Do NOT scale by 1/det — per-triangle scales differ, breaking the exact
+    # negation and opening single-pixel seams along shared edges. Raw
+    # adjugate magnitudes are safe with the broadcast-FMA evaluation the
+    # rasterizers use (the earlier precision failure was bf16 GEMM paths);
+    # downstream math (bary, z) is scale-invariant in these rows.
+    s = jnp.where(det < 0, -1.0, 1.0)[:, None]
+    e0, e1, e2 = e0 * s, e1 * s, e2 * s
 
     z = clip[..., 2]
     z_num = z[:, 0, None] * e0 + z[:, 1, None] * e1 + z[:, 2, None] * e2

@@ -38,11 +38,12 @@ from .raytrace import RayTraceRender, build_world_scene
     jax.jit,
     static_argnames=(
         "width", "height", "max_meshes_per_lod", "tri_capacity",
-        "rt_tri_capacity", "do_culling", "use_pallas",
+        "rt_tri_capacity", "do_culling", "use_pallas", "work_capacity",
         "shadow_samples", "reflection_samples", "ao_samples", "ao_radius",
     ),
 )
 def hybrid_frame(
+    mapping,                      # ops.static_batch.StaticMapping
     instances: InstanceArrays,
     tables: SceneTables,
     geo: GeometryArrays,
@@ -61,34 +62,41 @@ def hybrid_frame(
     rt_tri_capacity: int,
     do_culling: bool = True,
     use_pallas: bool = False,
+    work_capacity: int = 0,
     shadow_samples: int = 1,
     reflection_samples: int = 1,
     ao_samples: int = 1,
     ao_radius: float = 2.0,
 ):
     """One hybrid frame. Returns (ldr, aux)."""
-    # --- raster G-buffer (primary visibility) ------------------------------
-    pre = P.preprocess_instances(
-        instances, tables, camera,
-        max_meshes_per_lod=max_meshes_per_lod,
-        do_culling=do_culling,
-        instance_visible=instance_visible,
-        slot_materials=slot_materials,
-    )
-    batch = R.build_triangle_batch(pre, geo, camera, capacity=tri_capacity)
-    if use_pallas:
-        from ..ops.raster_pallas import rasterize_tiles
+    from ..ops.static_batch import expand_static
 
-        depth, tid, bary = rasterize_tiles(batch, width, height)
+    # --- raster G-buffer (primary visibility, static expansion) ------------
+    batch, inst_visible = expand_static(
+        mapping, instances, tables, camera, slot_materials, instance_visible,
+        do_culling=do_culling,
+    )
+    if use_pallas:
+        from ..ops.raster_pallas import rasterize_tiles_binned
+
+        depth, tid, bary, _req = rasterize_tiles_binned(
+            batch, width, height,
+            work_capacity=work_capacity or None, presorted=True,
+        )
     else:
         depth, tid, bary = R.rasterize(batch, width, height)
     gbuf = R.resolve_gbuffer(batch, depth, tid, bary)
 
     # --- world BVH for the RT passes (full scene, LOD0, no culling) --------
-    rt_batch, bvh = build_world_scene(
-        instances, tables, geo, camera, slot_materials,
-        max_meshes_per_lod=max_meshes_per_lod, tri_capacity=rt_tri_capacity,
+    rt_batch, _ = expand_static(
+        mapping, instances, tables, camera, slot_materials,
+        do_culling=False, lod_override=0,
     )
+    lo = rt_batch.world.min(axis=1)
+    hi = rt_batch.world.max(axis=1)
+    from ..ops.bvh import build_bvh as _build
+
+    bvh = _build(lo, hi, rt_batch.valid)
 
     # --- RT passes at G-buffer surfaces ------------------------------------
     surf = T.SurfaceHits(
@@ -130,7 +138,7 @@ def hybrid_frame(
     aux = {
         "hdr": hdr,
         "coverage": jnp.mean(gbuf.coverage.astype(jnp.float32)),
-        "visible_count": jnp.sum(pre.visible.astype(jnp.int32)),
+        "visible_count": jnp.sum(inst_visible.astype(jnp.int32)),
     }
     return ldr, aux
 
@@ -200,8 +208,10 @@ class HybridRender:
         if rt_need > self._rt_tri_capacity:
             self._rt_tri_capacity = rt_need
         slots, visible, table = rp._device_inputs(instances.capacity)
+        mapping = rp._current_mapping()
         self._frame += 1
         return hybrid_frame(
+            mapping,
             instances,
             self.scene.tables(),
             self.scene.geometry(),
@@ -219,6 +229,7 @@ class HybridRender:
             rt_tri_capacity=self._rt_tri_capacity,
             do_culling=rp.do_culling,
             use_pallas=rp.use_pallas,
+            work_capacity=rp._work_capacity,
             shadow_samples=self.shadow_samples,
             reflection_samples=self.reflection_samples,
             ao_samples=self.ao_samples,

@@ -107,6 +107,7 @@ def render_frame(
     jax.jit,
     static_argnames=(
         "width", "height", "do_culling", "use_pallas", "work_capacity",
+        "translucent_layers",
     ),
 )
 def render_frame_static(
@@ -125,14 +126,26 @@ def render_frame_static(
     do_culling: bool = True,
     use_pallas: bool = True,
     work_capacity: int = 0,
+    translucent_layers: int = 0,
 ):
-    """Fast raster frame: static triangle expansion + binned Pallas raster."""
+    """Fast raster frame: static triangle expansion + binned Pallas raster.
+
+    ``translucent_layers > 0`` adds the sorted-translucency pass (depth
+    peeling + back-to-front blend) over SHADE_TRANSLUCENT materials."""
     from ..ops.static_batch import expand_static
 
     batch, inst_visible = expand_static(
         mapping, instances, tables, camera, slot_materials, instance_visible,
         do_culling=do_culling,
     )
+    full_batch = batch
+    if translucent_layers > 0:
+        # opaque pass must not z-write translucent geometry
+        from ..core.material import SHADE_TRANSLUCENT
+        import dataclasses as _dc
+
+        opaque = materials.shading_model[batch.material] != SHADE_TRANSLUCENT
+        batch = _dc.replace(batch, valid=batch.valid & opaque)
     if use_pallas:
         from ..ops.raster_pallas import rasterize_tiles_binned
 
@@ -145,6 +158,13 @@ def render_frame_static(
         required = jnp.int32(0)
     gbuf = R.resolve_gbuffer_unproject(batch, depth, tid, bary, camera)
     hdr = shade_gbuffer(gbuf, materials, lights, camera.cam_pos)
+    if translucent_layers > 0:
+        from ..ops.translucency import composite_translucency
+
+        hdr = composite_translucency(
+            hdr, depth, full_batch, materials, lights, camera,
+            layers=translucent_layers,
+        )
     ldr = tonemap(hdr, tonemap_params)
     aux = {
         "visible_count": jnp.sum(inst_visible.astype(jnp.int32)),
@@ -171,6 +191,7 @@ class RenderPass:
         lights: Optional[Lights] = None,
         tonemap_params: Optional[TonemapParams] = None,
         use_pallas: Optional[bool] = None,
+        translucent_layers: int = 0,
     ):
         self.scene = scene
         self.materials = materials
@@ -188,6 +209,7 @@ class RenderPass:
                 and height % TILE_H == 0
             )
         self.use_pallas = use_pallas
+        self.translucent_layers = int(translucent_layers)
         # default key light: intensity sized for unit-scale scenes under the
         # windowed-1/d^2 attenuation (pbr.glsl:104-108)
         self.lights = lights or Lights.make(
@@ -302,6 +324,7 @@ class RenderPass:
                 width=self.width, height=self.height,
                 do_culling=self.do_culling, use_pallas=self.use_pallas,
                 work_capacity=self._work_capacity,
+                translucent_layers=self.translucent_layers,
             )
             ldr, aux = render_frame_static(
                 mapping, instances, self.scene.tables(), table,

@@ -39,18 +39,19 @@ def test_build_contains_all_leaves():
     rng = np.random.default_rng(0)
     tris = _random_tris(rng, 37)  # non-power-of-two
     lo, hi = _tri_aabbs(tris)
-    bvh = B.build_bvh(jnp.asarray(lo), jnp.asarray(hi), jnp.ones(37, bool))
-    assert bvh.num_leaves == 64
+    bvh = B.build_bvh(jnp.asarray(lo), jnp.asarray(hi), jnp.ones(37, bool),
+                      leaf_size=4)
+    assert bvh.num_leaves == 16  # ceil(37/4)=10 -> next pow2
     root_lo = np.asarray(bvh.node_min[0])
     root_hi = np.asarray(bvh.node_max[0])
     assert (root_lo <= lo.min(axis=0) + 1e-5).all()
     assert (root_hi >= hi.max(axis=0) - 1e-5).all()
     # perm is a permutation of live prims + -1 padding
-    perm = np.asarray(bvh.perm)
+    perm = np.asarray(bvh.perm).reshape(-1)
     live = perm[perm >= 0]
     assert sorted(live.tolist()) == list(range(37))
     # every node contains its children
-    n_nodes = 2 * 64 - 1
+    n_nodes = 2 * 16 - 1
     nm = np.asarray(bvh.node_min)
     nx = np.asarray(bvh.node_max)
     for i in range((n_nodes - 1) // 2):
