@@ -217,11 +217,18 @@ def _make_wq_kernel(n_tx: int):
     # by tile, so output blocks are revisited consecutively and Pallas keeps
     # them resident in VMEM — they ARE the accumulator state. Coefficients
     # arrive triangle-major [CHUNK_B, 16] in SMEM.
-    def kernel(wt_ref, wc_ref, coef_ref, depth_ref, tid_ref, bary_ref):
+    #
+    # The work list is processed in PAGES (SMEM holds one page of wt/wc);
+    # state flows between page invocations through the aliased output buffers
+    # plus an explicit first-touch copy from the state input refs.
+    def kernel(wt_ref, wc_ref, coef_ref, din_ref, tin_ref, bin_ref,
+               depth_ref, tid_ref, bary_ref):
         j = pl.program_id(0)
         t = wt_ref[j]
         k = wc_ref[j]
         tile = (TILE_H, TILE_W)
+        prev_t = wt_ref[jnp.maximum(j - 1, 0)]
+        first_touch = (j == 0) | (t != prev_t)
 
         # wc == -1: seed (init) entry; wc >= 0: chunk work; wc == -2: padding
         @pl.when(k == -1)
@@ -230,6 +237,13 @@ def _make_wq_kernel(n_tx: int):
             tid_ref[:, :] = jnp.full(tile, -1.0, jnp.float32)
             bary_ref[:, :, 0] = jnp.zeros(tile, jnp.float32)
             bary_ref[:, :, 1] = jnp.zeros(tile, jnp.float32)
+
+        @pl.when(first_touch & (k >= 0))
+        def _resume():
+            # tile state carried over from a previous page
+            depth_ref[:, :] = din_ref[:, :]
+            tid_ref[:, :] = tin_ref[:, :]
+            bary_ref[:, :, :] = bin_ref[:, :, :]
 
         @pl.when(k >= 0)
         def _body():
@@ -347,50 +361,51 @@ def rasterize_tiles_binned(
     pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
     required = n_tiles + pos[-1] + 1
 
+    # Page the work list: SMEM holds only one page of (wt, wc) at a time
+    # (the full list for large scenes exceeds the ~1 MiB SMEM budget).
+    PAGE = 12288
     w_cap = max(work_capacity or (n_tiles + 8 * n_chunks), n_tiles + 1)
+    n_pages = -(-w_cap // PAGE)
+    w_pad = n_pages * PAGE
+
     tile_of = jnp.broadcast_to(
         jnp.arange(n_tiles, dtype=jnp.int32)[:, None], (n_tiles, n_chunks)
     ).reshape(-1)
     chunk_of = jnp.broadcast_to(
         jnp.arange(n_chunks, dtype=jnp.int32)[None, :], (n_tiles, n_chunks)
     ).reshape(-1)
-    write = jnp.where(flat, n_tiles + pos, w_cap)  # OOB dropped
+    write = jnp.where(flat, n_tiles + pos, w_pad)  # OOB dropped
     # seed entries come from an iota-select init (not a second scatter —
     # chained scatters with computed indices SIGABRT the XLA:TPU compiler
     # on libtpu 0.0.34)
-    slot = jnp.arange(w_cap, dtype=jnp.int32)
+    slot = jnp.arange(w_pad, dtype=jnp.int32)
     seed_init_tile = jnp.where(slot < n_tiles, slot, n_tiles - 1)
     seed_init_chunk = jnp.where(slot < n_tiles, -1, -2)
     work_tile = seed_init_tile.at[write].set(tile_of, mode="drop")
     work_chunk = seed_init_chunk.at[write].set(chunk_of, mode="drop")
 
+    tile_spec2 = pl.BlockSpec(
+        (TILE_H, TILE_W),
+        lambda j, wt, wc: (wt[j] // n_tx, wt[j] % n_tx),
+        memory_space=pltpu.VMEM,
+    )
+    tile_spec3 = pl.BlockSpec(
+        (TILE_H, TILE_W, 2),
+        lambda j, wt, wc: (wt[j] // n_tx, wt[j] % n_tx, 0),
+        memory_space=pltpu.VMEM,
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(w_cap,),
+        grid=(PAGE,),
         in_specs=[
             pl.BlockSpec(
                 (CHUNK_B, 16),
                 lambda j, wt, wc: (jnp.maximum(wc[j], 0), 0),
                 memory_space=pltpu.SMEM,
             ),
+            tile_spec2, tile_spec2, tile_spec3,
         ],
-        out_specs=[
-            pl.BlockSpec(
-                (TILE_H, TILE_W),
-                lambda j, wt, wc: (wt[j] // n_tx, wt[j] % n_tx),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (TILE_H, TILE_W),
-                lambda j, wt, wc: (wt[j] // n_tx, wt[j] % n_tx),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (TILE_H, TILE_W, 2),
-                lambda j, wt, wc: (wt[j] // n_tx, wt[j] % n_tx, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        out_specs=[tile_spec2, tile_spec2, tile_spec3],
     )
     # optimization_barrier: without it, XLA:TPU's fusion of the work-list
     # scatters into the pallas_call operands SIGABRTs the compiler
@@ -398,15 +413,26 @@ def rasterize_tiles_binned(
     work_tile, work_chunk, cf = jax.lax.optimization_barrier(
         (work_tile, work_chunk, cf)
     )
-    depth, tidf, bary = pl.pallas_call(
-        _make_wq_kernel(n_tx),
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((height, width), jnp.float32),
-            jax.ShapeDtypeStruct((height, width), jnp.float32),
-            jax.ShapeDtypeStruct((height, width, 2), jnp.float32),
-        ],
-    )(work_tile, work_chunk, cf)
+    depth = jnp.zeros((height, width), jnp.float32)
+    tidf = jnp.zeros((height, width), jnp.float32)
+    bary = jnp.zeros((height, width, 2), jnp.float32)
+    kernel = _make_wq_kernel(n_tx)
+    for page in range(n_pages):
+        wt_p = jax.lax.slice_in_dim(work_tile, page * PAGE, (page + 1) * PAGE)
+        wc_p = jax.lax.slice_in_dim(work_chunk, page * PAGE, (page + 1) * PAGE)
+        depth, tidf, bary = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((height, width), jnp.float32),
+                jax.ShapeDtypeStruct((height, width), jnp.float32),
+                jax.ShapeDtypeStruct((height, width, 2), jnp.float32),
+            ],
+            # alias state inputs onto outputs so tiles untouched by this
+            # page keep their previous contents (indices count the scalar-
+            # prefetch args: wt=0 wc=1 cf=2, then state 3,4,5)
+            input_output_aliases={3: 0, 4: 1, 5: 2},
+        )(wt_p, wc_p, cf, depth, tidf, bary)
 
     tid = tidf.astype(jnp.int32)
     miss = tid < 0

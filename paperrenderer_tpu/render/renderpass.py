@@ -308,13 +308,26 @@ class RenderPass:
             self._check_overflow = True
         return self._mapping
 
-    def render(self, camera: Camera | CameraMatrices, *, static_path: bool = True):
+    def render(
+        self,
+        camera: Camera | CameraMatrices,
+        *,
+        static_path: bool = True,
+        statistics=None,
+    ):
         """Render one frame; returns (ldr f32[H, W, 3], aux dict).
 
         ``static_path=True`` (default) uses the pre-expanded triangle buffer +
         binned Pallas raster; False runs the reference-parity per-frame
-        draw-list build (IndirectDrawBuild semantics).
+        draw-list build (IndirectDrawBuild semantics). Pass a
+        StatisticsTracker to record the submission timer (the reference's
+        "RenderPass Submission" timer, RenderPass.cpp:447).
         """
+        from ..utils.stats import StatisticsTracker, Timer
+
+        if statistics is not None:
+            with Timer(statistics, "RenderPass Submission"):
+                return self.render(camera, static_path=static_path)
         cam = camera.matrices if isinstance(camera, Camera) else camera
         instances = self.scene.flush()
         slots, visible, table = self._device_inputs(instances.capacity)
