@@ -130,6 +130,10 @@ class MaterialRegistry:
     def __len__(self) -> int:
         return len(self._rows)
 
+    @property
+    def has_leaf(self) -> bool:
+        return any(v["shading_model"] == SHADE_LEAF for v in self._rows)
+
     def table(self) -> MaterialTable:
         n = max(1, len(self._rows))
         albedo = np.ones((n, 3), np.float32)

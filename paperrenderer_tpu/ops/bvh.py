@@ -232,6 +232,7 @@ def bvh_trace(
     t_min: float = 1e-3,
     any_hit: bool = False,
     active: jax.Array | None = None,  # bool[R] rays to trace at all
+    alpha_test=None,  # optional fn(prims i32[R,K], u, v f32[R,K]) -> bool[R,K]
 ) -> HitRecord:
     """Vectorized lockstep BVH traversal (replaces vkCmdTraceRaysKHR +
     rayQueryEXT, example raytrace.rchit:94-106, :189-204).
@@ -333,6 +334,10 @@ def bvh_trace(
             tri[..., 0:3], tri[..., 3:6], tri[..., 6:9], t_min=t_min,
         )                                                    # each [R, K]
         cand = do_leaf[:, None] & hit & (prims >= 0) & (t < best_t[:, None])
+        if alpha_test is not None:
+            # any-hit shader analogue: alpha-cutout rejects candidate hits
+            # (reference leaf.rahit ignoreIntersectionEXT)
+            cand &= alpha_test(jnp.maximum(prims, 0), u, v)
         t_m = jnp.where(cand, t, jnp.inf)
         best_k = jnp.argmin(t_m, axis=1)                     # [R]
         sel = jax.lax.broadcasted_iota(jnp.int32, (r, k), 1) == best_k[:, None]

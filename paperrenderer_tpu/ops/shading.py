@@ -81,6 +81,21 @@ def _schlick_ggx(a_dot_b: jax.Array, roughness: jax.Array) -> jax.Array:
     return ab / (ab * (1.0 - k) + k)
 
 
+def leaf_alpha(uv: jax.Array) -> jax.Array:
+    """Procedural leaf cutout (example leaf.glsl getAlpha): a lens-shaped
+    region around v=0.5 whose half-width follows a parabola in u. Returns
+    1.0 inside the leaf, 0.0 outside."""
+    x = uv[..., 0]
+    y = uv[..., 1] - 0.5
+    curve = (-((1.0 - 2.0 * x) ** 2) + 1.0) * 0.2
+    return jnp.where(jnp.abs(y) < curve, 1.0, 0.0)
+
+
+def leaf_occlusion(uv: jax.Array) -> jax.Array:
+    """example leaf.glsl getOcclusion: ao-ish gradient along the leaf."""
+    return uv[..., 0] * 0.5 + 0.5
+
+
 def _attenuate(dist: jax.Array, bounds: jax.Array) -> jax.Array:
     win = jnp.clip(1.0 - (dist / jnp.maximum(bounds, 1e-6)) ** 4, 0.0, 1.0) ** 2
     return win / jnp.maximum(dist * dist, 1e-4)

@@ -48,6 +48,7 @@ class RTParams:
     reflection_samples: int = 1
     ao_samples: int = 1
     ao_radius: float = 2.0
+    leaf_cutout: bool = False  # any-hit alpha cutout for SHADE_LEAF materials
 
     # static dataclass (python ints) — used as jit static argument
 
@@ -155,11 +156,32 @@ def _cosine_sample(
     return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
 
 
-def _trace(batch: TriangleBatch, bvh: BVH, o, d, t_max, *, any_hit=False, active=None):
+def make_leaf_alpha_test(batch: TriangleBatch, materials: MaterialTable):
+    """Any-hit alpha-cutout hook for bvh_trace (leaf.rahit parity): rejects
+    candidate hits on SHADE_LEAF materials where the procedural leaf pattern
+    is transparent at the hit UV."""
+    from ..core.material import SHADE_LEAF
+    from .shading import leaf_alpha
+
+    def test(prims, u, v):
+        is_leaf = materials.shading_model[batch.material[prims]] == SHADE_LEAF
+        w0 = 1.0 - u - v
+        uv = (
+            w0[..., None] * batch.uv[prims][..., 0, :]
+            + u[..., None] * batch.uv[prims][..., 1, :]
+            + v[..., None] * batch.uv[prims][..., 2, :]
+        )
+        return jnp.where(is_leaf, leaf_alpha(uv) >= 0.5, True)
+
+    return test
+
+
+def _trace(batch: TriangleBatch, bvh: BVH, o, d, t_max, *, any_hit=False,
+           active=None, alpha_test=None):
     return bvh_trace(
         bvh,
         batch.world[:, 0], batch.world[:, 1], batch.world[:, 2],
-        o, d, t_max, any_hit=any_hit, active=active,
+        o, d, t_max, any_hit=any_hit, active=active, alpha_test=alpha_test,
     )
 
 
@@ -221,9 +243,13 @@ def ambient_occlusion(
     key: jax.Array,
     samples: int,
     radius: float,
+    alpha_test=None,
 ) -> jax.Array:
     """RTAO factor in [0,1] (raytrace.rchit:175-219): cosine-hemisphere rays,
-    occlusion weighted by 1 - t/radius, scaled by mix(1, roughness, metallic)."""
+    occlusion weighted by 1 - t/radius, scaled by mix(1, roughness, metallic).
+
+    AO rays honor the any-hit cutout (the reference's ray query runs any-hit
+    shaders); shadow rays deliberately do NOT (reference uses OpaqueEXT)."""
     r = surf.world_pos.shape[0]
     if samples <= 0 or radius <= 0.0:
         return jnp.ones((r,), jnp.float32)
@@ -234,7 +260,8 @@ def ambient_occlusion(
         r1, r2 = jax.random.uniform(k, (2, r))
         d = _cosine_sample(surf.normal, tx, ty, jnp.ones((r,)), r1, r2)
         o = surf.world_pos + surf.normal * 1e-3  # OffsetRay analogue
-        rec = _trace(batch, bvh, o, d, jnp.full((r,), radius), active=surf.valid)
+        rec = _trace(batch, bvh, o, d, jnp.full((r,), radius), active=surf.valid,
+                     alpha_test=alpha_test)
         occ += jnp.where(rec.hit, 1.0 - jnp.minimum(rec.t, radius) / radius, 0.0)
     rough = materials.roughness[surf.material]
     metal = materials.metallic[surf.material]
@@ -309,7 +336,11 @@ def reflections(
         pert_n = _cosine_sample(surf.normal, tx, ty, max_angle, r1, r2)
         rdir = -v + 2.0 * jnp.sum(pert_n * v, axis=-1, keepdims=True) * pert_n
         o = surf.world_pos + surf.normal * 1e-3
-        rec = _trace(batch, bvh, o, rdir, jnp.full((r,), 1000.0), active=surf.valid)
+        alpha_test = (
+            make_leaf_alpha_test(batch, materials) if params.leaf_cutout else None
+        )
+        rec = _trace(batch, bvh, o, rdir, jnp.full((r,), 1000.0),
+                     active=surf.valid, alpha_test=alpha_test)
         hit2 = resolve_hits(batch, rec, o, rdir)
 
         svis = shadow_visibility(
@@ -351,12 +382,16 @@ def trace_frame(
         full_width=full_width, full_height=full_height, origin=origin,
     )
     r = o.shape[0]
-    rec = _trace(batch, bvh, o, d, jnp.full((r,), 1000.0))
+    alpha_test = (
+        make_leaf_alpha_test(batch, materials) if params.leaf_cutout else None
+    )
+    rec = _trace(batch, bvh, o, d, jnp.full((r,), 1000.0), alpha_test=alpha_test)
     surf = resolve_hits(batch, rec, o, d)
 
     svis = shadow_visibility(surf, batch, bvh, lights, key, max(1, params.shadow_samples))
     ao = ambient_occlusion(
-        surf, batch, bvh, materials, key, params.ao_samples, params.ao_radius
+        surf, batch, bvh, materials, key, params.ao_samples, params.ao_radius,
+        alpha_test=alpha_test,
     )
     color = shade_surfaces(surf, materials, lights, camera.cam_pos, svis, ao)
     color = color + reflections(

@@ -26,9 +26,16 @@ import jax
 import jax.numpy as jnp
 
 from ..core.camera import CameraMatrices
-from ..core.material import MaterialTable, SHADE_TRANSLUCENT
+from ..core.material import MaterialTable, SHADE_LEAF, SHADE_TRANSLUCENT
 from .raster import TriangleBatch, rasterize, resolve_gbuffer_unproject
-from .shading import Lights, shade_gbuffer
+from .shading import Lights, leaf_alpha, shade_gbuffer
+
+
+def non_opaque_mask(materials: MaterialTable, material_ids: jax.Array) -> jax.Array:
+    """Triangles needing the sorted/cutout pass: BLEND translucency and
+    alpha-cutout leaves (the reference's blended pipeline + any-hit cutout)."""
+    sm = materials.shading_model[material_ids]
+    return (sm == SHADE_TRANSLUCENT) | (sm == SHADE_LEAF)
 
 
 def _rasterize_peel(
@@ -111,7 +118,7 @@ def composite_translucency(
     """Depth-peel the translucent triangles and blend back-to-front over the
     opaque HDR image (the sorted-instance path, RenderPass.cpp:560-709)."""
     h, w = opaque_depth.shape
-    translucent = materials.shading_model[batch.material] == SHADE_TRANSLUCENT
+    translucent = non_opaque_mask(materials, batch.material)
     tbatch = TriangleBatch(
         clip=batch.clip,
         world=batch.world,
@@ -136,9 +143,15 @@ def composite_translucency(
         color = shade_gbuffer(gbuf, materials, lights, camera.cam_pos)
         m = materials.albedo.shape[0]
         if m <= 128:
-            alpha = jax.nn.one_hot(gbuf.material, m, dtype=jnp.float32) @ materials.alpha
+            onehot = jax.nn.one_hot(gbuf.material, m, dtype=jnp.float32)
+            alpha = onehot @ materials.alpha
+            sm = onehot @ materials.shading_model.astype(jnp.float32)
         else:
             alpha = materials.alpha[gbuf.material]
+            sm = materials.shading_model[gbuf.material].astype(jnp.float32)
+        # leaf cutout: binary alpha from the procedural pattern at the hit UV
+        is_leaf = jnp.abs(sm - SHADE_LEAF) < 0.5
+        alpha = jnp.where(is_leaf, leaf_alpha(gbuf.uv), alpha)
         a = jnp.where(gbuf.coverage, alpha, 0.0)[..., None]
         out = color * a + out * (1.0 - a)
     return out

@@ -73,6 +73,7 @@ def build_world_scene(
     static_argnames=(
         "width", "height", "max_meshes_per_lod", "tri_capacity",
         "shadow_samples", "reflection_samples", "ao_samples", "ao_radius",
+        "leaf_cutout",
     ),
 )
 def rt_frame(
@@ -94,6 +95,7 @@ def rt_frame(
     reflection_samples: int,
     ao_samples: int,
     ao_radius: float,
+    leaf_cutout: bool = False,
 ):
     """Full ray-traced frame: world BVH build + wavefront trace + tonemap."""
     batch, bvh = build_world_scene(
@@ -105,6 +107,7 @@ def rt_frame(
         reflection_samples=reflection_samples,
         ao_samples=ao_samples,
         ao_radius=ao_radius,
+        leaf_cutout=leaf_cutout,
     )
     hdr = trace_frame(
         batch, bvh, materials, lights, camera, key,
@@ -208,4 +211,5 @@ class RayTraceRender:
             reflection_samples=self.reflection_samples,
             ao_samples=self.ao_samples,
             ao_radius=self.ao_radius,
+            leaf_cutout=self.materials.has_leaf,
         )

@@ -140,11 +140,12 @@ def render_frame_static(
     )
     full_batch = batch
     if translucent_layers > 0:
-        # opaque pass must not z-write translucent geometry
-        from ..core.material import SHADE_TRANSLUCENT
+        # opaque pass must not z-write translucent/cutout geometry
         import dataclasses as _dc
 
-        opaque = materials.shading_model[batch.material] != SHADE_TRANSLUCENT
+        from ..ops.translucency import non_opaque_mask
+
+        opaque = ~non_opaque_mask(materials, batch.material)
         batch = _dc.replace(batch, valid=batch.valid & opaque)
     if use_pallas:
         from ..ops.raster_pallas import rasterize_tiles_binned
