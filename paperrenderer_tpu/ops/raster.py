@@ -315,6 +315,72 @@ def rasterize(
     )
 
 
+def pack_attributes(batch: TriangleBatch) -> jax.Array:
+    """Pack per-triangle hit attributes into single rows f32[T, 16]:
+    (n0,n1,n2 | uv0,uv1,uv2 | material) — so G-buffer resolve costs ONE
+    row gather per pixel (TPU gathers are latency-bound per row)."""
+    t = batch.capacity
+    return jnp.concatenate(
+        [
+            batch.normal.reshape(t, 9),
+            batch.uv.reshape(t, 6),
+            batch.material.astype(jnp.float32)[:, None],
+        ],
+        axis=-1,
+    )
+
+
+def resolve_gbuffer_packed(
+    attr: jax.Array,      # f32[T, 16] from pack_attributes
+    depth: jax.Array,
+    tri_id: jax.Array,
+    bary: jax.Array,
+    camera,
+) -> GBuffer:
+    """resolve_gbuffer_unproject with one packed attribute gather per pixel."""
+    h, w = depth.shape
+    tid = jnp.maximum(tri_id, 0)
+    covered = tri_id >= 0
+
+    inv_vp = jnp.linalg.inv(camera.view_proj)
+    xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w * 2.0 - 1.0
+    ys = 1.0 - (jnp.arange(h, dtype=jnp.float32) + 0.5) / h * 2.0
+    ndc_x = jnp.broadcast_to(xs[None, :], (h, w))
+    ndc_y = jnp.broadcast_to(ys[:, None], (h, w))
+    z = jnp.where(covered, depth, 0.0)
+    cols = [
+        inv_vp[i, 0] * ndc_x + inv_vp[i, 1] * ndc_y + inv_vp[i, 2] * z + inv_vp[i, 3]
+        for i in range(4)
+    ]
+    inv_w = 1.0 / jnp.where(jnp.abs(cols[3]) < 1e-12, 1e-12, cols[3])
+    world = jnp.stack([cols[0] * inv_w, cols[1] * inv_w, cols[2] * inv_w], axis=-1)
+
+    rows = attr[tid]                                      # [H, W, 16] one gather
+    b1 = bary[..., 0]
+    b2 = bary[..., 1]
+    b0 = 1.0 - b1 - b2
+    n = (
+        b0[..., None] * rows[..., 0:3]
+        + b1[..., None] * rows[..., 3:6]
+        + b2[..., None] * rows[..., 6:9]
+    )
+    normal = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    uv = (
+        b0[..., None] * rows[..., 9:11]
+        + b1[..., None] * rows[..., 11:13]
+        + b2[..., None] * rows[..., 13:15]
+    )
+    material = jnp.where(covered, rows[..., 15].astype(jnp.int32), 0)
+    return GBuffer(
+        depth=depth,
+        tri_id=tri_id,
+        world_pos=jnp.where(covered[..., None], world, 0.0),
+        normal=jnp.where(covered[..., None], normal, 0.0),
+        uv=jnp.where(covered[..., None], uv, 0.0),
+        material=material,
+    )
+
+
 def resolve_gbuffer_unproject(
     batch: TriangleBatch,
     depth: jax.Array,

@@ -85,7 +85,9 @@ def hybrid_frame(
         )
     else:
         depth, tid, bary = R.rasterize(batch, width, height)
-    gbuf = R.resolve_gbuffer(batch, depth, tid, bary)
+    gbuf = R.resolve_gbuffer_packed(
+        R.pack_attributes(batch), depth, tid, bary, camera
+    )
 
     # --- world BVH for the RT passes (full scene, LOD0, no culling) --------
     rt_batch, _ = expand_static(

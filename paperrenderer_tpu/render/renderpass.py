@@ -157,7 +157,9 @@ def render_frame_static(
     else:
         depth, tid, bary = R.rasterize(batch, width, height)
         required = jnp.int32(0)
-    gbuf = R.resolve_gbuffer_unproject(batch, depth, tid, bary, camera)
+    gbuf = R.resolve_gbuffer_packed(
+        R.pack_attributes(batch), depth, tid, bary, camera
+    )
     hdr = shade_gbuffer(gbuf, materials, lights, camera.cam_pos)
     if translucent_layers > 0:
         from ..ops.translucency import composite_translucency
