@@ -247,41 +247,50 @@ def _make_wq_kernel(n_tx: int):
 
         @pl.when(k >= 0)
         def _body():
+            # Fully vectorized over the chunk: coefficients as [C,1,1]
+            # columns broadcast against the [1,H,W] pixel grid — no scalar
+            # loads, no triangle loop (the scalar-load-bound fori_loop was
+            # ~6.5us/item; this is pure VPU work).
             ty = t // n_tx
             tx = t % n_tx
-            ys = jax.lax.broadcasted_iota(jnp.int32, tile, 0).astype(jnp.float32)
-            xs = jax.lax.broadcasted_iota(jnp.int32, tile, 1).astype(jnp.float32)
-            px = xs + (tx * TILE_W).astype(jnp.float32) + 0.5
-            py = ys + (ty * TILE_H).astype(jnp.float32) + 0.5
+            ys3 = jax.lax.broadcasted_iota(
+                jnp.int32, (1, TILE_H, TILE_W), 1
+            ).astype(jnp.float32)
+            xs3 = jax.lax.broadcasted_iota(
+                jnp.int32, (1, TILE_H, TILE_W), 2
+            ).astype(jnp.float32)
+            px = xs3 + (tx * TILE_W).astype(jnp.float32) + 0.5
+            py = ys3 + (ty * TILE_H).astype(jnp.float32) + 0.5
 
-            def tri_body(c, state):
-                depth, tid, b1s, b2s = state
-                e0 = px * coef_ref[c, 0] + py * coef_ref[c, 1] + coef_ref[c, 2]
-                e1 = px * coef_ref[c, 3] + py * coef_ref[c, 4] + coef_ref[c, 5]
-                e2 = px * coef_ref[c, 6] + py * coef_ref[c, 7] + coef_ref[c, 8]
-                zn = px * coef_ref[c, 9] + py * coef_ref[c, 10] + coef_ref[c, 11]
-                wn = px * coef_ref[c, 12] + py * coef_ref[c, 13] + coef_ref[c, 14]
-                inside = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & (wn > 1e-12)
-                z = zn / jnp.where(inside, wn, 1.0)
-                win = inside & (z < depth)
-                esum = jnp.maximum(e0 + e1 + e2, 1e-30)
-                tid_new = (k * CHUNK_B + c).astype(jnp.float32)
-                return (
-                    jnp.where(win, z, depth),
-                    jnp.where(win, tid_new, tid),
-                    jnp.where(win, e1 / esum, b1s),
-                    jnp.where(win, e2 / esum, b2s),
-                )
+            def col(i):
+                return coef_ref[:, i:i + 1].reshape(CHUNK_B, 1, 1)
 
-            state = (
-                depth_ref[:, :], tid_ref[:, :],
-                bary_ref[:, :, 0], bary_ref[:, :, 1],
+            e0 = col(0) * px + col(1) * py + col(2)     # [C, H, W]
+            e1 = col(3) * px + col(4) * py + col(5)
+            e2 = col(6) * px + col(7) * py + col(8)
+            zn = col(9) * px + col(10) * py + col(11)
+            wn = col(12) * px + col(13) * py + col(14)
+            inside = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & (wn > 1e-12)
+            z = jnp.where(inside, zn / jnp.where(inside, wn, 1.0), jnp.inf)
+
+            best_c = jnp.argmin(z, axis=0)               # [H, W]
+            best_z = jnp.min(z, axis=0)
+            onehot = (
+                jax.lax.broadcasted_iota(jnp.int32, z.shape, 0)
+                == best_c[None, :, :]
             )
-            depth, tid, b1s, b2s = jax.lax.fori_loop(0, CHUNK_B, tri_body, state)
-            depth_ref[:, :] = depth
-            tid_ref[:, :] = tid
-            bary_ref[:, :, 0] = b1s
-            bary_ref[:, :, 1] = b2s
+            b0 = jnp.sum(jnp.where(onehot, e0, 0.0), axis=0)
+            b1 = jnp.sum(jnp.where(onehot, e1, 0.0), axis=0)
+            b2 = jnp.sum(jnp.where(onehot, e2, 0.0), axis=0)
+            esum = jnp.maximum(b0 + b1 + b2, 1e-30)
+
+            depth = depth_ref[:, :]
+            win = best_z < depth
+            tid_new = (k * CHUNK_B + best_c).astype(jnp.float32)
+            depth_ref[:, :] = jnp.where(win, best_z, depth)
+            tid_ref[:, :] = jnp.where(win, tid_new, tid_ref[:, :])
+            bary_ref[:, :, 0] = jnp.where(win, b1 / esum, bary_ref[:, :, 0])
+            bary_ref[:, :, 1] = jnp.where(win, b2 / esum, bary_ref[:, :, 1])
 
     return kernel
 
@@ -401,7 +410,7 @@ def rasterize_tiles_binned(
             pl.BlockSpec(
                 (CHUNK_B, 16),
                 lambda j, wt, wc: (jnp.maximum(wc[j], 0), 0),
-                memory_space=pltpu.SMEM,
+                memory_space=pltpu.VMEM,
             ),
             tile_spec2, tile_spec2, tile_spec3,
         ],
