@@ -108,15 +108,33 @@ def resolve_hits(
     u = rec.bary[:, 0]
     v = rec.bary[:, 1]
     w0 = 1.0 - u - v
-    bw = jnp.stack([w0, u, v], axis=-1)  # moller-trumbore bary order (v0,v1,v2)
 
-    world = jnp.einsum("rk,rkc->rc", bw, batch.world[pid])
-    normal = jnp.einsum("rk,rkc->rc", bw, batch.normal[pid])
+    t_cap = batch.capacity
+    # single packed row gather (TPU gathers are latency-bound per row):
+    # (w0,w1,w2 | n0,n1,n2 | uv0,uv1,uv2) = 9+9+6 floats
+    packed = jnp.concatenate(
+        [batch.world.reshape(t_cap, 9), batch.normal.reshape(t_cap, 9),
+         batch.uv.reshape(t_cap, 6)], axis=-1,
+    )[pid]                                            # [R, 24]
+
+    def lerp3(base):
+        return (
+            w0[:, None] * packed[:, base : base + 3]
+            + u[:, None] * packed[:, base + 3 : base + 6]
+            + v[:, None] * packed[:, base + 6 : base + 9]
+        )
+
+    world = lerp3(0)
+    normal = lerp3(9)
     normal = normal / jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-12)
     # face forward: shade the side the ray arrives from (two-sided geometry)
     facing = jnp.sum(normal * ray_d, axis=-1) < 0.0
     normal = jnp.where(facing[:, None], normal, -normal)
-    uv = jnp.einsum("rk,rkc->rc", bw, batch.uv[pid])
+    uv = (
+        w0[:, None] * packed[:, 18:20]
+        + u[:, None] * packed[:, 20:22]
+        + v[:, None] * packed[:, 22:24]
+    )
     return SurfaceHits(
         world_pos=world,
         normal=normal,

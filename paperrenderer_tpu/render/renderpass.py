@@ -265,6 +265,14 @@ class RenderPass:
         a registered Material's parameters live)."""
         self._cache_dirty = True
 
+    def resize(self, width: int, height: int) -> None:
+        """Change the render resolution (the swapchain-recreate analogue,
+        Swapchain.cpp:378-402): next render compiles for the new size."""
+        self.width = int(width)
+        self.height = int(height)
+        self._work_capacity = 0
+        self._check_overflow = True
+
     # -- per-frame device inputs --------------------------------------------
     def _slot_material_array(self, capacity: int) -> jax.Array:
         s = max(1, self.scene.max_slots)
