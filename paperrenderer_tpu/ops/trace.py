@@ -219,6 +219,10 @@ def shadow_visibility(
     """
     r = surf.world_pos.shape[0]
     n_lights = lights.count
+    # Offset shadow origins along the normal (OffsetRay analogue): G-buffer
+    # positions reconstructed from quantized depth can sit slightly inside
+    # curved surfaces, and un-offset origins produce shadow acne speckles.
+    origin = surf.world_pos + surf.normal * 5e-3
     vis = []
     for li in range(n_lights):
         lpos = lights.position[li]
@@ -243,7 +247,7 @@ def shadow_visibility(
             sdir = sdir / jnp.maximum(jnp.linalg.norm(sdir, axis=-1, keepdims=True), 1e-9)
             sdir = jnp.where(lights.radius[li] > 0.0, sdir, ldir)
             rec = _trace(
-                batch, bvh, surf.world_pos, sdir, dist,
+                batch, bvh, origin, sdir, dist,
                 any_hit=True, active=surf.valid,
             )
             unshadowed += jnp.where(rec.hit, 0.0, 1.0)
