@@ -80,8 +80,11 @@ def run(n_instances=10000, width=1920, height=1080, frames=20, out=None):
     _ldr, aux = rp.render(cam)
     work_cap = rp._work_capacity
 
+    # NOTE: big device arrays must be ARGUMENTS, not closures — closed-over
+    # arrays are baked into the HLO as constants (the remote compiler rejects
+    # 100k-instance modules with >100MB of embedded mapping data).
     @jax.jit
-    def frame(arrays, t):
+    def frame(mapping, tables, table, slots, visible, arrays, t):
         arrays = animate_instances(arrays, t)
         ldr, aux = render_frame_static(
             mapping, arrays, tables, table, rp.lights, cm,
@@ -90,6 +93,9 @@ def run(n_instances=10000, width=1920, height=1080, frames=20, out=None):
             use_pallas=rp.use_pallas, work_capacity=work_cap,
         )
         return arrays, ldr, aux
+
+    import functools
+    frame = functools.partial(frame, mapping, tables, table, slots, visible)
 
     t0 = time.time()
     arrays, ldr, aux = frame(arrays, jnp.float32(0.0))

@@ -1,4 +1,13 @@
 from .mesh import make_tile_mesh
-from .tiles import sharded_render_frame, sharded_rt_frame
+from .tiles import (
+    sharded_render_frame,
+    sharded_render_frame_static,
+    sharded_rt_frame,
+)
 
-__all__ = ["make_tile_mesh", "sharded_render_frame", "sharded_rt_frame"]
+__all__ = [
+    "make_tile_mesh",
+    "sharded_render_frame",
+    "sharded_render_frame_static",
+    "sharded_rt_frame",
+]

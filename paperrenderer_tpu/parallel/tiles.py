@@ -96,6 +96,84 @@ def sharded_render_frame(
     )
 
 
+def sharded_render_frame_static(
+    mesh: Mesh,
+    mapping,                      # ops.static_batch.StaticMapping
+    instances: InstanceArrays,
+    tables: SceneTables,
+    materials: MaterialTable,
+    lights: Lights,
+    camera: CameraMatrices,
+    slot_materials: jax.Array,
+    instance_visible: jax.Array,
+    tonemap_params: TonemapParams,
+    *,
+    width: int,
+    height: int,
+    do_culling: bool = True,
+):
+    """Two-axis decomposition of the static fast path:
+
+      * triangle expansion is SHARDED over the leading triangle axis (the
+        data-parallel axis): each device transforms T/n triangles, then an
+        ``all_gather`` over ICI assembles the full clip-space batch (~50 B per
+        triangle — bandwidth-trivial vs. the pixel work it feeds);
+      * rasterization + shading stay screen-tile sharded as in
+        sharded_render_frame.
+
+    Returns ldr f32[H, W, 3] sharded over (rows, cols).
+    """
+    rows, cols = mesh.devices.shape
+    assert height % rows == 0 and width % cols == 0
+    n_dev = rows * cols
+    assert mapping.capacity % n_dev == 0, "triangle capacity must split evenly"
+    tile_h, tile_w = height // rows, width // cols
+    ax = mesh.axis_names                    # both axes shard the triangle dim
+
+    from ..ops.static_batch import StaticMapping, expand_static
+
+    mapping_specs = StaticMapping(
+        tri_instance=P_(ax), tri_lod=P_(ax), tri_slot=P_(ax),
+        v_obj=P_(ax), n_obj=P_(ax), uv=P_(ax), valid=P_(ax),
+    )
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(mapping_specs,) + (P_(),) * 8,
+        out_specs=P_(ax[0], ax[1], None),
+    )
+    def frame(local_mapping, instances, tables, materials, lights, camera,
+              slot_materials, instance_visible, tonemap_params):
+        ri = jax.lax.axis_index(ax[0])
+        ci = jax.lax.axis_index(ax[1])
+        local_batch, _vis = expand_static(
+            local_mapping, instances, tables, camera, slot_materials,
+            instance_visible, do_culling=do_culling,
+        )
+        # assemble the full batch on every device (dp -> replicated)
+        batch = jax.tree.map(
+            lambda x: jax.lax.all_gather(x, ax, axis=0, tiled=True), local_batch
+        )
+        depth, tid, bary = R.rasterize(
+            batch, tile_w, tile_h,
+            full_width=width, full_height=height,
+            origin=(ci * tile_w, ri * tile_h),
+        )
+        gbuf = R.resolve_gbuffer_packed(
+            R.pack_attributes(batch), depth, tid, bary, camera,
+            full_width=width, full_height=height,
+            origin=(ci * tile_w, ri * tile_h),
+        )
+        hdr = shade_gbuffer(gbuf, materials, lights, camera.cam_pos)
+        return tonemap(hdr, tonemap_params)
+
+    return frame(
+        mapping, instances, tables, materials, lights, camera,
+        slot_materials, instance_visible, tonemap_params,
+    )
+
+
 def sharded_rt_frame(
     mesh: Mesh,
     instances: InstanceArrays,
