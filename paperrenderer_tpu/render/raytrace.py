@@ -151,6 +151,11 @@ class RayTraceRender:
         self._frame = 0
         self._bindings: Dict[int, Dict[int, int]] = {}
         self._tri_capacity = 2048
+        # device-input caches (per-frame table re-uploads dominated host time)
+        self._cache_dirty = True
+        self._cached_slots = None
+        self._cached_table = None
+        self._cached_capacity = -1
 
     def add_instance(
         self,
@@ -163,9 +168,15 @@ class RayTraceRender:
         for slot, mat in (materials or {}).items():
             binds[slot] = self.materials.register(mat)
         self._bindings[instance.index] = binds
+        self._cache_dirty = True
 
     def remove_instance(self, instance: ModelInstance) -> None:
         self._bindings.pop(instance.index, None)
+        self._cache_dirty = True
+
+    def invalidate(self) -> None:
+        """Force re-upload of material tables after live edits."""
+        self._cache_dirty = True
 
     def _slot_material_array(self, capacity: int) -> jax.Array:
         s = max(1, self.scene.max_slots)
@@ -193,14 +204,19 @@ class RayTraceRender:
             self._tri_capacity = need
         self._frame += 1
         key = jax.random.fold_in(self._key, self._frame)
+        if self._cache_dirty or self._cached_capacity != instances.capacity:
+            self._cached_slots = self._slot_material_array(instances.capacity)
+            self._cached_table = self.materials.table()
+            self._cached_capacity = instances.capacity
+            self._cache_dirty = False
         return rt_frame(
             instances,
             self.scene.tables(),
             self.scene.geometry(),
-            self.materials.table(),
+            self._cached_table,
             self.lights,
             cam,
-            self._slot_material_array(instances.capacity),
+            self._cached_slots,
             self.tonemap_params,
             key,
             width=self.width,
