@@ -1,0 +1,387 @@
+"""Triangle-exact binned Pallas rasterizer (round-2 raster core).
+
+Replaces the chunk-granularity work-queue (ops/raster_pallas.py): that kernel
+evaluated whole 128-triangle morton chunks against every tile their combined
+AABB touched — at 10k instances @1080p that is ~5.6M triangle-tile
+evaluations for ~0.55M exact overlaps (12.8 tiles/chunk vs 1.24 tiles/tri),
+plus an 8.3M-element scatter to build its work list (~66 ms alone).
+
+This module bins at GROUP=8-triangle granularity (morton-ordered groups are
+spatially tight: ~2.0 tiles/group -> ~0.87M evaluations) and builds the work
+list with small dynamic ops only (cumsum + fill-forward + one sort at pair
+count, not tiles x chunks):
+
+  1. group screen AABBs -> tile spans -> per-group pair counts;
+  2. exclusive-cumsum offsets; scatter group ids at run starts into the pair
+     array; ``lax.cummax`` fill-forward expands runs (no per-pair searchsorted);
+  3. decode each pair's tile from its rank within the group's span;
+  4. one ``lax.sort`` by tile groups pairs tile-contiguously; per-tile lists
+     are padded to the kernel's step size so no step straddles tiles;
+  5. ONE row gather pulls each pair's 8 packed triangle rows (coefficients +
+     shading attributes) into a dense, step-ordered buffer the kernel streams
+     as plain contiguous blocks — no in-kernel gathers, no multi-slot DMA.
+
+The kernel itself packs (quantized sortable depth | lane id) into a single
+u32 key so the per-chunk winner is ONE u32 min-reduce — no argmin, no one-hot
+barycentric selects, and only two state planes (key, pair-space tid) instead
+of four. Barycentrics are recomputed at resolve time from the gathered
+coefficient rows (resolve gathers one packed row per pixel either way).
+
+Depth is quantized by zeroing the low 7 mantissa bits (the lane id slot),
+i.e. ~2^-16 relative — far below shading-visible thresholds; ties resolve to
+the lowest lane id, deterministically.
+
+Replaces the Vulkan hardware rasterizer + ROP fed by the GPU-driven draw list
+(reference: src/PaperRenderer/IndirectDraw.cpp:207-242, RenderPass.cpp:472-558).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .raster import TriangleBatch, triangle_coefficients
+
+TILE_H = 8
+TILE_W = 128
+GROUP = 8          # triangles per bin entry
+BP = 16            # groups (= bin entries) per kernel step -> 128 tris/step
+C = GROUP * BP     # triangles evaluated per kernel step
+ROW = 32           # packed per-triangle row: 15 coef + pad + 9 n + 6 uv + 1 mat
+# python ints (weak-typed scalars): jnp constants would be captured by the
+# kernel tracer, which pallas_call rejects. Keys are INT32-sortable floats
+# (bits ^ ((bits >> 31) & 0x7FFFFFFF)) because Mosaic has no unsigned
+# reductions; SENTINEL = int32 max never loses a min.
+SENTINEL = 0x7FFFFFFF
+_LANE_MASK = C - 1                      # low bits carrying the lane id
+_KEY_MASK = ~(C - 1)
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def default_pair_capacity(width: int, height: int, tri_capacity: int) -> int:
+    """Default pair-slot capacity used when callers pass none: one step's
+    worth per tile plus ~3 tiles per 8-triangle group (measured ~2.0 average
+    on instanced scenes + per-tile rounding headroom)."""
+    n_tiles = (width // TILE_W) * (height // TILE_H)
+    ng = _round_up(tri_capacity, GROUP) // GROUP
+    return _round_up(n_tiles + 3 * ng, 4096)
+
+
+def pack_attr_coef(batch: TriangleBatch, coeffs: jax.Array) -> jax.Array:
+    """Pack per-triangle raster coefficients + shading attributes into one
+    f32[T, 32] row: [0:15]=edge/z/w coefficient rows, [16:25]=vertex normals,
+    [25:31]=vertex uvs, [31]=material id. One row gather then serves both the
+    kernel (via the pair pre-gather) and the per-pixel G-buffer resolve."""
+    t = batch.capacity
+    return jnp.concatenate(
+        [
+            coeffs.reshape(t, 15),
+            # col 15 = the triangle's own global id (exact in f32 to 2^24):
+            # the kernel one-hot selects it to emit global tids directly
+            jnp.arange(t, dtype=jnp.float32)[:, None],
+            batch.normal.reshape(t, 9),
+            batch.uv.reshape(t, 6),
+            batch.material.astype(jnp.float32)[:, None],
+        ],
+        axis=-1,
+    )
+
+
+def _make_kernel(n_tx: int):
+    def kernel(wt_ref, cf_ref, kin_ref, tin_ref, key_ref, tid_ref):
+        j = pl.program_id(0)
+        t = wt_ref[j]
+        prev_t = wt_ref[jnp.maximum(j - 1, 0)]
+        first = (j == 0) | (t != prev_t)
+
+        # first touch of a tile: pull carried state from the aliased inputs
+        # (pre-initialized to SENTINEL outside — untouched tiles keep it)
+        @pl.when(first & (t >= 0))
+        def _resume():
+            key_ref[:, :] = kin_ref[:, :]
+            tid_ref[:, :] = tin_ref[:, :]
+
+        @pl.when(t >= 0)
+        def _body():
+            ty = t // n_tx
+            tx = t % n_tx
+            ys = jax.lax.broadcasted_iota(
+                jnp.int32, (1, TILE_H, TILE_W), 1
+            ).astype(jnp.float32)
+            xs = jax.lax.broadcasted_iota(
+                jnp.int32, (1, TILE_H, TILE_W), 2
+            ).astype(jnp.float32)
+            px = xs + (tx * TILE_W).astype(jnp.float32) + 0.5
+            py = ys + (ty * TILE_H).astype(jnp.float32) + 0.5
+
+            def col(i):
+                return cf_ref[:, i:i + 1].reshape(C, 1, 1)
+
+            e0 = col(0) * px + col(1) * py + col(2)       # [C, H, W]
+            e1 = col(3) * px + col(4) * py + col(5)
+            e2 = col(6) * px + col(7) * py + col(8)
+            zn = col(9) * px + col(10) * py + col(11)
+            wn = col(12) * px + col(13) * py + col(14)
+            inside = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & (wn > 1e-12)
+            z = zn / jnp.where(inside, wn, 1.0)
+            # sortable-u32 depth key: monotone map of f32 (handles negative
+            # NDC z), low bits zeroed for the lane id
+            bits = pltpu.bitcast(z, jnp.int32)
+            srt = bits ^ ((bits >> 31) & jnp.int32(0x7FFFFFFF))
+            lane = jax.lax.broadcasted_iota(jnp.int32, z.shape, 0)
+            keyv = jnp.where(
+                inside,
+                (srt & jnp.int32(_KEY_MASK)) | lane,
+                jnp.int32(SENTINEL),
+            )
+            kmin = jnp.min(keyv, axis=0)                  # [H, W] i32
+
+            key_old = key_ref[:, :]
+            win = kmin < key_old
+            # global tid of the winner: one-hot select of cf col 15 (each
+            # row's own global id, f32-exact). Keeps the resolve gather on
+            # the compact [T, 32] table — pair-space tables proved
+            # gather-hostile (134MB table: ~9 -> ~58 ns/row per pixel).
+            onehot = lane == (kmin & jnp.int32(_LANE_MASK))[None, :, :]
+            gsel = jnp.sum(jnp.where(onehot, col(15), 0.0), axis=0)
+            key_ref[:, :] = jnp.where(win, kmin, key_old)
+            tid_ref[:, :] = jnp.where(
+                win, gsel.astype(jnp.int32), tid_ref[:, :])
+
+    return kernel
+
+
+def _unpack_depth(key: jax.Array, covered: jax.Array) -> jax.Array:
+    """Invert the int32-sortable float map (lane bits quantized away)."""
+    k = key & jnp.int32(_KEY_MASK)
+    bits = k ^ ((k >> 31) & jnp.int32(0x7FFFFFFF))
+    z = jax.lax.bitcast_convert_type(bits, jnp.float32)
+    return jnp.where(covered, z, jnp.inf)
+
+
+def rasterize_exact(
+    batch: TriangleBatch,
+    width: int,
+    height: int,
+    *,
+    pair_capacity: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Exact-binned raster. Returns (depth f32[H,W], tid i32[H,W] global
+    triangle ids, attr_table f32[T_pad, 32], required i32 scalar).
+
+    ``attr_table`` is the packed per-triangle row table (pack_attr_coef) that
+    ``resolve_gbuffer_pairs`` gathers per pixel. ``required`` is the pair-slot
+    demand for THIS camera; if it exceeds ``pair_capacity`` the last-sorted
+    pairs are dropped (callers grow + re-render, the reference's
+    buffer-overflow contract — PaperRenderer.cpp:208-212)."""
+    assert width % TILE_W == 0 and height % TILE_H == 0
+    coeffs, ok, (lo, hi) = triangle_coefficients(batch, width, height)
+    t = batch.capacity
+    t_pad = _round_up(t, GROUP)
+    ng = t_pad // GROUP
+    n_tx = width // TILE_W
+    n_ty = height // TILE_H
+    n_tiles = n_tx * n_ty
+
+    p_cap = pair_capacity or default_pair_capacity(width, height, t)
+    p_cap = _round_up(p_cap, BP)
+    n_steps = p_cap // BP
+
+    # --- group screen AABBs -> tile spans ---------------------------------
+    lo_m = jnp.where(ok[:, None], lo, jnp.inf)
+    hi_m = jnp.where(ok[:, None], hi, -jnp.inf)
+    lo_m = jnp.pad(lo_m, ((0, t_pad - t), (0, 0)), constant_values=jnp.inf)
+    hi_m = jnp.pad(hi_m, ((0, t_pad - t), (0, 0)), constant_values=-jnp.inf)
+    glo = lo_m.reshape(ng, GROUP, 2).min(axis=1)
+    ghi = hi_m.reshape(ng, GROUP, 2).max(axis=1)
+    alive = jnp.isfinite(glo[:, 0])
+    fglo = jnp.nan_to_num(glo, posinf=0.0)
+    fghi = jnp.nan_to_num(ghi, neginf=0.0)
+    gx0 = jnp.clip(jnp.floor(fglo[:, 0] / TILE_W).astype(jnp.int32), 0, n_tx - 1)
+    gx1 = jnp.clip(jnp.floor(fghi[:, 0] / TILE_W).astype(jnp.int32), 0, n_tx - 1)
+    gy0 = jnp.clip(jnp.floor(fglo[:, 1] / TILE_H).astype(jnp.int32), 0, n_ty - 1)
+    gy1 = jnp.clip(jnp.floor(fghi[:, 1] / TILE_H).astype(jnp.int32), 0, n_ty - 1)
+    gx1 = jnp.maximum(gx1, gx0)
+    gy1 = jnp.maximum(gy1, gy0)
+    spanw = gx1 - gx0 + 1
+    count = jnp.where(alive, spanw * (gy1 - gy0 + 1), 0)
+
+    # --- pair expansion: scatter run starts + cummax fill-forward ----------
+    ends = jnp.cumsum(count)
+    offsets = ends - count                               # exclusive
+    n_pairs = ends[-1]
+    write = jnp.where(count > 0, offsets, p_cap)         # drop empty groups
+    start_marks = jnp.full((p_cap,), -1, jnp.int32).at[write].set(
+        jnp.arange(ng, dtype=jnp.int32), mode="drop")
+    pair_group = jax.lax.cummax(start_marks)
+    slot = jnp.arange(p_cap, dtype=jnp.int32)
+    pvalid = (slot < n_pairs) & (pair_group >= 0)
+    pg = jnp.maximum(pair_group, 0)
+
+    info = jnp.stack([offsets, gx0, gy0, spanw], axis=-1)   # i32[NG, 4]
+    gi = info[pg]                                            # [P, 4]
+    within = slot - gi[:, 0]
+    ty = gi[:, 2] + within // gi[:, 3]
+    tx = gi[:, 1] + within % gi[:, 3]
+    tile = ty * n_tx + tx
+
+    # --- tile-sort + per-tile padding to BP --------------------------------
+    keys = jnp.where(pvalid, tile, n_tiles)
+    vals = jnp.where(pvalid, pg, -1)
+    tile_s, group_s = jax.lax.sort((keys, vals), num_keys=1)
+    starts = jnp.searchsorted(
+        tile_s, jnp.arange(n_tiles + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+    hist = starts[1:] - starts[:-1]                          # [n_tiles]
+    padded_hist = _round_up_arr(hist, BP)
+    padded_starts = jnp.cumsum(padded_hist) - padded_hist    # exclusive
+    required = padded_starts[-1] + padded_hist[-1]
+
+    tbl = jnp.stack([starts[:-1], padded_starts], axis=-1)   # [n_tiles, 2]
+    per = tbl[jnp.minimum(tile_s, n_tiles - 1)]
+    rank = slot - per[:, 0]
+    ppos = per[:, 1] + rank
+    ok_s = group_s >= 0
+    write2 = jnp.where(ok_s, ppos, p_cap)
+    rows = jnp.stack([group_s, tile_s], axis=-1)             # [P, 2]
+    padded = jnp.full((p_cap, 2), -1, jnp.int32).at[write2].set(
+        rows, mode="drop")
+    padded_group = padded[:, 0]
+    # padding slots inside a tile's rounded region must map to that tile so
+    # the step's output block is right; recover it by fill-forward of tile
+    # ids (regions are contiguous and ascending)
+    padded_tile = jax.lax.cummax(padded[:, 1])
+    # slots past the real demand stay parked (-1 -> kernel skips)
+    padded_tile = jnp.where(slot < jnp.minimum(required, p_cap),
+                            padded_tile, -1)
+    wt = padded_tile[::BP]                                   # [n_steps]
+
+    # --- pre-gather pair coefficient rows (ONE row gather) ------------------
+    table = pack_attr_coef(batch, coeffs)
+    table = jnp.pad(table, ((0, t_pad - t), (0, 0)))
+    if t_pad > t:
+        table = table.at[t:, 2].set(-1.0)                    # dead: e0 < 0
+    gt = table[:, :16].reshape(ng, GROUP * 16)
+    dead = jnp.zeros((1, GROUP * 16), jnp.float32)
+    dead = dead.at[0, 2::16].set(-1.0)
+    gt = jnp.concatenate([gt, dead], axis=0)                 # [NG+1, 128]
+    pg2 = jnp.where(padded_group >= 0, padded_group, ng)
+    gathered = gt[pg2]                                       # [P, 128]
+    cf_pairs = gathered.reshape(p_cap * GROUP, 16)
+
+    # --- kernel --------------------------------------------------------------
+    tile_spec = pl.BlockSpec(
+        (TILE_H, TILE_W),
+        lambda j, wt: (jnp.maximum(wt[j], 0) // n_tx,
+                       jnp.maximum(wt[j], 0) % n_tx),
+        memory_space=pltpu.VMEM,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((C, 16), lambda j, wt: (j, 0),
+                         memory_space=pltpu.VMEM),
+            tile_spec, tile_spec,
+        ],
+        out_specs=[tile_spec, tile_spec],
+    )
+    key0 = jnp.full((height, width), SENTINEL, jnp.int32)
+    tid0 = jnp.full((height, width), SENTINEL, jnp.int32)
+    wt, cf_pairs = jax.lax.optimization_barrier((wt, cf_pairs))
+    key, tid = pl.pallas_call(
+        _make_kernel(n_tx),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((height, width), jnp.int32),
+            jax.ShapeDtypeStruct((height, width), jnp.int32),
+        ],
+        # arg order incl. scalar prefetch: wt=0, cf=1, kin=2, tin=3
+        input_output_aliases={2: 0, 3: 1},
+    )(wt, cf_pairs, key0, tid0)
+
+    covered = tid != SENTINEL
+    depth = _unpack_depth(key, covered)
+    tid_i = jnp.where(covered, tid, -1)
+    return depth, tid_i, table, required
+
+
+def _round_up_arr(x: jax.Array, m: int) -> jax.Array:
+    return -(-x // m) * m
+
+
+def resolve_gbuffer_pairs(
+    attr_pairs: jax.Array,     # f32[T_pad, 32] attr table from rasterize_exact
+    depth: jax.Array,
+    tri_id: jax.Array,         # global triangle ids
+    camera,
+    *,
+    full_width: int | None = None,
+    full_height: int | None = None,
+    origin=(0, 0),
+):
+    """G-buffer resolve for pair-space raster output: one packed row gather
+    per pixel; barycentrics recomputed from the row's coefficient part and
+    world position by unprojecting (pixel, depth) — see
+    raster.resolve_gbuffer_packed for the unprojection rationale."""
+    from .raster import GBuffer
+
+    h, w = depth.shape
+    fw = full_width or w
+    fh = full_height or h
+    x0, y0 = origin
+    covered = tri_id >= 0
+    tid = jnp.maximum(tri_id, 0)
+
+    rows = attr_pairs[tid]                                # [H, W, 32]
+
+    xs = jnp.arange(w, dtype=jnp.float32) + 0.5 + x0
+    ys = jnp.arange(h, dtype=jnp.float32) + 0.5 + y0
+    px = jnp.broadcast_to(xs[None, :], (h, w))
+    py = jnp.broadcast_to(ys[:, None], (h, w))
+    e0 = rows[..., 0] * px + rows[..., 1] * py + rows[..., 2]
+    e1 = rows[..., 3] * px + rows[..., 4] * py + rows[..., 5]
+    e2 = rows[..., 6] * px + rows[..., 7] * py + rows[..., 8]
+    esum = jnp.maximum(e0 + e1 + e2, 1e-30)
+    b1 = e1 / esum
+    b2 = e2 / esum
+    b0 = 1.0 - b1 - b2
+
+    inv_vp = jnp.linalg.inv(camera.view_proj)
+    ndc_x = px / fw * 2.0 - 1.0
+    ndc_y = 1.0 - py / fh * 2.0
+    z = jnp.where(covered, depth, 0.0)
+    cols = [
+        inv_vp[i, 0] * ndc_x + inv_vp[i, 1] * ndc_y + inv_vp[i, 2] * z + inv_vp[i, 3]
+        for i in range(4)
+    ]
+    inv_w = 1.0 / jnp.where(jnp.abs(cols[3]) < 1e-12, 1e-12, cols[3])
+    world = jnp.stack([cols[0] * inv_w, cols[1] * inv_w, cols[2] * inv_w], axis=-1)
+
+    n = (
+        b0[..., None] * rows[..., 16:19]
+        + b1[..., None] * rows[..., 19:22]
+        + b2[..., None] * rows[..., 22:25]
+    )
+    normal = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    uv = (
+        b0[..., None] * rows[..., 25:27]
+        + b1[..., None] * rows[..., 27:29]
+        + b2[..., None] * rows[..., 29:31]
+    )
+    material = jnp.where(covered, rows[..., 31].astype(jnp.int32), 0)
+    return GBuffer(
+        depth=depth,
+        tri_id=tri_id,
+        world_pos=jnp.where(covered[..., None], world, 0.0),
+        normal=jnp.where(covered[..., None], normal, 0.0),
+        uv=jnp.where(covered[..., None], uv, 0.0),
+        material=material,
+    )

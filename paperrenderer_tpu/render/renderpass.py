@@ -148,18 +148,19 @@ def render_frame_static(
         opaque = ~non_opaque_mask(materials, batch.material)
         batch = _dc.replace(batch, valid=batch.valid & opaque)
     if use_pallas:
-        from ..ops.raster_pallas import rasterize_tiles_binned
+        from ..ops.raster_exact import rasterize_exact, resolve_gbuffer_pairs
 
-        depth, tid, bary, required = rasterize_tiles_binned(
+        depth, tid, attr_pairs, required = rasterize_exact(
             batch, width, height,
-            work_capacity=work_capacity or None, presorted=True,
+            pair_capacity=work_capacity or None,
         )
+        gbuf = resolve_gbuffer_pairs(attr_pairs, depth, tid, camera)
     else:
         depth, tid, bary = R.rasterize(batch, width, height)
         required = jnp.int32(0)
-    gbuf = R.resolve_gbuffer_packed(
-        R.pack_attributes(batch), depth, tid, bary, camera
-    )
+        gbuf = R.resolve_gbuffer_packed(
+            R.pack_attributes(batch), depth, tid, bary, camera
+        )
     hdr = shade_gbuffer(gbuf, materials, lights, camera.cam_pos)
     if translucent_layers > 0:
         from ..ops.translucency import composite_translucency
@@ -356,13 +357,16 @@ class RenderPass:
             )
             if self.use_pallas and self._check_overflow:
                 # amortized overflow check (reference buffer-growth analogue)
+                from ..ops.raster_exact import default_pair_capacity
+
                 required = int(aux["required_work"])
-                cap = self._work_capacity or int(
-                    (self.height // 8) * (self.width // 128)
-                    + 8 * (mapping.capacity // 128)
+                cap = self._work_capacity or default_pair_capacity(
+                    self.width, self.height, mapping.capacity
                 )
                 if required > cap:
-                    self._work_capacity = 1 << int(required * 1.5 - 1).bit_length()
+                    # 1.25x headroom, 4096-slot tiers (pow2 tiers left the
+                    # kernel grid mostly padding at large scenes)
+                    self._work_capacity = -(-int(required * 1.25) // 4096) * 4096
                     kwargs["work_capacity"] = self._work_capacity
                     ldr, aux = render_frame_static(
                         mapping, instances, self.scene.tables(), table,
