@@ -98,10 +98,11 @@ class ModelInstance:
 
     __slots__ = (
         "model", "index", "_pos", "_scale", "_quat",
-        "dirty", "unique_geometry", "visible", "_scene",
+        "dirty", "unique_geometry", "visible", "_scene", "anim_phase",
     )
 
-    def __init__(self, model: Model, unique_geometry: bool = False):
+    def __init__(self, model: Model, unique_geometry: bool = False,
+                 anim_phase: float = 0.0):
         self.model = model
         self.index: int = -1  # slot in the Scene's instance SoA
         self._pos = np.zeros(3, np.float32)
@@ -110,6 +111,9 @@ class ModelInstance:
         self.dirty = True
         self.visible = True
         self.unique_geometry = unique_geometry
+        # per-instance animation phase for the unique-geometry path (the
+        # reference passes per-instance push constants to BasicAnimation.comp)
+        self.anim_phase = anim_phase
         self._scene = None
 
     # -- transform API (reference setTransformation, Model.cpp:567-571) -----

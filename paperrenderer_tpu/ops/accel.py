@@ -1,0 +1,951 @@
+"""Two-level acceleration structure: persistent BLAS + per-frame TLAS.
+
+Reference parity: the reference builds one BLAS per model at creation
+(src/PaperRenderer/Model.cpp:59-74), and per frame only rewrites dirty TLAS
+instance records on-device and rebuilds the instance-level TLAS
+(src/PaperRenderer/AccelerationStructure.cpp:618-650, TLASInstBuild.comp).
+Round-1 of this framework re-transformed every vertex of every instance and
+rebuilt a world BVH each RT frame; this module is the TPU-native two-level
+redesign:
+
+  * **BLAS** — per model (or per unique-geometry instance): an implicit
+    morton BVH over its LOD-0 triangles in OBJECT space, built once at
+    registration time (host numpy; models are immutable, Model.h:130-157).
+  * **TLAS** — per frame, per ray-trace pass: an implicit morton BVH over
+    the *instances'* world AABBs. Cost is O(N) vector math + one N-key sort
+    — no vertex transforms (the updateTLAS analogue).
+
+Both levels live in ONE unified node table ``f32[*, 16]``:
+
+    [min0(3) max0(3) min1(3) max1(3) code0 code1 pad pad]
+
+where ``code`` is a bitcast int32 tagged pointer:
+
+    bit 30          object-space flag (the row's boxes are in BLAS space)
+    bits 29..28     type: 0 = box row, 1 = BLAS leaf, 2 = instance
+    bits 27..0      payload (row index / leaf row / instance slot)
+
+so traversal is a single pointer-chasing machine: popping an *instance* code
+gathers that instance's inverse TRS (stored as a node row too), switches the
+ray into object space, and pushes the instance's BLAS root; ray ``t`` is
+shared across spaces because the object-space direction is NOT normalized.
+BLAS leaves pack K triangles' object-space vertices + uvs + tagged prim ids
+into exactly 128 floats, so a leaf visit costs ONE row gather.
+
+Multiple TLASes (reference RayTrace.h:50-56 addNewTLAS) are just multiple
+row blocks appended after the shared BLAS/instance rows, each with its own
+root code. Unique-geometry animation (Model.cpp:398-404) gives an instance
+its own BLAS whose leaf/node rows are refit in-graph each frame.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.scene import InstanceArrays
+from ..core.transforms import quat_to_mat3, transform_aabb, trs_to_mat34
+from .bvh import morton_codes
+
+K = 8                      # triangles per BLAS leaf
+LEAF_ROW = 128             # K*9 positions + K*6 uvs + K tagged prim ids
+_POS = 0                   # leaf row layout offsets
+_UV = K * 9                # 72
+_PRIM = K * 15             # 120
+
+TYPE_BOX = 0
+TYPE_LEAF = 1
+TYPE_INST = 2
+OBJ_FLAG = 1 << 30
+_TYPE_SHIFT = 28
+_PAYLOAD_MASK = (1 << 28) - 1
+
+
+def _code(typ: int, payload, obj: bool = False):
+    base = (typ << _TYPE_SHIFT) | (OBJ_FLAG if obj else 0)
+    return base | payload
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, (n - 1)).bit_length() if n > 1 else 1
+
+
+def _f32_from_i32(x):
+    return jax.lax.bitcast_convert_type(jnp.asarray(x, jnp.int32), jnp.float32)
+
+
+def _i32_from_f32(x):
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# BLAS build (host, numpy — models are immutable and registered rarely)
+# ---------------------------------------------------------------------------
+
+def _morton30_np(p: np.ndarray) -> np.ndarray:
+    lo = p.min(axis=0)
+    ext = np.maximum(p.max(axis=0) - lo, 1e-12)
+    q = np.clip((p - lo) / ext * 1023.0, 0, 1023).astype(np.uint32)
+
+    def spread(v):
+        v = v.astype(np.uint64)
+        v = (v | (v << np.uint64(16))) & np.uint64(0x0000FF0000FF)
+        v = (v | (v << np.uint64(8))) & np.uint64(0x00F00F00F00F)
+        v = (v | (v << np.uint64(4))) & np.uint64(0x0C30C30C30C3)
+        v = (v | (v << np.uint64(2))) & np.uint64(0x249249249249)
+        return v
+
+    return (spread(q[:, 0]) << np.uint64(2)) | (spread(q[:, 1]) << np.uint64(1)) | spread(q[:, 2])
+
+
+@dataclasses.dataclass
+class _BLASBuild:
+    """One BLAS's host-side build products (pre-offset-fixup)."""
+
+    num_leaves: int          # L (power of two)
+    leaf_order: np.ndarray   # i64[L*K] arena tri id per leaf slot (-1 pad)
+    leaf_rows: np.ndarray    # f32[L, 128]
+    node_min: np.ndarray     # f32[2L-1, 3]
+    node_max: np.ndarray     # f32[2L-1, 3]
+    depth: int
+
+
+def _build_blas_host(
+    v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,   # f32[T, 3] object space
+    uv0: np.ndarray, uv1: np.ndarray, uv2: np.ndarray,  # f32[T, 2]
+    prim_tagged: np.ndarray,                           # i32[T] (slot<<24)|tri
+) -> _BLASBuild:
+    t = v0.shape[0]
+    centroid = (v0 + v1 + v2) / 3.0
+    order = np.argsort(_morton30_np(centroid), kind="stable")
+    l = _next_pow2(-(-t // K))
+    slots = l * K
+
+    leaf_order = np.full(slots, -1, np.int64)
+    leaf_order[:t] = order
+    lo = np.full((slots, 3), np.inf, np.float32)
+    hi = np.full((slots, 3), -np.inf, np.float32)
+    rows = np.zeros((l, LEAF_ROW), np.float32)
+
+    vs = np.concatenate([v0, v1, v2], axis=-1).astype(np.float32)   # [T, 9]
+    uvs = np.concatenate([uv0, uv1, uv2], axis=-1).astype(np.float32)  # [T, 6]
+    pos9 = np.zeros((slots, 9), np.float32)
+    uv6 = np.zeros((slots, 6), np.float32)
+    prim = np.full(slots, -1, np.int32)
+    pos9[:t] = vs[order]
+    uv6[:t] = uvs[order]
+    prim[:t] = prim_tagged[order]
+    tri_min = np.minimum(np.minimum(pos9[:, 0:3], pos9[:, 3:6]), pos9[:, 6:9])
+    tri_max = np.maximum(np.maximum(pos9[:, 0:3], pos9[:, 3:6]), pos9[:, 6:9])
+    lo[:t] = tri_min[:t]
+    hi[:t] = tri_max[:t]
+
+    rows[:, _POS:_UV] = pos9.reshape(l, K * 9)
+    rows[:, _UV:_PRIM] = uv6.reshape(l, K * 6)
+    rows[:, _PRIM:_PRIM + K] = prim.reshape(l, K).view(np.float32)
+
+    leaf_min = lo.reshape(l, K, 3).min(axis=1)
+    leaf_max = hi.reshape(l, K, 3).max(axis=1)
+    levels_min = [leaf_min]
+    levels_max = [leaf_max]
+    while levels_min[0].shape[0] > 1:
+        cur_min, cur_max = levels_min[0], levels_max[0]
+        levels_min.insert(0, np.minimum(cur_min[0::2], cur_min[1::2]))
+        levels_max.insert(0, np.maximum(cur_max[0::2], cur_max[1::2]))
+    node_min = np.concatenate(levels_min, axis=0)
+    node_max = np.concatenate(levels_max, axis=0)
+    return _BLASBuild(
+        num_leaves=l, leaf_order=leaf_order, leaf_rows=rows,
+        node_min=node_min, node_max=node_max, depth=l.bit_length() - 1,
+    )
+
+
+def _emit_blas_node_rows(
+    b: _BLASBuild, node_off: int, leaf_off: int
+) -> np.ndarray:
+    """Internal node rows f32[L-1, 16] with child codes at global offsets."""
+    l = b.num_leaves
+    if l <= 1:
+        return np.zeros((0, 16), np.float32)
+    rows = np.zeros((l - 1, 16), np.float32)
+    i = np.arange(l - 1)
+    c0 = 2 * i + 1
+    c1 = 2 * i + 2
+    rows[:, 0:3] = b.node_min[c0]
+    rows[:, 3:6] = b.node_max[c0]
+    rows[:, 6:9] = b.node_min[c1]
+    rows[:, 9:12] = b.node_max[c1]
+
+    def codes(c):
+        internal = c < l - 1
+        leaf_k = c - (l - 1)
+        return np.where(
+            internal,
+            _code(TYPE_BOX, node_off + c, obj=True),
+            _code(TYPE_LEAF, leaf_off + np.maximum(leaf_k, 0), obj=True),
+        ).astype(np.int32)
+
+    rows[:, 12] = codes(c0).view(np.float32)
+    rows[:, 13] = codes(c1).view(np.float32)
+    return rows
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BLASSet:
+    """All static BLASes packed (device pytree). Row offsets are baked into
+    the child codes, so these arrays concatenate directly into the frame's
+    unified node table (static BLAS rows come first)."""
+
+    nodes: jax.Array      # f32[NB, 16] internal rows of all BLASes
+    leaf_rows: jax.Array  # f32[LB, 128]
+    root_min: jax.Array   # f32[B, 3] object-space root AABBs
+    root_max: jax.Array   # f32[B, 3]
+    root_code: jax.Array  # i32[B]
+
+
+@dataclasses.dataclass
+class AnimBLAS:
+    """Rest-pose data for one unique-geometry instance's BLAS; its node and
+    leaf rows are refit in-graph each frame (Model.cpp:398-404 +
+    example BasicAnimation.comp -> BLAS rebuild, main.cpp:908-921)."""
+
+    blas_id: int
+    instance_index: int       # scene instance slot at build time
+    node_off: int             # rows within the anim-node region
+    node_count: int           # L-1
+    leaf_off: int             # rows within the anim-leaf region
+    num_leaves: int
+    rest_rows: np.ndarray     # f32[L, 128] rest-pose leaf rows
+    node_codes: np.ndarray    # f32[L-1, 4] static code/pad columns
+    phase: float = 0.0        # per-instance animation phase offset
+
+
+@dataclasses.dataclass
+class BLASSetMeta:
+    """Host-side metadata for a BLASSet (static across frames)."""
+
+    blas_of_model: np.ndarray        # i32[M] model id -> blas id
+    max_depth: int
+    num_static_nodes: int
+    num_static_leaves: int
+    anim: List[AnimBLAS]
+    num_anim_nodes: int
+    num_anim_leaves: int
+    num_blas: int
+
+    @property
+    def total_nodes(self) -> int:
+        return self.num_static_nodes + self.num_anim_nodes
+
+
+def build_blas_set(scene):
+    """Build all models' BLASes + per-unique-instance BLASes.
+
+    Returns (blasset, meta, anim_rest_leaves f32[LA, 128],
+    anim_rest_nodes f32[NA, 16]). Reference:
+    AccelerationStructureBuilder::queueBLAS at model creation
+    (Model.cpp:59-74); geometry is always LOD 0
+    (AccelerationStructure.cpp:335-377).
+    """
+    arena = scene.arena
+    builds: List[_BLASBuild] = []
+    blas_of_model = np.zeros(max(1, len(scene.models)), np.int32)
+
+    def model_tris(model):
+        """Object-space LOD-0 triangle data + tagged prim ids for a model."""
+        v0s, v1s, v2s, u0s, u1s, u2s, prims = [], [], [], [], [], [], []
+        for mm in model.lods[0].meshes:
+            h = mm.handle
+            idx = arena._idx[h.tri_offset : h.tri_offset + h.tri_count]
+            tri_ids = np.arange(h.tri_offset, h.tri_offset + h.tri_count)
+            v0s.append(arena._pos[idx[:, 0]])
+            v1s.append(arena._pos[idx[:, 1]])
+            v2s.append(arena._pos[idx[:, 2]])
+            u0s.append(arena._uv[idx[:, 0]])
+            u1s.append(arena._uv[idx[:, 1]])
+            u2s.append(arena._uv[idx[:, 2]])
+            prims.append(
+                (np.int32(mm.material_slot) << 24) | tri_ids.astype(np.int32)
+            )
+        cat = lambda xs: np.concatenate(xs, axis=0)
+        return (cat(v0s), cat(v1s), cat(v2s), cat(u0s), cat(u1s), cat(u2s),
+                cat(prims))
+
+    for model in scene.models:
+        blas_of_model[model.model_id] = len(builds)
+        builds.append(_build_blas_host(*model_tris(model)))
+
+    num_models_blas = len(builds)
+    anim: List[AnimBLAS] = []
+    anim_instances = [i for i in scene.instances if i.unique_geometry]
+    for inst in anim_instances:
+        builds.append(_build_blas_host(*model_tris(inst.model)))
+
+    # --- assign global row offsets (static rows first, then anim rows) -----
+    node_offs, leaf_offs = [], []
+    no = lo = 0
+    static_no = static_lo = 0
+    for bi, b in enumerate(builds):
+        node_offs.append(no)
+        leaf_offs.append(lo)
+        no += max(b.num_leaves - 1, 0)
+        lo += b.num_leaves
+        if bi < num_models_blas:
+            static_no, static_lo = no, lo
+
+    node_rows = [np.zeros((0, 16), np.float32)]
+    leaf_rows = [np.zeros((0, LEAF_ROW), np.float32)]
+    root_min = np.zeros((len(builds), 3), np.float32)
+    root_max = np.zeros((len(builds), 3), np.float32)
+    root_code = np.zeros(len(builds), np.int32)
+    for bi, b in enumerate(builds):
+        node_rows.append(_emit_blas_node_rows(b, node_offs[bi], leaf_offs[bi]))
+        leaf_rows.append(b.leaf_rows)
+        root_min[bi] = np.where(np.isfinite(b.node_min[0]), b.node_min[0], 0.0)
+        root_max[bi] = np.where(np.isfinite(b.node_max[0]), b.node_max[0], 0.0)
+        root_code[bi] = (
+            _code(TYPE_BOX, node_offs[bi], obj=True)
+            if b.num_leaves > 1
+            else _code(TYPE_LEAF, leaf_offs[bi], obj=True)
+        )
+
+    for ai, inst in enumerate(anim_instances):
+        bi = num_models_blas + ai
+        b = builds[bi]
+        rows16 = _emit_blas_node_rows(b, node_offs[bi], leaf_offs[bi])
+        anim.append(
+            AnimBLAS(
+                blas_id=bi,
+                instance_index=inst.index,
+                node_off=node_offs[bi] - static_no,
+                node_count=max(b.num_leaves - 1, 0),
+                leaf_off=leaf_offs[bi] - static_lo,
+                num_leaves=b.num_leaves,
+                rest_rows=b.leaf_rows,
+                node_codes=rows16[:, 12:16] if rows16.size else
+                np.zeros((0, 4), np.float32),
+                phase=float(getattr(inst, "anim_phase", 0.0)),
+            )
+        )
+
+    all_nodes = np.concatenate(node_rows, axis=0)
+    all_leaves = np.concatenate(leaf_rows, axis=0)
+    meta = BLASSetMeta(
+        blas_of_model=blas_of_model,
+        max_depth=max((b.depth for b in builds), default=0),
+        num_static_nodes=static_no,
+        num_static_leaves=static_lo,
+        anim=anim,
+        num_anim_nodes=no - static_no,
+        num_anim_leaves=lo - static_lo,
+        num_blas=len(builds),
+    )
+    blasset = BLASSet(
+        nodes=jnp.asarray(all_nodes[:static_no]),
+        leaf_rows=jnp.asarray(all_leaves[:static_lo]),
+        root_min=jnp.asarray(root_min),
+        root_max=jnp.asarray(root_max),
+        root_code=jnp.asarray(root_code),
+    )
+    anim_rest = jnp.asarray(all_leaves[static_lo:])        # f32[LA, 128]
+    anim_rest_nodes = jnp.asarray(all_nodes[static_no:])   # f32[NA, 16]
+    return blasset, meta, anim_rest, anim_rest_nodes
+
+
+# ---------------------------------------------------------------------------
+# Per-frame: anim BLAS refit + TLAS build + unified node table assembly
+# ---------------------------------------------------------------------------
+
+def refit_anim_blases(
+    meta: BLASSetMeta,
+    anim_rest: jax.Array,     # f32[LA, 128] rest-pose leaf rows
+    time: jax.Array,
+    animate: Callable,        # f(v f32[..., 3], time) -> f32[..., 3]
+):
+    """Animate unique-geometry vertices and refit their BLAS rows in-graph.
+
+    Returns (anim_node_rows f32[NA, 16], anim_leaf_rows f32[LA, 128],
+    root_lo f32[A, 3], root_hi f32[A, 3]). The morton ordering is the rest
+    pose's (refit keeps topology — TLAS::updateTLAS refit semantics)."""
+    if not meta.anim:
+        z = jnp.zeros((0, 16), jnp.float32)
+        return (z, jnp.zeros((0, LEAF_ROW), jnp.float32),
+                jnp.zeros((0, 3), jnp.float32), jnp.zeros((0, 3), jnp.float32))
+
+    node_parts = []
+    leaf_parts = []
+    roots_lo, roots_hi = [], []
+    for a in meta.anim:
+        rows = anim_rest[a.leaf_off : a.leaf_off + a.num_leaves]
+        pos = rows[:, _POS:_UV].reshape(-1, 3)                 # [L*K*3, 3]
+        pos = animate(pos, time + a.phase)
+        pos9 = pos.reshape(a.num_leaves, K, 9)
+        rows = rows.at[:, _POS:_UV].set(pos9.reshape(a.num_leaves, K * 9))
+        leaf_parts.append(rows)
+
+        prim = _i32_from_f32(rows[:, _PRIM:_PRIM + K])          # [L, K]
+        ok = (prim >= 0)[..., None]
+        tri_min = jnp.minimum(
+            jnp.minimum(pos9[..., 0:3], pos9[..., 3:6]), pos9[..., 6:9])
+        tri_max = jnp.maximum(
+            jnp.maximum(pos9[..., 0:3], pos9[..., 3:6]), pos9[..., 6:9])
+        leaf_min = jnp.where(ok, tri_min, jnp.inf).min(axis=1)   # [L, 3]
+        leaf_max = jnp.where(ok, tri_max, -jnp.inf).max(axis=1)
+
+        levels_min = [leaf_min]
+        levels_max = [leaf_max]
+        while levels_min[0].shape[0] > 1:
+            cm, cx = levels_min[0], levels_max[0]
+            levels_min.insert(0, jnp.minimum(cm[0::2], cm[1::2]))
+            levels_max.insert(0, jnp.maximum(cx[0::2], cx[1::2]))
+        node_min = jnp.concatenate(levels_min, axis=0)
+        node_max = jnp.concatenate(levels_max, axis=0)
+        l = a.num_leaves
+        roots_lo.append(jnp.where(jnp.isfinite(node_min[0]), node_min[0], 0.0))
+        roots_hi.append(jnp.where(jnp.isfinite(node_max[0]), node_max[0], 0.0))
+        if l > 1:
+            c0 = jnp.arange(1, 2 * l - 1, 2)
+            c1 = c0 + 1
+            rows16 = jnp.concatenate(
+                [node_min[c0], node_max[c0], node_min[c1], node_max[c1],
+                 jnp.asarray(a.node_codes)],
+                axis=-1,
+            )
+            node_parts.append(rows16)
+
+    nodes = (jnp.concatenate(node_parts, axis=0) if node_parts
+             else jnp.zeros((0, 16), jnp.float32))
+    return (nodes, jnp.concatenate(leaf_parts, axis=0),
+            jnp.stack(roots_lo), jnp.stack(roots_hi))
+
+
+def build_tlas_rows(
+    instances: InstanceArrays,
+    inst_blas: jax.Array,     # i32[N] blas id per instance slot
+    root_min: jax.Array,      # f32[B, 3] per-blas object root AABBs
+    root_max: jax.Array,      # f32[B, 3]
+    mask: jax.Array,          # bool[N] membership in this TLAS
+    *,
+    node_offset: int,         # global row offset of this TLAS's rows
+    inst_offset: int,         # global row offset of the instance-row block
+):
+    """Per-frame TLAS over instance world AABBs -> node rows f32[Lt-1, 16].
+
+    The TLASInstBuild.comp + vkCmdBuildAccelerationStructuresKHR(TOP_LEVEL)
+    analogue: O(N) matrix/AABB math + one morton sort. Leaves are single
+    instances; their world AABB is tested by the parent row, so a leaf pop
+    goes straight to the instance switch."""
+    n = instances.capacity
+    l = _next_pow2(n)
+    alive = instances.alive & mask
+    mats = trs_to_mat34(instances.pos, instances.scale, instances.quat)
+    bid = jnp.clip(inst_blas, 0, root_min.shape[0] - 1)
+    wlo, whi = transform_aabb(mats, root_min[bid], root_max[bid])
+
+    inf = jnp.float32(jnp.inf)
+    blo = jnp.where(alive[:, None], wlo, inf)
+    bhi = jnp.where(alive[:, None], whi, -inf)
+    centroid = jnp.where(alive[:, None], (wlo + whi) * 0.5, 0.0)
+    scene_lo = jnp.min(blo, axis=0)
+    scene_hi = jnp.max(bhi, axis=0)
+    codes = morton_codes(centroid, scene_lo, scene_hi)
+    codes = jnp.where(alive, codes, jnp.uint32(0xFFFFFFFF))
+    order = jnp.argsort(codes).astype(jnp.int32)
+
+    perm = jnp.full((l,), -1, jnp.int32).at[:n].set(
+        jnp.where(alive[order], order, -1))
+    leaf_min = jnp.full((l, 3), inf, jnp.float32).at[:n].set(blo[order])
+    leaf_max = jnp.full((l, 3), -inf, jnp.float32).at[:n].set(bhi[order])
+
+    levels_min = [leaf_min]
+    levels_max = [leaf_max]
+    while levels_min[0].shape[0] > 1:
+        cm, cx = levels_min[0], levels_max[0]
+        levels_min.insert(0, jnp.minimum(cm[0::2], cm[1::2]))
+        levels_max.insert(0, jnp.maximum(cx[0::2], cx[1::2]))
+    node_min = jnp.concatenate(levels_min, axis=0)
+    node_max = jnp.concatenate(levels_max, axis=0)
+
+    c0 = jnp.arange(1, 2 * l - 1, 2)
+    c1 = c0 + 1
+
+    def codes_of(c):
+        internal = c < l - 1
+        leaf_k = jnp.maximum(c - (l - 1), 0)
+        inst = jnp.maximum(perm[leaf_k], 0) + inst_offset
+        return jnp.where(
+            internal,
+            _code(TYPE_BOX, 0) + node_offset + c,
+            _code(TYPE_INST, 0) + inst,
+        ).astype(jnp.int32)
+
+    rows = jnp.concatenate(
+        [
+            jnp.nan_to_num(node_min[c0], posinf=1e30),
+            jnp.nan_to_num(node_max[c0], neginf=-1e30),
+            jnp.nan_to_num(node_min[c1], posinf=1e30),
+            jnp.nan_to_num(node_max[c1], neginf=-1e30),
+            _f32_from_i32(codes_of(c0))[:, None],
+            _f32_from_i32(codes_of(c1))[:, None],
+            jnp.zeros((l - 1, 2), jnp.float32),
+        ],
+        axis=-1,
+    )
+    # dead leaves/subtrees: make the slab test unpassable (min > max)
+    dead0 = rows[:, 3:6] < rows[:, 0:3]
+    dead1 = rows[:, 9:12] < rows[:, 6:9]
+    rows = rows.at[:, 0:3].set(jnp.where(dead0, 1e30, rows[:, 0:3]))
+    rows = rows.at[:, 3:6].set(jnp.where(dead0, -1e30, rows[:, 3:6]))
+    rows = rows.at[:, 6:9].set(jnp.where(dead1, 1e30, rows[:, 6:9]))
+    rows = rows.at[:, 9:12].set(jnp.where(dead1, -1e30, rows[:, 9:12]))
+    return rows, mats
+
+
+def make_instance_rows(
+    instances: InstanceArrays,
+    mats: jax.Array,          # f32[N, 3, 4] forward TRS
+    inst_blas: jax.Array,     # i32[N]
+    root_code: jax.Array,     # i32[B]
+) -> jax.Array:
+    """Instance rows for the unified node table: f32[N, 16] =
+    [inverse 3x4 (12) | blas root code (1) | pad (3)]. Popping an instance
+    code gathers this row, switches the ray to object space, and pushes the
+    root code (the per-instance BLAS address in the reference's
+    VkAccelerationStructureInstanceKHR record, TLASInstBuild.comp:45-71)."""
+    # inverse TRS directly from components: M = T R S -> M^-1 = S^-1 R^T T^-1
+    rot = quat_to_mat3(instances.quat)                   # [N, 3, 3]
+    inv_s = 1.0 / jnp.maximum(jnp.abs(instances.scale), 1e-12) * jnp.sign(
+        jnp.where(instances.scale == 0.0, 1.0, instances.scale))
+    a_inv = rot.transpose(0, 2, 1) * inv_s[:, :, None]   # S^-1 R^T
+    t_inv = -jnp.einsum("nij,nj->ni", a_inv, instances.pos)
+    inv12 = jnp.concatenate([a_inv, t_inv[:, :, None]], axis=-1).reshape(-1, 12)
+    bid = jnp.clip(inst_blas, 0, root_code.shape[0] - 1)
+    rcode = _f32_from_i32(root_code[bid])[:, None]
+    # col 13 carries the instance's own slot id (the traversal reads it when
+    # switching, instead of decoding the global row offset)
+    self_id = _f32_from_i32(
+        jnp.arange(inv12.shape[0], dtype=jnp.int32))[:, None]
+    return jnp.concatenate(
+        [inv12, rcode, self_id, jnp.zeros((inv12.shape[0], 2), jnp.float32)],
+        axis=-1)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RTScene:
+    """Frame-assembled unified traversal scene (device pytree)."""
+
+    nodes: jax.Array       # f32[*, 16]: [blas | anim | instance | tlas...] rows
+    leaf_rows: jax.Array   # f32[*, 128]: [static | anim] leaf rows
+    fwd_rows: jax.Array    # f32[N, 12] forward matrices (resolve)
+    tri_attr: jax.Array    # f32[Ta, 16] obj normals(9) + uv(6) + slot(1)
+
+
+def assemble_scene(
+    blasset: BLASSet,
+    meta: BLASSetMeta,
+    anim_rest: jax.Array,        # f32[LA, 128] rest leaf rows
+    anim_rest_nodes: jax.Array,  # f32[NA, 16] rest node rows
+    instances: InstanceArrays,
+    inst_blas: jax.Array,
+    tlas_masks: Sequence[jax.Array],
+    tri_attr: jax.Array,
+    *,
+    time: Optional[jax.Array] = None,
+    animate: Optional[Callable] = None,
+) -> Tuple[RTScene, List[int]]:
+    """Assemble the unified node table for one frame.
+
+    Row layout: [static BLAS | anim BLAS | instance rows | TLAS 0 | TLAS 1...].
+    Returns (scene, [root codes per TLAS]). All offsets are static python
+    ints (shapes are capacities), so root codes are jit-static."""
+    n = instances.capacity
+    l = _next_pow2(n)
+    nb = meta.num_static_nodes
+    na = meta.num_anim_nodes
+    inst_off = nb + na
+
+    if meta.anim and animate is not None and time is not None:
+        anim_nodes, anim_leaves, a_lo, a_hi = refit_anim_blases(
+            meta, anim_rest, time, animate)
+        root_min = jnp.concatenate(
+            [blasset.root_min[: meta.num_blas - len(meta.anim)], a_lo], axis=0)
+        root_max = jnp.concatenate(
+            [blasset.root_max[: meta.num_blas - len(meta.anim)], a_hi], axis=0)
+    else:
+        anim_nodes = anim_rest_nodes
+        anim_leaves = anim_rest
+        root_min, root_max = blasset.root_min, blasset.root_max
+
+    parts = [blasset.nodes, anim_nodes]
+    mats = None
+    root_codes: List[int] = []
+    tlas_off = inst_off + n
+    tlas_parts = []
+    for mask in tlas_masks:
+        rows, mats = build_tlas_rows(
+            instances, inst_blas, root_min, root_max, mask,
+            node_offset=tlas_off, inst_offset=inst_off,
+        )
+        tlas_parts.append(rows)
+        root_codes.append(_code(TYPE_BOX, tlas_off))
+        tlas_off += rows.shape[0]
+
+    inst_rows = make_instance_rows(instances, mats, inst_blas, blasset.root_code)
+    nodes = jnp.concatenate(parts + [inst_rows] + tlas_parts, axis=0)
+    leaf_rows = jnp.concatenate([blasset.leaf_rows, anim_leaves], axis=0)
+    fwd = mats.reshape(-1, 12)
+    return RTScene(nodes=nodes, leaf_rows=leaf_rows, fwd_rows=fwd,
+                   tri_attr=tri_attr), root_codes
+
+
+def build_tri_attr(scene) -> jax.Array:
+    """Arena-wide packed object-space attribute rows f32[Ta, 16]:
+    [n0 n1 n2 (9) | uv0 uv1 uv2 (6) | material slot (1)]. One gather per ray
+    at resolve time (the hitcommon.glsl getHitInfo BDA walk analogue)."""
+    arena = scene.arena
+    idx = arena._idx
+    ta = idx.shape[0]
+    out = np.zeros((ta, 16), np.float32)
+    nrm = arena._nrm[idx]                     # [Ta, 3, 3]
+    uv = arena._uv[idx]                       # [Ta, 3, 2]
+    out[:, 0:9] = nrm.reshape(ta, 9)
+    out[:, 9:15] = uv.reshape(ta, 6)
+    slot = np.zeros(ta, np.float32)
+    for model in scene.models:
+        for lod in model.lods:
+            for mm in lod.meshes:
+                h = mm.handle
+                slot[h.tri_offset : h.tri_offset + h.tri_count] = mm.material_slot
+    out[:, 15] = slot
+    return jnp.asarray(out)
+
+
+def required_stack_size(meta: BLASSetMeta, capacity: int) -> int:
+    """Traversal stack bound: one pending far-child per level of each tree +
+    one instance entry + slack, rounded to a vector-friendly multiple."""
+    d1 = max(1, _next_pow2(capacity).bit_length() - 1)
+    return -(-(d1 + meta.max_depth + 8) // 8) * 8
+
+
+# ---------------------------------------------------------------------------
+# Two-level traversal (XLA lockstep; the Pallas packet kernel is the perf path)
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HitRecord2:
+    t: jax.Array       # f32[R] — inf when miss
+    prim: jax.Array    # i32[R] arena triangle id, -1 when miss
+    inst: jax.Array    # i32[R] instance slot, -1 when miss
+    bary: jax.Array    # f32[R, 2]
+
+    @property
+    def hit(self) -> jax.Array:
+        return self.prim >= 0
+
+
+def _slab2(o, inv_d, t_max, bmin0, bmax0, bmin1, bmax1):
+    """Slab-test two child boxes; returns (hit0, hit1, tn0, tn1)."""
+    def one(bmin, bmax):
+        t0 = (bmin - o) * inv_d
+        t1 = (bmax - o) * inv_d
+        tn = jnp.minimum(t0, t1).max(axis=-1)
+        tf = jnp.maximum(t0, t1).min(axis=-1)
+        return (tf >= jnp.maximum(tn, 0.0)) & (tn <= t_max), tn
+
+    h0, tn0 = one(bmin0, bmax0)
+    h1, tn1 = one(bmin1, bmax1)
+    return h0, h1, tn0, tn1
+
+
+def trace_scene(
+    scene: RTScene,
+    ray_o: jax.Array,    # f32[R, 3] world
+    ray_d: jax.Array,    # f32[R, 3] world
+    t_max: jax.Array,    # f32[R]
+    *,
+    root_code: int,      # static: this pass's TLAS root
+    stack_size: int,     # static: 2*(tlas_depth + max_blas_depth) + 6
+    t_min: float = 1e-3,
+    any_hit: bool = False,
+    active: Optional[jax.Array] = None,
+    alpha_test=None,     # fn(prim i32[R,K], slot i32[R,K], inst i32[R], u, v) -> bool[R,K]
+) -> HitRecord2:
+    """Unified two-level traversal (replaces vkCmdTraceRaysKHR's driver
+    TLAS->BLAS walk, RayTrace.cpp:34-95). Lockstep over rays: each step pops
+    one tagged code per ray and handles box rows / instance switches / leaf
+    tests by masking. Object-space direction is unnormalized so ``t`` is the
+    world parameter in both spaces."""
+    r = ray_o.shape[0]
+    nn = scene.nodes.shape[0]
+    nl = scene.leaf_rows.shape[0]
+    s = stack_size
+
+    rzf = ray_o[:, 0] * 0.0 + ray_d[:, 0] * 0.0
+    rz = rzf.astype(jnp.int32)
+    stack = rz[:, None] + jnp.zeros((1, s), jnp.int32)
+    stack = stack.at[:, 0].set(root_code)
+    sp0 = rz + 1
+    if active is not None:
+        sp0 = jnp.where(active, sp0, 0)
+
+    state = (
+        sp0, stack,
+        jnp.asarray(t_max, jnp.float32) + rzf,       # best_t
+        rz - 1,                                       # best_prim
+        rz - 1,                                       # best_inst
+        rzf[:, None] + jnp.zeros((1, 2), jnp.float32),  # best_bary
+        rzf[:, None] + ray_o,                         # o_obj
+        rzf[:, None] + ray_d,                         # d_obj
+        rz,                                           # cur_inst
+    )
+
+    cols = jnp.arange(s, dtype=jnp.int32)[None, :]
+
+    def cond(st):
+        return jnp.any(st[0] > 0)
+
+    def body(st):
+        (sp, stack, best_t, best_prim, best_inst, best_bary,
+         o_obj, d_obj, cur_inst) = st
+        live = sp > 0
+        top = jnp.maximum(sp - 1, 0)
+        code = jnp.sum(jnp.where(cols == top[:, None], stack, 0), axis=1)
+        code = jnp.where(live, code, 0)
+        sp = jnp.where(live, sp - 1, sp)
+
+        typ = (code >> _TYPE_SHIFT) & 3
+        payload = code & _PAYLOAD_MASK
+        obj = (code >> 30) & 1
+        is_box = live & (typ == TYPE_BOX)
+        is_leaf = live & (typ == TYPE_LEAF)
+        is_inst = live & (typ == TYPE_INST)
+
+        # ---- unified node-row gather (box rows AND instance rows) ---------
+        row = scene.nodes[jnp.clip(payload, 0, nn - 1)]          # [R, 16]
+
+        # ---- instance switch: world ray -> object ray, push BLAS root -----
+        inv = row[:, :12]
+        o2 = jnp.stack(
+            [inv[:, 4 * i] * ray_o[:, 0] + inv[:, 4 * i + 1] * ray_o[:, 1]
+             + inv[:, 4 * i + 2] * ray_o[:, 2] + inv[:, 4 * i + 3]
+             for i in range(3)], axis=-1)
+        d2 = jnp.stack(
+            [inv[:, 4 * i] * ray_d[:, 0] + inv[:, 4 * i + 1] * ray_d[:, 1]
+             + inv[:, 4 * i + 2] * ray_d[:, 2]
+             for i in range(3)], axis=-1)
+        o_obj = jnp.where(is_inst[:, None], o2, o_obj)
+        d_obj = jnp.where(is_inst[:, None], d2, d_obj)
+        cur_inst = jnp.where(is_inst, _i32_from_f32(row[:, 13]), cur_inst)
+        rootc = _i32_from_f32(row[:, 12])
+
+        def push(sp, stack, val, do):
+            sel = (cols == sp[:, None]) & do[:, None]
+            stack = jnp.where(sel, val[:, None], stack)
+            sp = jnp.where(do, sp + 1, sp)
+            return sp, stack
+
+        sp, stack = push(sp, stack, rootc, is_inst)
+
+        # ---- box row: slab-test both children in the row's space ----------
+        use_obj = (obj == 1) & is_box
+        ot = jnp.where(use_obj[:, None], o_obj, ray_o)
+        dt = jnp.where(use_obj[:, None], d_obj, ray_d)
+        inv_d = 1.0 / jnp.where(jnp.abs(dt) < 1e-12, 1e-12, dt)
+        h0, h1, tn0, tn1 = _slab2(
+            ot, inv_d, best_t,
+            row[:, 0:3], row[:, 3:6], row[:, 6:9], row[:, 9:12])
+        h0 &= is_box
+        h1 &= is_box
+        c0 = _i32_from_f32(row[:, 12])
+        c1 = _i32_from_f32(row[:, 13])
+        first_is_0 = tn0 <= tn1
+        near = jnp.where(first_is_0, c0, c1)
+        far = jnp.where(first_is_0, c1, c0)
+        near_hit = jnp.where(first_is_0, h0, h1)
+        far_hit = jnp.where(first_is_0, h1, h0)
+        sp, stack = push(sp, stack, far, far_hit)
+        sp, stack = push(sp, stack, near, near_hit)
+
+        # ---- leaf: ONE 128-float row gather tests K triangles -------------
+        lrow = scene.leaf_rows[jnp.clip(payload, 0, nl - 1)]     # [R, 128]
+        tri = lrow[:, _POS:_UV].reshape(r, K, 9)
+        prim_tag = _i32_from_f32(lrow[:, _PRIM:_PRIM + K])        # [R, K]
+        prim = prim_tag & 0x00FFFFFF
+        slot = jnp.where(prim_tag >= 0, prim_tag >> 24, 0)
+        from .bvh import moller_trumbore
+
+        t, u, v, hit = moller_trumbore(
+            o_obj[:, None, :], d_obj[:, None, :],
+            tri[..., 0:3], tri[..., 3:6], tri[..., 6:9], t_min=t_min,
+        )
+        cand = is_leaf[:, None] & hit & (prim_tag >= 0) & (t < best_t[:, None])
+        if alpha_test is not None:
+            cand &= alpha_test(jnp.maximum(prim, 0), slot, cur_inst, u, v)
+        t_m = jnp.where(cand, t, jnp.inf)
+        best_k = jnp.argmin(t_m, axis=1)
+        sel = jax.lax.broadcasted_iota(jnp.int32, (r, K), 1) == best_k[:, None]
+        any_win = jnp.any(cand, axis=1)
+        t_new = jnp.min(t_m, axis=1)
+        prim_new = jnp.sum(jnp.where(sel, prim, 0), axis=1)
+        u_new = jnp.sum(jnp.where(sel, u, 0.0), axis=1)
+        v_new = jnp.sum(jnp.where(sel, v, 0.0), axis=1)
+        best_t = jnp.where(any_win, t_new, best_t)
+        best_prim = jnp.where(any_win, prim_new, best_prim)
+        best_inst = jnp.where(any_win, cur_inst, best_inst)
+        best_bary = jnp.where(
+            any_win[:, None], jnp.stack([u_new, v_new], axis=-1), best_bary)
+        if any_hit:
+            sp = jnp.where(any_win, 0, sp)
+
+        return (sp, stack, best_t, best_prim, best_inst, best_bary,
+                o_obj, d_obj, cur_inst)
+
+    st = jax.lax.while_loop(cond, body, state)
+    best_t, best_prim, best_inst, best_bary = st[2], st[3], st[4], st[5]
+    miss = best_prim < 0
+    return HitRecord2(
+        t=jnp.where(miss, jnp.inf, best_t),
+        prim=best_prim,
+        inst=jnp.where(miss, -1, best_inst),
+        bary=best_bary,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tracer context: the (trace, resolve) protocol the lighting passes use
+# ---------------------------------------------------------------------------
+
+class SceneTracer:
+    """Two-level tracer + attribute resolver bound to one frame's RTScene.
+
+    The protocol shared with ops.trace.BatchTracer: ``.trace(o, d, t_max,
+    any_hit=, active=, use_alpha=)`` -> hit record and ``.resolve(rec, o, d)``
+    -> trace.SurfaceHits. ``use_alpha`` enables the any-hit leaf-cutout test
+    (reference leaf.rahit; shadow rays stay opaque — OpaqueEXT flags)."""
+
+    def __init__(
+        self,
+        scene: RTScene,
+        slot_materials: jax.Array,   # i32[N, S]
+        materials,                   # core.material.MaterialTable
+        *,
+        root_code: int,
+        stack_size: int,
+        leaf_cutout: bool = False,
+        use_pallas: bool = False,
+    ):
+        self.scene = scene
+        self.slot_materials = slot_materials
+        self.materials = materials
+        self.root_code = root_code
+        self.stack_size = stack_size
+        self.leaf_cutout = leaf_cutout
+        self.use_pallas = use_pallas
+
+    # -- alpha cutout hook ---------------------------------------------------
+    def _alpha_test(self):
+        if not self.leaf_cutout:
+            return None
+        from ..core.material import SHADE_LEAF
+        from .shading import leaf_alpha
+
+        scene = self.scene
+        slot_materials = self.slot_materials
+        shading_model = self.materials.shading_model
+
+        def test(prim, slot, inst, u, v):
+            # material id = per-instance slot binding (one [S]-row gather per
+            # ray + small one-hot select over slots)
+            srow = slot_materials[jnp.clip(inst, 0, slot_materials.shape[0] - 1)]
+            mat = jnp.take_along_axis(
+                srow[:, None, :].repeat(slot.shape[1], axis=1),
+                jnp.clip(slot, 0, slot_materials.shape[1] - 1)[..., None],
+                axis=-1,
+            )[..., 0]
+            is_leaf_mat = shading_model[mat] == SHADE_LEAF
+            attr = scene.tri_attr[prim]                       # [R, K, 16]
+            w0 = 1.0 - u - v
+            uv = (
+                w0[..., None] * attr[..., 9:11]
+                + u[..., None] * attr[..., 11:13]
+                + v[..., None] * attr[..., 13:15]
+            )
+            return jnp.where(is_leaf_mat, leaf_alpha(uv) >= 0.5, True)
+
+        return test
+
+    def trace(self, o, d, t_max, *, any_hit=False, active=None, use_alpha=False):
+        alpha = self._alpha_test() if use_alpha else None
+        if self.use_pallas and alpha is None:
+            from .trace_kernel import trace_scene_pallas, pallas_traversal_ok
+
+            if pallas_traversal_ok(self.scene, o.shape[0]):
+                return trace_scene_pallas(
+                    self.scene, o, d, t_max,
+                    root_code=self.root_code, stack_size=self.stack_size,
+                    any_hit=any_hit, active=active,
+                )
+        return trace_scene(
+            self.scene, o, d, t_max,
+            root_code=self.root_code, stack_size=self.stack_size,
+            any_hit=any_hit, active=active, alpha_test=alpha,
+        )
+
+    def resolve(self, rec: HitRecord2, ray_o, ray_d):
+        """Interpolate hit attributes (hitcommon.glsl getHitInfo analogue):
+        world position from the ray equation (exact), normals/uvs from ONE
+        object-space attr row + the instance's forward matrix."""
+        from .trace import SurfaceHits
+
+        scene = self.scene
+        pid = jnp.maximum(rec.prim, 0)
+        iid = jnp.clip(rec.inst, 0, scene.fwd_rows.shape[0] - 1)
+        u = rec.bary[:, 0]
+        v = rec.bary[:, 1]
+        w0 = 1.0 - u - v
+
+        attr = scene.tri_attr[pid]                            # [R, 16]
+        fwd = scene.fwd_rows[iid]                             # [R, 12]
+
+        t = jnp.where(rec.hit, rec.t, 0.0)
+        world = ray_o + t[:, None] * ray_d
+
+        n_obj = (
+            w0[:, None] * attr[:, 0:3]
+            + u[:, None] * attr[:, 3:6]
+            + v[:, None] * attr[:, 6:9]
+        )
+        n_w = jnp.stack(
+            [fwd[:, 4 * i] * n_obj[:, 0] + fwd[:, 4 * i + 1] * n_obj[:, 1]
+             + fwd[:, 4 * i + 2] * n_obj[:, 2]
+             for i in range(3)], axis=-1)
+        n_w = n_w / jnp.maximum(
+            jnp.linalg.norm(n_w, axis=-1, keepdims=True), 1e-12)
+        facing = jnp.sum(n_w * ray_d, axis=-1) < 0.0
+        n_w = jnp.where(facing[:, None], n_w, -n_w)
+
+        uv = (
+            w0[:, None] * attr[:, 9:11]
+            + u[:, None] * attr[:, 11:13]
+            + v[:, None] * attr[:, 13:15]
+        )
+        slot = attr[:, 15].astype(jnp.int32)
+        srow = self.slot_materials[iid]                       # [R, S]
+        mat = jnp.take_along_axis(
+            srow, jnp.clip(slot, 0, srow.shape[1] - 1)[:, None], axis=1
+        )[:, 0]
+        return SurfaceHits(
+            world_pos=world,
+            normal=n_w,
+            uv=uv,
+            material=jnp.where(rec.hit, mat, 0),
+            valid=rec.hit,
+            t=rec.t,
+        )
