@@ -76,6 +76,8 @@ class GeometryArena:
         self._next_mesh_id = 0
         self._device: Optional[GeometryArrays] = None
         self._dirty = True
+        # bumped on any content/layout change; BLAS/attr caches key on it
+        self.revision = 0
 
     # -- capacity management (amortized growth; reference: 1.4x overhead) ---
     def _ensure(self, extra_v: int, extra_t: int) -> None:
@@ -122,6 +124,7 @@ class GeometryArena:
         self._meshes[handle.mesh_id] = handle
         self._next_mesh_id += 1
         self._dirty = True
+        self.revision += 1
         return handle
 
     def remove_mesh(self, handle: MeshHandle) -> None:
@@ -129,6 +132,7 @@ class GeometryArena:
         VulkanResources.cpp:405-422). Space is reclaimed by ``compact``."""
         self._meshes.pop(handle.mesh_id, None)
         self._dirty = True
+        self.revision += 1
 
     def compact(self) -> Dict[int, MeshHandle]:
         """Re-pack live meshes densely; returns {mesh_id: new handle} so
@@ -160,6 +164,7 @@ class GeometryArena:
         self.vertex_count, self.tri_count = vc, tc
         self._meshes = remapped
         self._dirty = True
+        self.revision += 1
         return remapped
 
     def device_arrays(self) -> GeometryArrays:

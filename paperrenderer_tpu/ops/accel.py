@@ -884,9 +884,12 @@ class SceneTracer:
     def trace(self, o, d, t_max, *, any_hit=False, active=None, use_alpha=False):
         alpha = self._alpha_test() if use_alpha else None
         if self.use_pallas and alpha is None:
-            from .trace_kernel import trace_scene_pallas, pallas_traversal_ok
+            from .trace_kernel import (
+                _STACK, pallas_traversal_ok, trace_scene_pallas,
+            )
 
-            if pallas_traversal_ok(self.scene, o.shape[0]):
+            if (self.stack_size <= _STACK
+                    and pallas_traversal_ok(self.scene, o.shape[0])):
                 return trace_scene_pallas(
                     self.scene, o, d, t_max,
                     root_code=self.root_code, stack_size=self.stack_size,

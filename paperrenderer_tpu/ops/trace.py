@@ -194,19 +194,42 @@ def make_leaf_alpha_test(batch: TriangleBatch, materials: MaterialTable):
     return test
 
 
-def _trace(batch: TriangleBatch, bvh: BVH, o, d, t_max, *, any_hit=False,
-           active=None, alpha_test=None):
-    return bvh_trace(
-        bvh,
-        batch.world[:, 0], batch.world[:, 1], batch.world[:, 2],
-        o, d, t_max, any_hit=any_hit, active=active, alpha_test=alpha_test,
-    )
+class BatchTracer:
+    """Tracer context over a per-frame world TriangleBatch + its BVH (the
+    round-1 single-level path, kept as the reference/fallback tracer and for
+    sharded tiles). Protocol shared with ops.accel.SceneTracer:
+    ``.trace(o, d, t_max, any_hit=, active=, use_alpha=)`` and
+    ``.resolve(rec, o, d)``."""
+
+    def __init__(self, batch: TriangleBatch, bvh: BVH,
+                 materials: Optional[MaterialTable] = None,
+                 leaf_cutout: bool = False):
+        self.batch = batch
+        self.bvh = bvh
+        self.materials = materials
+        self.leaf_cutout = leaf_cutout
+
+    def trace(self, o, d, t_max, *, any_hit=False, active=None,
+              use_alpha=False):
+        alpha = (
+            make_leaf_alpha_test(self.batch, self.materials)
+            if (use_alpha and self.leaf_cutout and self.materials is not None)
+            else None
+        )
+        return bvh_trace(
+            self.bvh,
+            self.batch.world[:, 0], self.batch.world[:, 1],
+            self.batch.world[:, 2],
+            o, d, t_max, any_hit=any_hit, active=active, alpha_test=alpha,
+        )
+
+    def resolve(self, rec: HitRecord, o, d) -> SurfaceHits:
+        return resolve_hits(self.batch, rec, o, d)
 
 
 def shadow_visibility(
     surf: SurfaceHits,
-    batch: TriangleBatch,
-    bvh: BVH,
+    ctx,
     lights: Lights,
     key: jax.Array,
     samples: int,
@@ -246,9 +269,8 @@ def shadow_visibility(
             sdir = sample_pos - surf.world_pos
             sdir = sdir / jnp.maximum(jnp.linalg.norm(sdir, axis=-1, keepdims=True), 1e-9)
             sdir = jnp.where(lights.radius[li] > 0.0, sdir, ldir)
-            rec = _trace(
-                batch, bvh, origin, sdir, dist,
-                any_hit=True, active=surf.valid,
+            rec = ctx.trace(
+                origin, sdir, dist, any_hit=True, active=surf.valid,
             )
             unshadowed += jnp.where(rec.hit, 0.0, 1.0)
         v = unshadowed / samples
@@ -259,13 +281,11 @@ def shadow_visibility(
 
 def ambient_occlusion(
     surf: SurfaceHits,
-    batch: TriangleBatch,
-    bvh: BVH,
+    ctx,
     materials: MaterialTable,
     key: jax.Array,
     samples: int,
     radius: float,
-    alpha_test=None,
 ) -> jax.Array:
     """RTAO factor in [0,1] (raytrace.rchit:175-219): cosine-hemisphere rays,
     occlusion weighted by 1 - t/radius, scaled by mix(1, roughness, metallic).
@@ -282,8 +302,8 @@ def ambient_occlusion(
         r1, r2 = jax.random.uniform(k, (2, r))
         d = _cosine_sample(surf.normal, tx, ty, jnp.ones((r,)), r1, r2)
         o = surf.world_pos + surf.normal * 1e-3  # OffsetRay analogue
-        rec = _trace(batch, bvh, o, d, jnp.full((r,), radius), active=surf.valid,
-                     alpha_test=alpha_test)
+        rec = ctx.trace(o, d, jnp.full((r,), radius), active=surf.valid,
+                        use_alpha=True)
         occ += jnp.where(rec.hit, 1.0 - jnp.minimum(rec.t, radius) / radius, 0.0)
     rough = materials.roughness[surf.material]
     metal = materials.metallic[surf.material]
@@ -325,8 +345,7 @@ def shade_surfaces(
 
 def reflections(
     surf: SurfaceHits,
-    batch: TriangleBatch,
-    bvh: BVH,
+    ctx,
     materials: MaterialTable,
     lights: Lights,
     cam_pos: jax.Array,
@@ -358,19 +377,16 @@ def reflections(
         pert_n = _cosine_sample(surf.normal, tx, ty, max_angle, r1, r2)
         rdir = -v + 2.0 * jnp.sum(pert_n * v, axis=-1, keepdims=True) * pert_n
         o = surf.world_pos + surf.normal * 1e-3
-        alpha_test = (
-            make_leaf_alpha_test(batch, materials) if params.leaf_cutout else None
-        )
-        rec = _trace(batch, bvh, o, rdir, jnp.full((r,), 1000.0),
-                     active=surf.valid, alpha_test=alpha_test)
-        hit2 = resolve_hits(batch, rec, o, rdir)
+        rec = ctx.trace(o, rdir, jnp.full((r,), 1000.0),
+                        active=surf.valid, use_alpha=params.leaf_cutout)
+        hit2 = ctx.resolve(rec, o, rdir)
 
         svis = shadow_visibility(
-            surf=hit2, batch=batch, bvh=bvh, lights=lights,
+            surf=hit2, ctx=ctx, lights=lights,
             key=jax.random.fold_in(k, 1), samples=max(1, params.shadow_samples),
         )
         ao2 = ambient_occlusion(
-            hit2, batch, bvh, materials,
+            hit2, ctx, materials,
             jax.random.fold_in(k, 2), params.ao_samples, params.ao_radius,
         )
         color2 = shade_surfaces(hit2, materials, lights, surf.world_pos, svis, ao2)
@@ -382,8 +398,7 @@ def reflections(
 
 
 def trace_frame(
-    batch: TriangleBatch,
-    bvh: BVH,
+    ctx,
     materials: MaterialTable,
     lights: Lights,
     camera: CameraMatrices,
@@ -397,27 +412,25 @@ def trace_frame(
     origin=(0, 0),
 ) -> jax.Array:
     """Full RT frame -> HDR image f32[H, W, 3] (the RayTraceRender::render +
-    rgen/rchit/rmiss pipeline as one wavefront graph). ``origin``/``full_*``
-    trace a screen-tile window for multi-chip sharding."""
+    rgen/rchit/rmiss pipeline as one wavefront graph). ``ctx`` is a tracer
+    context (BatchTracer or accel.SceneTracer). ``origin``/``full_*`` trace a
+    screen-tile window for multi-chip sharding."""
     o, d = raygen(
         camera, width, height,
         full_width=full_width, full_height=full_height, origin=origin,
     )
     r = o.shape[0]
-    alpha_test = (
-        make_leaf_alpha_test(batch, materials) if params.leaf_cutout else None
-    )
-    rec = _trace(batch, bvh, o, d, jnp.full((r,), 1000.0), alpha_test=alpha_test)
-    surf = resolve_hits(batch, rec, o, d)
+    rec = ctx.trace(o, d, jnp.full((r,), 1000.0),
+                    use_alpha=params.leaf_cutout)
+    surf = ctx.resolve(rec, o, d)
 
-    svis = shadow_visibility(surf, batch, bvh, lights, key, max(1, params.shadow_samples))
+    svis = shadow_visibility(surf, ctx, lights, key, max(1, params.shadow_samples))
     ao = ambient_occlusion(
-        surf, batch, bvh, materials, key, params.ao_samples, params.ao_radius,
-        alpha_test=alpha_test,
+        surf, ctx, materials, key, params.ao_samples, params.ao_radius,
     )
     color = shade_surfaces(surf, materials, lights, camera.cam_pos, svis, ao)
     color = color + reflections(
-        surf, batch, bvh, materials, lights, camera.cam_pos,
+        surf, ctx, materials, lights, camera.cam_pos,
         jax.random.fold_in(key, 7), params,
     )
     color = jnp.where(surf.valid[:, None], color, BACKGROUND)

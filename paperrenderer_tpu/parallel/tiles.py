@@ -220,8 +220,12 @@ def sharded_rt_frame(
         hi = batch.world.max(axis=1)
         bvh = build_bvh(lo, hi, batch.valid)
         tile_key = jax.random.fold_in(key, ri * cols + ci)
+        from ..ops.trace import BatchTracer
+
+        ctx = BatchTracer(batch, bvh, materials,
+                          leaf_cutout=params.leaf_cutout)
         hdr = trace_frame(
-            batch, bvh, materials, lights, camera, tile_key,
+            ctx, materials, lights, camera, tile_key,
             width=tile_w, height=tile_h, params=params,
             full_width=width, full_height=height,
             origin=(ci * tile_w, ri * tile_h),

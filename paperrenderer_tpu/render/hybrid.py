@@ -6,15 +6,17 @@ primary visibility from the rasterizer (cheap, exact), then RT passes — soft
 shadows, RTAO, 1-bounce reflections — evaluated AT the G-buffer surfaces and
 fed into the same deferred shading used by both paths.
 
-This is strictly better than the reference's either/or toggle: identical
-shading math guarantees the two paths agree, and the expensive wavefronts
-(shadow/AO/reflection) run only for covered pixels.
+Round-2: the RT passes trace the persistent two-level BLAS/TLAS
+(ops/accel.py) instead of re-transforming every vertex into a per-frame
+world BVH — the frame's RT setup cost is now O(instances), matching the
+reference's BLAS-at-creation + TLAS-refit architecture
+(src/PaperRenderer/Model.cpp:59-74, AccelerationStructure.cpp:618-650).
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Optional
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -22,127 +24,137 @@ import jax.numpy as jnp
 from ..core.camera import Camera, CameraMatrices
 from ..core.material import MaterialTable
 from ..core.scene import InstanceArrays, SceneTables
-from ..core.geometry import GeometryArrays
-from ..ops import preprocess as P
+from ..ops import accel as ACC
 from ..ops import raster as R
 from ..ops import trace as T
-from ..ops.bvh import build_bvh
 from ..ops.shading import Lights, shade_gbuffer
 from ..ops.tonemap import TonemapParams, tonemap
 from ..ops.trace import RTParams
+from .raytrace import AccelCache
 from .renderpass import RenderPass
-from .raytrace import RayTraceRender, build_world_scene
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "width", "height", "max_meshes_per_lod", "tri_capacity",
-        "rt_tri_capacity", "do_culling", "use_pallas", "work_capacity",
-        "shadow_samples", "reflection_samples", "ao_samples", "ao_radius",
-    ),
-)
-def hybrid_frame(
-    mapping,                      # ops.static_batch.StaticMapping
-    instances: InstanceArrays,
-    tables: SceneTables,
-    geo: GeometryArrays,
-    materials: MaterialTable,
-    lights: Lights,
-    camera: CameraMatrices,
-    slot_materials: jax.Array,
-    instance_visible: jax.Array,
-    tonemap_params: TonemapParams,
-    key: jax.Array,
-    *,
-    width: int,
-    height: int,
-    max_meshes_per_lod: int,
-    tri_capacity: int,
-    rt_tri_capacity: int,
-    do_culling: bool = True,
-    use_pallas: bool = False,
-    work_capacity: int = 0,
-    shadow_samples: int = 1,
-    reflection_samples: int = 1,
-    ao_samples: int = 1,
-    ao_radius: float = 2.0,
-):
-    """One hybrid frame. Returns (ldr, aux)."""
-    from ..ops.static_batch import expand_static
+def make_hybrid_frame(meta, animate: Optional[Callable],
+                      use_pallas_trace: bool = False):
+    """Jitted hybrid frame for one scene topology (meta closed over)."""
 
-    # --- raster G-buffer (primary visibility, static expansion) ------------
-    batch, inst_visible = expand_static(
-        mapping, instances, tables, camera, slot_materials, instance_visible,
-        do_culling=do_culling,
+    @partial(
+        jax.jit,
+        static_argnames=(
+            "width", "height", "stack_size", "do_culling", "use_pallas",
+            "work_capacity", "shadow_samples", "reflection_samples",
+            "ao_samples", "ao_radius", "leaf_cutout",
+        ),
     )
-    if use_pallas:
-        from ..ops.raster_pallas import rasterize_tiles_binned
+    def hybrid_frame(
+        mapping,                      # ops.static_batch.StaticMapping
+        blasset,
+        anim_rest,
+        anim_nodes,
+        instances: InstanceArrays,
+        inst_blas: jax.Array,
+        tri_attr: jax.Array,
+        tables: SceneTables,
+        materials: MaterialTable,
+        lights: Lights,
+        camera: CameraMatrices,
+        slot_materials: jax.Array,
+        instance_visible: jax.Array,
+        tonemap_params: TonemapParams,
+        key: jax.Array,
+        time: jax.Array,
+        *,
+        width: int,
+        height: int,
+        stack_size: int,
+        do_culling: bool = True,
+        use_pallas: bool = False,
+        work_capacity: int = 0,
+        shadow_samples: int = 1,
+        reflection_samples: int = 1,
+        ao_samples: int = 1,
+        ao_radius: float = 2.0,
+        leaf_cutout: bool = False,
+    ):
+        """One hybrid frame. Returns (ldr, aux)."""
+        from ..ops.static_batch import expand_static
 
-        depth, tid, bary, _req = rasterize_tiles_binned(
-            batch, width, height,
-            work_capacity=work_capacity or None, presorted=True,
+        # --- raster G-buffer (primary visibility, static expansion) --------
+        batch, inst_visible = expand_static(
+            mapping, instances, tables, camera, slot_materials,
+            instance_visible, do_culling=do_culling,
         )
-    else:
-        depth, tid, bary = R.rasterize(batch, width, height)
-    gbuf = R.resolve_gbuffer_packed(
-        R.pack_attributes(batch), depth, tid, bary, camera
-    )
+        if use_pallas:
+            from ..ops.raster_exact import rasterize_exact, resolve_gbuffer_pairs
 
-    # --- world BVH for the RT passes (full scene, LOD0, no culling) --------
-    rt_batch, _ = expand_static(
-        mapping, instances, tables, camera, slot_materials,
-        do_culling=False, lod_override=0,
-    )
-    lo = rt_batch.world.min(axis=1)
-    hi = rt_batch.world.max(axis=1)
-    from ..ops.bvh import build_bvh as _build
+            depth, tid, attr_table, _req = rasterize_exact(
+                batch, width, height, pair_capacity=work_capacity or None,
+            )
+            gbuf = resolve_gbuffer_pairs(attr_table, depth, tid, camera)
+        else:
+            depth, tid, bary = R.rasterize(batch, width, height)
+            gbuf = R.resolve_gbuffer_packed(
+                R.pack_attributes(batch), depth, tid, bary, camera
+            )
 
-    bvh = _build(lo, hi, rt_batch.valid)
+        # --- two-level TLAS refit for the RT passes (whole scene, LOD 0) ---
+        mask = (jnp.ones(instances.capacity, bool),)
+        rt_scene, roots = ACC.assemble_scene(
+            blasset, meta, anim_rest, anim_nodes, instances, inst_blas,
+            list(mask), tri_attr, time=time, animate=animate,
+        )
+        ctx = ACC.SceneTracer(
+            rt_scene, slot_materials, materials,
+            root_code=roots[0], stack_size=stack_size,
+            leaf_cutout=leaf_cutout, use_pallas=use_pallas_trace,
+        )
 
-    # --- RT passes at G-buffer surfaces ------------------------------------
-    surf = T.SurfaceHits(
-        world_pos=gbuf.world_pos.reshape(-1, 3),
-        normal=gbuf.normal.reshape(-1, 3),
-        uv=gbuf.uv.reshape(-1, 2),
-        material=gbuf.material.reshape(-1),
-        valid=gbuf.coverage.reshape(-1),
-        t=jnp.where(gbuf.coverage.reshape(-1), depth.reshape(-1), jnp.inf),
-    )
-    params = RTParams(
-        shadow_samples=shadow_samples,
-        reflection_samples=reflection_samples,
-        ao_samples=ao_samples,
-        ao_radius=ao_radius,
-    )
-    svis = T.shadow_visibility(
-        surf, rt_batch, bvh, lights, key, max(1, shadow_samples)
-    )
-    ao = T.ambient_occlusion(
-        surf, rt_batch, bvh, materials,
-        jax.random.fold_in(key, 3), ao_samples, ao_radius,
-    )
+        # --- RT passes at G-buffer surfaces --------------------------------
+        surf = T.SurfaceHits(
+            world_pos=gbuf.world_pos.reshape(-1, 3),
+            normal=gbuf.normal.reshape(-1, 3),
+            uv=gbuf.uv.reshape(-1, 2),
+            material=gbuf.material.reshape(-1),
+            valid=gbuf.coverage.reshape(-1),
+            t=jnp.where(gbuf.coverage.reshape(-1), depth.reshape(-1), jnp.inf),
+        )
+        params = RTParams(
+            shadow_samples=shadow_samples,
+            reflection_samples=reflection_samples,
+            ao_samples=ao_samples,
+            ao_radius=ao_radius,
+            leaf_cutout=leaf_cutout,
+        )
+        svis = T.shadow_visibility(
+            surf, ctx, lights, key, max(1, shadow_samples)
+        )
+        ao = T.ambient_occlusion(
+            surf, ctx, materials,
+            jax.random.fold_in(key, 3), ao_samples, ao_radius,
+        )
 
-    hdr = shade_gbuffer(
-        gbuf, materials, lights, camera.cam_pos,
-        shadow_vis=svis.reshape(-1, height, width),
-        ambient_occlusion=ao.reshape(height, width),
-        background=T.BACKGROUND_RGB,
-    )
-    if reflection_samples > 0:
-        refl = T.reflections(
-            surf, rt_batch, bvh, materials, lights, camera.cam_pos,
-            jax.random.fold_in(key, 7), params,
-        ).reshape(height, width, 3)
-        hdr = hdr + jnp.where(gbuf.coverage[..., None], refl, 0.0)
+        hdr = shade_gbuffer(
+            gbuf, materials, lights, camera.cam_pos,
+            shadow_vis=svis.reshape(-1, height, width),
+            ambient_occlusion=ao.reshape(height, width),
+            background=T.BACKGROUND_RGB,
+        )
+        if reflection_samples > 0:
+            refl = T.reflections(
+                surf, ctx, materials, lights, camera.cam_pos,
+                jax.random.fold_in(key, 7), params,
+            ).reshape(height, width, 3)
+            hdr = hdr + jnp.where(gbuf.coverage[..., None], refl, 0.0)
 
-    ldr = tonemap(hdr, tonemap_params)
-    aux = {
-        "hdr": hdr,
-        "coverage": jnp.mean(gbuf.coverage.astype(jnp.float32)),
-        "visible_count": jnp.sum(inst_visible.astype(jnp.int32)),
-    }
-    return ldr, aux
+        ldr = tonemap(hdr, tonemap_params)
+        aux = {
+            "hdr": hdr,
+            "coverage": jnp.mean(gbuf.coverage.astype(jnp.float32)),
+            "visible_count": jnp.sum(inst_visible.astype(jnp.int32)),
+        }
+        return ldr, aux
+
+    return hybrid_frame
 
 
 class HybridRender:
@@ -163,6 +175,7 @@ class HybridRender:
         ao_radius: float = 2.0,
         seed: int = 0,
         use_pallas: Optional[bool] = None,
+        animate: Optional[Callable] = None,
     ):
         # reuse RenderPass for instance/material bookkeeping
         self._rp = RenderPass(
@@ -177,9 +190,12 @@ class HybridRender:
         self.reflection_samples = reflection_samples
         self.ao_samples = ao_samples
         self.ao_radius = ao_radius
+        self.animate = animate
         self._key = jax.random.PRNGKey(seed)
         self._frame = 0
-        self._rt_tri_capacity = 2048
+        self.accel = AccelCache(scene)
+        self._frame_fn = None
+        self._frame_key = None
 
     # instance API delegates
     def add_instance(self, instance, materials=None):
@@ -195,28 +211,24 @@ class HybridRender:
     def lights(self):
         return self._rp.lights
 
-    def render(self, camera: Camera | CameraMatrices):
+    def render(self, camera: Camera | CameraMatrices, *, time: float = 0.0):
         cam = camera.matrices if isinstance(camera, Camera) else camera
         rp = self._rp
         instances = self.scene.flush()
-        need = rp._required_tri_capacity()
-        if need > rp._tri_capacity:
-            rp._tri_capacity = need
-        rt_need = sum(
-            sum(mm.handle.tri_count for mm in inst.model.lods[0].meshes)
-            for inst in self.scene.instances
-        )
-        rt_need = 1 << max(11, (max(rt_need, 1) - 1).bit_length())
-        if rt_need > self._rt_tri_capacity:
-            self._rt_tri_capacity = rt_need
+        blasset, meta, anim_rest, anim_nodes = self.accel.blas()
+        if self._frame_fn is None or self._frame_key != self.accel._blas_key:
+            self._frame_fn = make_hybrid_frame(meta, self.animate)
+            self._frame_key = self.accel._blas_key
         slots, visible, table = rp._device_inputs(instances.capacity)
         mapping = rp._current_mapping()
         self._frame += 1
-        return hybrid_frame(
+        return self._frame_fn(
             mapping,
+            blasset, anim_rest, anim_nodes,
             instances,
+            self.accel.inst_blas(instances.capacity),
+            self.accel.tri_attr(),
             self.scene.tables(),
-            self.scene.geometry(),
             table,
             rp.lights,
             cam,
@@ -224,11 +236,10 @@ class HybridRender:
             visible,
             rp.tonemap_params,
             jax.random.fold_in(self._key, self._frame),
+            jnp.float32(time),
             width=self.width,
             height=self.height,
-            max_meshes_per_lod=self.scene.max_meshes_per_lod,
-            tri_capacity=rp._tri_capacity,
-            rt_tri_capacity=self._rt_tri_capacity,
+            stack_size=self.accel.stack_size(instances.capacity),
             do_culling=rp.do_culling,
             use_pallas=rp.use_pallas,
             work_capacity=rp._work_capacity,
@@ -236,4 +247,5 @@ class HybridRender:
             reflection_samples=self.reflection_samples,
             ao_samples=self.ao_samples,
             ao_radius=self.ao_radius,
+            leaf_cutout=self.materials.has_leaf,
         )

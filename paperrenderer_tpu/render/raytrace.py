@@ -1,25 +1,35 @@
 """RayTraceRender: the ray-traced render path.
 
 Reference parity: ``RayTraceRender`` (src/PaperRenderer/RayTrace.h:37-99)
-owns an RT pipeline + TLAS(es) and dispatches ``vkCmdTraceRaysKHR``. Here:
+owns an RT pipeline + one or more TLASes and dispatches
+``vkCmdTraceRaysKHR``. Here (round-2 two-level redesign):
 
-  * BLAS/TLAS builds (AccelerationStructureBuilder + TLAS::updateTLAS)
-    become one per-frame *world BVH*: all live instances' LOD-0 triangles are
-    transformed to world space (one matmul over the vertex arena) and an
-    implicit morton BVH is built over them. Rebuild-per-frame is the dynamic
-    path (the TLAS-refit analogue); with TPU sort throughput this covers the
-    reference's per-frame refit workloads (BASELINE config 5).
+  * **BLAS** per model, built once at first use over LOD-0 object-space
+    triangles (Model.cpp:59-74) and cached host-side (ops/accel.py).
+  * **TLAS** per frame per pass: instance world AABBs -> morton BVH. This is
+    the ``TLAS::updateTLAS`` analogue (AccelerationStructure.cpp:618-650):
+    O(N) instance math + one sort, NO vertex re-transforms.
+  * **Multiple TLASes** (RayTrace.h:50-56, addNewTLAS RayTrace.cpp:159-170):
+    ``add_tlas()`` creates another instance set; all TLASes share the BLAS
+    rows and are appended as extra node-row blocks with their own roots.
+  * **Unique-geometry animation** (Model.cpp:398-404): instances created
+    with ``unique_geometry=True`` get their own BLAS whose leaf/node rows are
+    refit in-graph each frame from ``animate(v, time + phase)``.
   * The SBT hit-group dispatch becomes the material-id switch inside the
-    shade kernels (ops/trace.py).
-  * The whole trace — primary + shadows + AO + 1-bounce reflections +
-    tonemap — is ONE jitted function.
+    shade kernels (ops/trace.py); hit-group changes are table-row updates,
+    never a pipeline rebuild.
+
+The legacy single-level path (per-frame world BVH over all transformed
+triangles) is kept as ``build_world_scene``/``rt_frame`` — it is the
+brute-force reference the two-level path is validated against, and the
+sharded-tiles path still uses it.
 """
 
 from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Dict, Optional
+from typing import Callable, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -30,13 +40,18 @@ from ..core.geometry import GeometryArrays
 from ..core.material import MaterialInstance, MaterialRegistry, MaterialTable
 from ..core.model import ModelInstance
 from ..core.scene import InstanceArrays, Scene, SceneTables
+from ..ops import accel as ACC
 from ..ops import preprocess as P
 from ..ops import raster as R
 from ..ops.bvh import BVH, build_bvh
 from ..ops.shading import Lights
 from ..ops.tonemap import TonemapParams, tonemap
-from ..ops.trace import RTParams, trace_frame
+from ..ops.trace import BatchTracer, RTParams, trace_frame
 
+
+# ---------------------------------------------------------------------------
+# Legacy single-level world BVH (round-1 path; reference/fallback)
+# ---------------------------------------------------------------------------
 
 def build_world_scene(
     instances: InstanceArrays,
@@ -50,10 +65,8 @@ def build_world_scene(
 ):
     """All live instances' LOD-0 triangles in world space + a BVH over them.
 
-    The AccelerationStructure analogue: reference BLAS geometry is always
-    LOD 0 (Model.cpp:59-74), and TLAS includes every live instance regardless
-    of camera (shadows/reflections need off-screen geometry), so no culling.
-    """
+    Round-1 design: rebuild-per-frame world BVH. Kept as the validation
+    reference for the two-level path and for sharded tiles."""
     pre = P.preprocess_instances(
         instances, tables, camera,
         max_meshes_per_lod=max_meshes_per_lod,
@@ -97,7 +110,7 @@ def rt_frame(
     ao_radius: float,
     leaf_cutout: bool = False,
 ):
-    """Full ray-traced frame: world BVH build + wavefront trace + tonemap."""
+    """Legacy full ray-traced frame: world BVH build + wavefront trace."""
     batch, bvh = build_world_scene(
         instances, tables, geo, camera, slot_materials,
         max_meshes_per_lod=max_meshes_per_lod, tri_capacity=tri_capacity,
@@ -109,16 +122,152 @@ def rt_frame(
         ao_radius=ao_radius,
         leaf_cutout=leaf_cutout,
     )
+    ctx = BatchTracer(batch, bvh, materials, leaf_cutout=leaf_cutout)
     hdr = trace_frame(
-        batch, bvh, materials, lights, camera, key,
+        ctx, materials, lights, camera, key,
         width=width, height=height, params=params,
     )
     ldr = tonemap(hdr, tonemap_params)
     return ldr, {"hdr": hdr, "total_tris": jnp.sum(batch.valid.astype(jnp.int32))}
 
 
+# ---------------------------------------------------------------------------
+# Two-level acceleration cache (host-side; shared by RT + hybrid passes)
+# ---------------------------------------------------------------------------
+
+class AccelCache:
+    """Host-side cache of the scene's BLAS set + per-topology device inputs.
+
+    The AccelerationStructureBuilder analogue: BLAS builds are queued by
+    topology changes and amortized (the reference queues at Model creation,
+    Model.cpp:59-74); TLAS inputs (inst_blas, tri_attr) rebuild on instance
+    add/remove (scene.version), matching verifyInstancesBuffer semantics."""
+
+    def __init__(self, scene: Scene):
+        self.scene = scene
+        self._blas_key = None
+        self._blas = None
+        self._inst_key = None
+        self._inst_blas = None
+        self._attr_key = None
+        self._tri_attr = None
+
+    def _blas_signature(self):
+        s = self.scene
+        uniq = tuple(
+            i.index for i in s.instances if i.unique_geometry
+        )
+        return (len(s.models), s.arena.revision, uniq)
+
+    def blas(self):
+        k = self._blas_signature()
+        if k != self._blas_key:
+            self._blas = ACC.build_blas_set(self.scene)
+            self._blas_key = k
+        return self._blas
+
+    def inst_blas(self, capacity: int) -> jax.Array:
+        k = (self.scene.version, capacity, self._blas_signature())
+        if k != self._inst_key:
+            _, meta, _, _ = self.blas()
+            arr = np.zeros(capacity, np.int32)
+            for inst in self.scene.instances:
+                arr[inst.index] = meta.blas_of_model[inst.model.model_id]
+            for a in meta.anim:
+                if 0 <= a.instance_index < capacity:
+                    arr[a.instance_index] = a.blas_id
+            self._inst_blas = jnp.asarray(arr)
+            self._inst_key = k
+        return self._inst_blas
+
+    def tri_attr(self) -> jax.Array:
+        k = (self.scene.arena.revision, len(self.scene.models))
+        if k != self._attr_key:
+            self._tri_attr = ACC.build_tri_attr(self.scene)
+            self._attr_key = k
+        return self._tri_attr
+
+    def stack_size(self, capacity: int) -> int:
+        _, meta, _, _ = self.blas()
+        return ACC.required_stack_size(meta, capacity)
+
+
+def make_rt_frame(meta, animate: Optional[Callable], n_tlas: int,
+                  use_pallas: bool = False):
+    """Build the jitted two-level RT frame for one scene topology.
+
+    ``meta``/``animate`` are host-side (closed over; anim node codes become
+    jit constants) — rebuilt when the AccelCache's BLAS signature changes,
+    the analogue of the reference's amortized buffer rebuilds."""
+
+    @partial(
+        jax.jit,
+        static_argnames=(
+            "width", "height", "stack_size", "shadow_samples",
+            "reflection_samples", "ao_samples", "ao_radius", "leaf_cutout",
+            "tlas_index",
+        ),
+    )
+    def rt_frame2(
+        blasset,
+        anim_rest,
+        anim_nodes,
+        instances: InstanceArrays,
+        inst_blas: jax.Array,
+        masks,                      # tuple of bool[N], one per TLAS
+        tri_attr: jax.Array,
+        materials: MaterialTable,
+        lights: Lights,
+        camera: CameraMatrices,
+        slot_materials: jax.Array,
+        tonemap_params: TonemapParams,
+        key: jax.Array,
+        time: jax.Array,
+        *,
+        width: int,
+        height: int,
+        stack_size: int,
+        shadow_samples: int,
+        reflection_samples: int,
+        ao_samples: int,
+        ao_radius: float,
+        leaf_cutout: bool,
+        tlas_index: int = 0,
+    ):
+        rt_scene, roots = ACC.assemble_scene(
+            blasset, meta, anim_rest, anim_nodes, instances, inst_blas,
+            list(masks), tri_attr, time=time, animate=animate,
+        )
+        ctx = ACC.SceneTracer(
+            rt_scene, slot_materials, materials,
+            root_code=roots[tlas_index], stack_size=stack_size,
+            leaf_cutout=leaf_cutout, use_pallas=use_pallas,
+        )
+        params = RTParams(
+            shadow_samples=shadow_samples,
+            reflection_samples=reflection_samples,
+            ao_samples=ao_samples,
+            ao_radius=ao_radius,
+            leaf_cutout=leaf_cutout,
+        )
+        hdr = trace_frame(
+            ctx, materials, lights, camera, key,
+            width=width, height=height, params=params,
+        )
+        ldr = tonemap(hdr, tonemap_params)
+        return ldr, {"hdr": hdr}
+
+    return rt_frame2
+
+
 class RayTraceRender:
-    """Host-side RT pass (reference RayTrace.h:37-99 surface)."""
+    """Host-side RT pass (reference RayTrace.h:37-99 surface).
+
+    ``add_tlas()`` mirrors ``addNewTLAS`` (RayTrace.cpp:159-170): each TLAS
+    has its own instance list; ``render(camera, tlas=i)`` traces against
+    TLAS ``i``. Hit-group management (rebuildPipeline + SBT offsets,
+    RayTrace.cpp:116-152) is subsumed by the material table: adding a
+    material never invalidates instances."""
 
     def __init__(
         self,
@@ -134,6 +283,8 @@ class RayTraceRender:
         ao_samples: int = 1,
         ao_radius: float = 2.0,
         seed: int = 0,
+        animate: Optional[Callable] = None,
+        use_pallas: Optional[bool] = None,
     ):
         self.scene = scene
         self.materials = materials
@@ -147,85 +298,118 @@ class RayTraceRender:
         self.reflection_samples = reflection_samples
         self.ao_samples = ao_samples
         self.ao_radius = ao_radius
+        self.animate = animate
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
+        self.use_pallas = use_pallas
         self._key = jax.random.PRNGKey(seed)
         self._frame = 0
-        self._bindings: Dict[int, Dict[int, int]] = {}
-        self._tri_capacity = 2048
+        # per-TLAS instance sets: index -> {slot: material id}
+        self._tlas_bindings: List[Dict[int, Dict[int, int]]] = [{}]
+        self.accel = AccelCache(scene)
+        self._frame_fn = None
+        self._frame_key = None
         # device-input caches (per-frame table re-uploads dominated host time)
         self._cache_dirty = True
         self._cached_slots = None
+        self._cached_masks = None
         self._cached_table = None
         self._cached_capacity = -1
+
+    # -- TLAS management (addNewTLAS parity) ---------------------------------
+    def add_tlas(self) -> int:
+        self._tlas_bindings.append({})
+        self._cache_dirty = True
+        self._frame_fn = None
+        return len(self._tlas_bindings) - 1
+
+    @property
+    def num_tlas(self) -> int:
+        return len(self._tlas_bindings)
 
     def add_instance(
         self,
         instance: ModelInstance,
         materials: Optional[Dict[int, MaterialInstance]] = None,
+        tlas: int = 0,
     ) -> None:
         if instance.index < 0:
             self.scene.add_instance(instance)
         binds: Dict[int, int] = {}
         for slot, mat in (materials or {}).items():
             binds[slot] = self.materials.register(mat)
-        self._bindings[instance.index] = binds
+        self._tlas_bindings[tlas][instance.index] = binds
         self._cache_dirty = True
 
-    def remove_instance(self, instance: ModelInstance) -> None:
-        self._bindings.pop(instance.index, None)
+    def remove_instance(self, instance: ModelInstance, tlas: Optional[int] = None) -> None:
+        sets = self._tlas_bindings if tlas is None else [self._tlas_bindings[tlas]]
+        for b in sets:
+            b.pop(instance.index, None)
         self._cache_dirty = True
 
     def invalidate(self) -> None:
         """Force re-upload of material tables after live edits."""
         self._cache_dirty = True
 
+    # -- device inputs --------------------------------------------------------
     def _slot_material_array(self, capacity: int) -> jax.Array:
         s = max(1, self.scene.max_slots)
         arr = np.zeros((capacity, s), np.int32)
-        for idx, binds in self._bindings.items():
-            if 0 <= idx < capacity:
-                for slot, mid in binds.items():
-                    if slot < s:
-                        arr[idx, slot] = mid
+        for binds_by_inst in self._tlas_bindings:
+            for idx, binds in binds_by_inst.items():
+                if 0 <= idx < capacity:
+                    for slot, mid in binds.items():
+                        if slot < s:
+                            arr[idx, slot] = mid
         return jnp.asarray(arr)
 
-    def _required_tri_capacity(self) -> int:
-        total = sum(
-            sum(mm.handle.tri_count for mm in inst.model.lods[0].meshes)
-            for inst in self.scene.instances
-        )
-        n = max(total, 2048)
-        return 1 << (n - 1).bit_length()
+    def _mask_arrays(self, capacity: int):
+        masks = []
+        for binds_by_inst in self._tlas_bindings:
+            m = np.zeros(capacity, bool)
+            for idx in binds_by_inst:
+                if 0 <= idx < capacity:
+                    m[idx] = True
+            masks.append(jnp.asarray(m))
+        return tuple(masks)
 
-    def render(self, camera: Camera | CameraMatrices):
+    def _device_inputs(self, capacity: int):
+        if self._cache_dirty or capacity != self._cached_capacity:
+            self._cached_slots = self._slot_material_array(capacity)
+            self._cached_masks = self._mask_arrays(capacity)
+            self._cached_table = self.materials.table()
+            self._cached_capacity = capacity
+            self._cache_dirty = False
+        return self._cached_slots, self._cached_masks, self._cached_table
+
+    def render(self, camera: Camera | CameraMatrices, *, tlas: int = 0,
+               time: float = 0.0):
         cam = camera.matrices if isinstance(camera, Camera) else camera
         instances = self.scene.flush()
-        need = self._required_tri_capacity()
-        if need > self._tri_capacity:
-            self._tri_capacity = need
+        blasset, meta, anim_rest, anim_nodes = self.accel.blas()
+        key_sig = (self.accel._blas_key, len(self._tlas_bindings))
+        if self._frame_fn is None or self._frame_key != key_sig:
+            self._frame_fn = make_rt_frame(
+                meta, self.animate, len(self._tlas_bindings),
+                use_pallas=self.use_pallas,
+            )
+            self._frame_key = key_sig
+        slots, masks, table = self._device_inputs(instances.capacity)
         self._frame += 1
         key = jax.random.fold_in(self._key, self._frame)
-        if self._cache_dirty or self._cached_capacity != instances.capacity:
-            self._cached_slots = self._slot_material_array(instances.capacity)
-            self._cached_table = self.materials.table()
-            self._cached_capacity = instances.capacity
-            self._cache_dirty = False
-        return rt_frame(
-            instances,
-            self.scene.tables(),
-            self.scene.geometry(),
-            self._cached_table,
-            self.lights,
-            cam,
-            self._cached_slots,
-            self.tonemap_params,
-            key,
+        return self._frame_fn(
+            blasset, anim_rest, anim_nodes, instances,
+            self.accel.inst_blas(instances.capacity), masks,
+            self.accel.tri_attr(),
+            table, self.lights, cam, slots, self.tonemap_params, key,
+            jnp.float32(time),
             width=self.width,
             height=self.height,
-            max_meshes_per_lod=self.scene.max_meshes_per_lod,
-            tri_capacity=self._tri_capacity,
+            stack_size=self.accel.stack_size(instances.capacity),
             shadow_samples=self.shadow_samples,
             reflection_samples=self.reflection_samples,
             ao_samples=self.ao_samples,
             ao_radius=self.ao_radius,
             leaf_cutout=self.materials.has_leaf,
+            tlas_index=tlas,
         )

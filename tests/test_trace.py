@@ -65,7 +65,8 @@ def test_primary_hits_match_rasterizer():
     )
     size = 48
     o, d = T.raygen(cam.matrices, size, size)
-    rec = T._trace(batch, bvh, o, d, jnp.full((size * size,), 1000.0))
+    ctx = T.BatchTracer(batch, bvh)
+    rec = ctx.trace(o, d, jnp.full((size * size,), 1000.0))
     rt_cov = np.asarray(rec.hit).reshape(size, size)
 
     depth, tid, bary = R.rasterize(batch, size, size)
@@ -97,7 +98,8 @@ def test_shadow_visibility_blocked_by_sphere():
         valid=jnp.asarray([True, True]),
         t=jnp.ones((2,)),
     )
-    vis = T.shadow_visibility(surf, batch, bvh, lights, jax.random.PRNGKey(0), 1)
+    vis = T.shadow_visibility(
+        surf, T.BatchTracer(batch, bvh), lights, jax.random.PRNGKey(0), 1)
     assert float(vis[0, 0]) == 0.0   # occluded by sphere
     assert float(vis[0, 1]) == 1.0   # clear path
 
@@ -121,7 +123,8 @@ def test_ao_darker_under_overhang():
         t=jnp.ones((2,)),
     )
     ao = T.ambient_occlusion(
-        surf, batch, bvh, registry_table, jax.random.PRNGKey(1), samples=8, radius=2.0
+        surf, T.BatchTracer(batch, bvh), registry_table,
+        jax.random.PRNGKey(1), samples=8, radius=2.0,
     )
     assert float(ao[0]) < float(ao[1])
     assert float(ao[1]) > 0.9
