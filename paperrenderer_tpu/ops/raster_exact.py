@@ -166,21 +166,30 @@ def _unpack_depth(key: jax.Array, covered: jax.Array) -> jax.Array:
     return jnp.where(covered, z, jnp.inf)
 
 
+# test hook: run the kernel in the Pallas interpreter (CPU tests)
+INTERPRET = False
+
+
 def rasterize_exact(
     batch: TriangleBatch,
     width: int,
     height: int,
     *,
     pair_capacity: Optional[int] = None,
+    overflow_cond: bool = True,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Exact-binned raster. Returns (depth f32[H,W], tid i32[H,W] global
     triangle ids, attr_table f32[T_pad, 32], required i32 scalar).
 
     ``attr_table`` is the packed per-triangle row table (pack_attr_coef) that
     ``resolve_gbuffer_pairs`` gathers per pixel. ``required`` is the pair-slot
-    demand for THIS camera; if it exceeds ``pair_capacity`` the last-sorted
-    pairs are dropped (callers grow + re-render, the reference's
-    buffer-overflow contract — PaperRenderer.cpp:208-212)."""
+    demand for THIS camera. Overflow contract (the reference's buffer-growth
+    contract, PaperRenderer.cpp:208-212, made per-frame-safe): when
+    ``required`` exceeds ``pair_capacity``, a ``lax.cond`` branch re-bins and
+    re-rasterizes at 4x capacity IN-GRAPH, so no frame ships with dropped
+    triangles up to a 4x demand jump in one frame; callers also grow the
+    persistent capacity off the returned scalar so the fallback stops being
+    taken (and >4x teleports are covered from the next frame on)."""
     assert width % TILE_W == 0 and height % TILE_H == 0
     coeffs, ok, (lo, hi) = triangle_coefficients(batch, width, height)
     t = batch.capacity
@@ -190,11 +199,10 @@ def rasterize_exact(
     n_ty = height // TILE_H
     n_tiles = n_tx * n_ty
 
-    p_cap = pair_capacity or default_pair_capacity(width, height, t)
-    p_cap = _round_up(p_cap, BP)
-    n_steps = p_cap // BP
+    p_cap0 = pair_capacity or default_pair_capacity(width, height, t)
+    p_cap0 = _round_up(p_cap0, BP)
 
-    # --- group screen AABBs -> tile spans ---------------------------------
+    # --- group screen AABBs -> tile spans (capacity-independent) ----------
     lo_m = jnp.where(ok[:, None], lo, jnp.inf)
     hi_m = jnp.where(ok[:, None], hi, -jnp.inf)
     lo_m = jnp.pad(lo_m, ((0, t_pad - t), (0, 0)), constant_values=jnp.inf)
@@ -213,57 +221,12 @@ def rasterize_exact(
     spanw = gx1 - gx0 + 1
     count = jnp.where(alive, spanw * (gy1 - gy0 + 1), 0)
 
-    # --- pair expansion: scatter run starts + cummax fill-forward ----------
     ends = jnp.cumsum(count)
     offsets = ends - count                               # exclusive
     n_pairs = ends[-1]
-    write = jnp.where(count > 0, offsets, p_cap)         # drop empty groups
-    start_marks = jnp.full((p_cap,), -1, jnp.int32).at[write].set(
-        jnp.arange(ng, dtype=jnp.int32), mode="drop")
-    pair_group = jax.lax.cummax(start_marks)
-    slot = jnp.arange(p_cap, dtype=jnp.int32)
-    pvalid = (slot < n_pairs) & (pair_group >= 0)
-    pg = jnp.maximum(pair_group, 0)
-
     info = jnp.stack([offsets, gx0, gy0, spanw], axis=-1)   # i32[NG, 4]
-    gi = info[pg]                                            # [P, 4]
-    within = slot - gi[:, 0]
-    ty = gi[:, 2] + within // gi[:, 3]
-    tx = gi[:, 1] + within % gi[:, 3]
-    tile = ty * n_tx + tx
 
-    # --- tile-sort + per-tile padding to BP --------------------------------
-    keys = jnp.where(pvalid, tile, n_tiles)
-    vals = jnp.where(pvalid, pg, -1)
-    tile_s, group_s = jax.lax.sort((keys, vals), num_keys=1)
-    starts = jnp.searchsorted(
-        tile_s, jnp.arange(n_tiles + 1, dtype=jnp.int32)
-    ).astype(jnp.int32)
-    hist = starts[1:] - starts[:-1]                          # [n_tiles]
-    padded_hist = _round_up_arr(hist, BP)
-    padded_starts = jnp.cumsum(padded_hist) - padded_hist    # exclusive
-    required = padded_starts[-1] + padded_hist[-1]
-
-    tbl = jnp.stack([starts[:-1], padded_starts], axis=-1)   # [n_tiles, 2]
-    per = tbl[jnp.minimum(tile_s, n_tiles - 1)]
-    rank = slot - per[:, 0]
-    ppos = per[:, 1] + rank
-    ok_s = group_s >= 0
-    write2 = jnp.where(ok_s, ppos, p_cap)
-    rows = jnp.stack([group_s, tile_s], axis=-1)             # [P, 2]
-    padded = jnp.full((p_cap, 2), -1, jnp.int32).at[write2].set(
-        rows, mode="drop")
-    padded_group = padded[:, 0]
-    # padding slots inside a tile's rounded region must map to that tile so
-    # the step's output block is right; recover it by fill-forward of tile
-    # ids (regions are contiguous and ascending)
-    padded_tile = jax.lax.cummax(padded[:, 1])
-    # slots past the real demand stay parked (-1 -> kernel skips)
-    padded_tile = jnp.where(slot < jnp.minimum(required, p_cap),
-                            padded_tile, -1)
-    wt = padded_tile[::BP]                                   # [n_steps]
-
-    # --- pre-gather pair coefficient rows (ONE row gather) ------------------
+    # --- packed coefficient table (capacity-independent) -------------------
     table = pack_attr_coef(batch, coeffs)
     table = jnp.pad(table, ((0, t_pad - t), (0, 0)))
     if t_pad > t:
@@ -272,40 +235,106 @@ def rasterize_exact(
     dead = jnp.zeros((1, GROUP * 16), jnp.float32)
     dead = dead.at[0, 2::16].set(-1.0)
     gt = jnp.concatenate([gt, dead], axis=0)                 # [NG+1, 128]
-    pg2 = jnp.where(padded_group >= 0, padded_group, ng)
-    gathered = gt[pg2]                                       # [P, 128]
-    cf_pairs = gathered.reshape(p_cap * GROUP, 16)
 
-    # --- kernel --------------------------------------------------------------
-    tile_spec = pl.BlockSpec(
-        (TILE_H, TILE_W),
-        lambda j, wt: (jnp.maximum(wt[j], 0) // n_tx,
-                       jnp.maximum(wt[j], 0) % n_tx),
-        memory_space=pltpu.VMEM,
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_steps,),
-        in_specs=[
-            pl.BlockSpec((C, 16), lambda j, wt: (j, 0),
-                         memory_space=pltpu.VMEM),
-            tile_spec, tile_spec,
-        ],
-        out_specs=[tile_spec, tile_spec],
-    )
-    key0 = jnp.full((height, width), SENTINEL, jnp.int32)
-    tid0 = jnp.full((height, width), SENTINEL, jnp.int32)
-    wt, cf_pairs = jax.lax.optimization_barrier((wt, cf_pairs))
-    key, tid = pl.pallas_call(
-        _make_kernel(n_tx),
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((height, width), jnp.int32),
-            jax.ShapeDtypeStruct((height, width), jnp.int32),
-        ],
-        # arg order incl. scalar prefetch: wt=0, cf=1, kin=2, tin=3
-        input_output_aliases={2: 0, 3: 1},
-    )(wt, cf_pairs, key0, tid0)
+    def run(p_cap: int):
+        """Pair expansion + tile sort + kernel at one static capacity."""
+        n_steps = p_cap // BP
+
+        # pair expansion: scatter run starts + cummax fill-forward
+        write = jnp.where(count > 0, offsets, p_cap)         # drop empties
+        start_marks = jnp.full((p_cap,), -1, jnp.int32).at[write].set(
+            jnp.arange(ng, dtype=jnp.int32), mode="drop")
+        pair_group = jax.lax.cummax(start_marks)
+        slot = jnp.arange(p_cap, dtype=jnp.int32)
+        pvalid = (slot < n_pairs) & (pair_group >= 0)
+        pg = jnp.maximum(pair_group, 0)
+
+        gi = info[pg]                                        # [P, 4]
+        within = slot - gi[:, 0]
+        ty = gi[:, 2] + within // gi[:, 3]
+        tx = gi[:, 1] + within % gi[:, 3]
+        tile = ty * n_tx + tx
+
+        # tile-sort + per-tile padding to BP
+        keys = jnp.where(pvalid, tile, n_tiles)
+        vals = jnp.where(pvalid, pg, -1)
+        tile_s, group_s = jax.lax.sort((keys, vals), num_keys=1)
+        starts = jnp.searchsorted(
+            tile_s, jnp.arange(n_tiles + 1, dtype=jnp.int32)
+        ).astype(jnp.int32)
+        hist = starts[1:] - starts[:-1]                      # [n_tiles]
+        padded_hist = _round_up_arr(hist, BP)
+        padded_starts = jnp.cumsum(padded_hist) - padded_hist
+        # true demand: padded demand of surviving pairs, and the raw pair
+        # count when the expansion itself overflowed p_cap
+        required = jnp.maximum(
+            padded_starts[-1] + padded_hist[-1], n_pairs)
+
+        tbl = jnp.stack([starts[:-1], padded_starts], axis=-1)
+        per = tbl[jnp.minimum(tile_s, n_tiles - 1)]
+        rank = slot - per[:, 0]
+        ppos = per[:, 1] + rank
+        ok_s = group_s >= 0
+        write2 = jnp.where(ok_s, ppos, p_cap)
+        rows = jnp.stack([group_s, tile_s], axis=-1)         # [P, 2]
+        padded = jnp.full((p_cap, 2), -1, jnp.int32).at[write2].set(
+            rows, mode="drop")
+        padded_group = padded[:, 0]
+        # padding slots inside a tile's rounded region must map to that tile
+        # so the step's output block is right; recover by fill-forward of
+        # tile ids (regions are contiguous and ascending)
+        padded_tile = jax.lax.cummax(padded[:, 1])
+        padded_tile = jnp.where(slot < jnp.minimum(required, p_cap),
+                                padded_tile, -1)
+        wt = padded_tile[::BP]                               # [n_steps]
+
+        # pre-gather pair coefficient rows (ONE row gather)
+        pg2 = jnp.where(padded_group >= 0, padded_group, ng)
+        gathered = gt[pg2]                                   # [P, 128]
+        cf_pairs = gathered.reshape(p_cap * GROUP, 16)
+
+        tile_spec = pl.BlockSpec(
+            (TILE_H, TILE_W),
+            lambda j, wt: (jnp.maximum(wt[j], 0) // n_tx,
+                           jnp.maximum(wt[j], 0) % n_tx),
+            memory_space=pltpu.VMEM,
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_steps,),
+            in_specs=[
+                pl.BlockSpec((C, 16), lambda j, wt: (j, 0),
+                             memory_space=pltpu.VMEM),
+                tile_spec, tile_spec,
+            ],
+            out_specs=[tile_spec, tile_spec],
+        )
+        key0 = jnp.full((height, width), SENTINEL, jnp.int32)
+        tid0 = jnp.full((height, width), SENTINEL, jnp.int32)
+        wt2, cf2 = jax.lax.optimization_barrier((wt, cf_pairs))
+        key, tid = pl.pallas_call(
+            _make_kernel(n_tx),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((height, width), jnp.int32),
+                jax.ShapeDtypeStruct((height, width), jnp.int32),
+            ],
+            # arg order incl. scalar prefetch: wt=0, cf=1, kin=2, tin=3
+            input_output_aliases={2: 0, 3: 1},
+            interpret=INTERPRET,
+        )(wt2, cf2, key0, tid0)
+        return key, tid, required
+
+    key, tid, required = run(p_cap0)
+    if overflow_cond:
+        # per-frame no-silent-drop guard: re-bin + re-raster at 4x capacity
+        # on device only when this camera's demand exceeded capacity
+        key, tid = jax.lax.cond(
+            required > p_cap0,
+            lambda _: run(_round_up(4 * p_cap0, BP))[:2],
+            lambda _: (key, tid),
+            operand=None,
+        )
 
     covered = tid != SENTINEL
     depth = _unpack_depth(key, covered)

@@ -26,7 +26,7 @@ planned extension for 10k+-instance traced scenes.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -70,13 +70,19 @@ def _split_scene(scene: RTScene):
     return boxes.reshape(-1), codes.reshape(-1), lpos.reshape(-1), lprim.reshape(-1)
 
 
-def _make_kernel(root_code: int, max_steps: int, any_hit: bool):
+def _make_kernel(root_code: int, max_steps: int, any_hit: bool,
+                 debug_steps: bool = False):
+    """Packet kernel. Vector state (best hit planes, object-space ray) lives
+    in VMEM scratch refs mutated under ``pl.when`` — real branches with no
+    state yields, so a step costs only its own branch's work. The while carry
+    holds just scalars + the (1, 128) shared stack; cross-branch scalars
+    (slab outcomes, any-hit progress) round-trip through an SMEM scratch."""
     S = _STACK
 
     def kernel(boxes_ref, codes_ref, lpos_ref, lprim_ref,
                o_ref, d_ref, tmax_ref,
-               t_out, prim_out, inst_out, u_out, v_out):
-        shape = (8, 128)
+               t_out, prim_out, inst_out, u_out, v_out,
+               obj_ref, best_ref, flag_ref):
         wox, woy, woz = o_ref[0, 0], o_ref[0, 1], o_ref[0, 2]
         wdx, wdy, wdz = d_ref[0, 0], d_ref[0, 1], d_ref[0, 2]
 
@@ -85,59 +91,54 @@ def _make_kernel(root_code: int, max_steps: int, any_hit: bool):
 
         wix, wiy, wiz = safe_inv(wdx), safe_inv(wdy), safe_inv(wdz)
 
-        best_t0 = tmax_ref[0, 0]
-        neg1 = jnp.full(shape, -1, jnp.int32)
-        zero = jnp.zeros(shape, jnp.float32)
+        # best planes: [0]=t [1]=prim(bits) [2]=inst(bits) [3]=u [4]=v
+        neg1 = pltpu.bitcast(jnp.full((8, 128), -1, jnp.int32), jnp.float32)
+        best_ref[0] = tmax_ref[0, 0]
+        best_ref[1] = neg1
+        best_ref[2] = neg1
+        best_ref[3] = jnp.zeros((8, 128), jnp.float32)
+        best_ref[4] = jnp.zeros((8, 128), jnp.float32)
+        # object-space ray planes: o(3) d(3) inv(3)
+        for i, v in enumerate((wox, woy, woz, wdx, wdy, wdz, wix, wiy, wiz)):
+            obj_ref[i] = v
+        flag_ref[3] = jnp.int32(0)    # cur_inst
+        flag_ref[4] = jnp.int32(0)    # all-hit (any_hit early exit)
 
         scols = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
-        # slot 0 pre-seeded with this pass's (static) TLAS root code
         stack0 = jnp.where(scols == 0, jnp.int32(root_code), 0)
 
-        # carried state: scalars + the shared stack + per-ray planes
-        state = (
-            jnp.int32(0),                 # step counter
-            jnp.int32(1),                 # sp (root pre-pushed)
-            stack0,                       # (1, S) tagged codes
-            best_t0, neg1, neg1, zero, zero,   # best t/prim/inst/u/v
-            # object-space ray + inv (set on instance pops)
-            wox, woy, woz, wdx, wdy, wdz, wix, wiy, wiz,
-            jnp.int32(0),                 # cur_inst
-        )
-
         def cond(st):
-            step, sp = st[0], st[1]
-            go = (sp > 0) & (step < max_steps)
-            if any_hit:
-                all_hit = jnp.all(st[4] >= 0)
-                go &= ~all_hit
-            return go
+            step, sp, stack, done = st
+            return (sp > 0) & (step < max_steps) & (done == 0)
 
         def body(st):
-            (step, sp, stack, best_t, best_prim, best_inst, best_u, best_v,
-             oox, ooy, ooz, odx, ody, odz, oix, oiy, oiz, cur_inst) = st
+            step, sp, stack, done = st
             sp = sp - 1
             code = jnp.sum(jnp.where(scols == sp, stack, 0))
             typ = (code >> _TYPE_SHIFT) & 3
             payload = code & _PAYLOAD_MASK
             obj = ((code >> 30) & 1) == 1
+            is_box = typ == TYPE_BOX
+            is_leaf = typ == TYPE_LEAF
+            is_inst = typ == TYPE_INST
+            c0 = codes_ref[payload * 2]
+            c1 = codes_ref[payload * 2 + 1]
 
-            def do_box(st):
-                (step, sp, stack, best_t, best_prim, best_inst, best_u,
-                 best_v, oox, ooy, ooz, odx, ody, odz, oix, oiy, oiz,
-                 cur_inst) = st
+            @pl.when(is_box)
+            def _box():
                 b = payload * 12
-                bx0, by0, bz0 = boxes_ref[b], boxes_ref[b + 1], boxes_ref[b + 2]
-                bx1, by1, bz1 = boxes_ref[b + 3], boxes_ref[b + 4], boxes_ref[b + 5]
-                cx0, cy0, cz0 = boxes_ref[b + 6], boxes_ref[b + 7], boxes_ref[b + 8]
-                cx1, cy1, cz1 = boxes_ref[b + 9], boxes_ref[b + 10], boxes_ref[b + 11]
-                px = jnp.where(obj, oox, wox)
-                py = jnp.where(obj, ooy, woy)
-                pz = jnp.where(obj, ooz, woz)
-                ix = jnp.where(obj, oix, wix)
-                iy = jnp.where(obj, oiy, wiy)
-                iz = jnp.where(obj, oiz, wiz)
+                best_t = best_ref[0]
+                obj_f = jnp.where(obj, 1.0, 0.0)
+                px = obj_f * obj_ref[0] + (1.0 - obj_f) * wox
+                py = obj_f * obj_ref[1] + (1.0 - obj_f) * woy
+                pz = obj_f * obj_ref[2] + (1.0 - obj_f) * woz
+                ix = obj_f * obj_ref[6] + (1.0 - obj_f) * wix
+                iy = obj_f * obj_ref[7] + (1.0 - obj_f) * wiy
+                iz = obj_f * obj_ref[8] + (1.0 - obj_f) * wiz
 
-                def slab(lx, ly, lz, hx, hy, hz):
+                def slab(o6):
+                    lx, ly, lz = boxes_ref[b + o6], boxes_ref[b + o6 + 1], boxes_ref[b + o6 + 2]
+                    hx, hy, hz = boxes_ref[b + o6 + 3], boxes_ref[b + o6 + 4], boxes_ref[b + o6 + 5]
                     tx0 = (lx - px) * ix
                     tx1 = (hx - px) * ix
                     ty0 = (ly - py) * iy
@@ -153,33 +154,17 @@ def _make_kernel(root_code: int, max_steps: int, any_hit: bool):
                     hit = (tf >= jnp.maximum(tn, 0.0)) & (tn <= best_t)
                     return hit, tn
 
-                h0, tn0 = slab(bx0, by0, bz0, bx1, by1, bz1)
-                h1, tn1 = slab(cx0, cy0, cz0, cx1, cy1, cz1)
+                h0, tn0 = slab(0)
+                h1, tn1 = slab(6)
                 inf = jnp.float32(3e38)
                 t0m = jnp.min(jnp.where(h0, tn0, inf))
                 t1m = jnp.min(jnp.where(h1, tn1, inf))
-                any0 = jnp.any(h0)
-                any1 = jnp.any(h1)
-                c0 = codes_ref[payload * 2]
-                c1 = codes_ref[payload * 2 + 1]
-                first0 = t0m <= t1m
-                near_c = jnp.where(first0, c0, c1)
-                far_c = jnp.where(first0, c1, c0)
-                near_ok = jnp.where(first0, any0, any1)
-                far_ok = jnp.where(first0, any1, any0)
-                # push far then near (near pops first)
-                stack = jnp.where((scols == sp) & far_ok, far_c, stack)
-                sp = sp + far_ok.astype(jnp.int32)
-                stack = jnp.where((scols == sp) & near_ok, near_c, stack)
-                sp = sp + near_ok.astype(jnp.int32)
-                return (step, sp, stack, best_t, best_prim, best_inst,
-                        best_u, best_v, oox, ooy, ooz, odx, ody, odz,
-                        oix, oiy, oiz, cur_inst)
+                flag_ref[0] = jnp.any(h0).astype(jnp.int32)
+                flag_ref[1] = jnp.any(h1).astype(jnp.int32)
+                flag_ref[2] = (t0m <= t1m).astype(jnp.int32)
 
-            def do_inst(st):
-                (step, sp, stack, best_t, best_prim, best_inst, best_u,
-                 best_v, oox, ooy, ooz, odx, ody, odz, oix, oiy, oiz,
-                 cur_inst) = st
+            @pl.when(is_inst)
+            def _inst():
                 b = payload * 12
                 m = [boxes_ref[b + k] for k in range(12)]
                 oox = m[0] * wox + m[1] * woy + m[2] * woz + m[3]
@@ -188,21 +173,29 @@ def _make_kernel(root_code: int, max_steps: int, any_hit: bool):
                 odx = m[0] * wdx + m[1] * wdy + m[2] * wdz
                 ody = m[4] * wdx + m[5] * wdy + m[6] * wdz
                 odz = m[8] * wdx + m[9] * wdy + m[10] * wdz
-                oix, oiy, oiz = safe_inv(odx), safe_inv(ody), safe_inv(odz)
-                cur_inst = codes_ref[payload * 2 + 1]
-                root = codes_ref[payload * 2]
-                stack = jnp.where(scols == sp, root, stack)
-                sp = sp + 1
-                return (step, sp, stack, best_t, best_prim, best_inst,
-                        best_u, best_v, oox, ooy, ooz, odx, ody, odz,
-                        oix, oiy, oiz, cur_inst)
+                obj_ref[0] = oox
+                obj_ref[1] = ooy
+                obj_ref[2] = ooz
+                obj_ref[3] = odx
+                obj_ref[4] = ody
+                obj_ref[5] = odz
+                obj_ref[6] = safe_inv(odx)
+                obj_ref[7] = safe_inv(ody)
+                obj_ref[8] = safe_inv(odz)
+                flag_ref[3] = c1    # instance slot id
 
-            def do_leaf(st):
-                (step, sp, stack, best_t, best_prim, best_inst, best_u,
-                 best_v, oox, ooy, ooz, odx, ody, odz, oix, oiy, oiz,
-                 cur_inst) = st
+            @pl.when(is_leaf)
+            def _leaf():
                 b = payload * 72
                 pb = payload * K
+                oox, ooy, ooz = obj_ref[0], obj_ref[1], obj_ref[2]
+                odx, ody, odz = obj_ref[3], obj_ref[4], obj_ref[5]
+                best_t = best_ref[0]
+                best_prim = pltpu.bitcast(best_ref[1], jnp.int32)
+                best_u = best_ref[3]
+                best_v = best_ref[4]
+                best_inst = pltpu.bitcast(best_ref[2], jnp.int32)
+                cur_inst = flag_ref[3]
                 for k in range(K):
                     tb = b + k * 9
                     ax, ay, az = lpos_ref[tb], lpos_ref[tb + 1], lpos_ref[tb + 2]
@@ -211,7 +204,6 @@ def _make_kernel(root_code: int, max_steps: int, any_hit: bool):
                     ptag = lprim_ref[pb + k]
                     e1x, e1y, e1z = bx - ax, by - ay, bz - az
                     e2x, e2y, e2z = cx - ax, cy - ay, cz - az
-                    # p = d x e2 (vector planes x scalar edges)
                     px_ = ody * e2z - odz * e2y
                     py_ = odz * e2x - odx * e2z
                     pz_ = odx * e2y - ody * e2x
@@ -234,51 +226,68 @@ def _make_kernel(root_code: int, max_steps: int, any_hit: bool):
                     best_u = jnp.where(hit, u, best_u)
                     best_v = jnp.where(hit, v, best_v)
                     best_t = jnp.where(hit, t, best_t)
-                return (step, sp, stack, best_t, best_prim, best_inst,
-                        best_u, best_v, oox, ooy, ooz, odx, ody, odz,
-                        oix, oiy, oiz, cur_inst)
+                best_ref[0] = best_t
+                best_ref[1] = pltpu.bitcast(best_prim, jnp.float32)
+                best_ref[2] = pltpu.bitcast(best_inst, jnp.float32)
+                best_ref[3] = best_u
+                best_ref[4] = best_v
+                if any_hit:
+                    flag_ref[4] = jnp.all(best_prim >= 0).astype(jnp.int32)
 
-            st2 = (step + 1, sp, stack, best_t, best_prim, best_inst,
-                   best_u, best_v, oox, ooy, ooz, odx, ody, odz,
-                   oix, oiy, oiz, cur_inst)
-            st2 = jax.lax.cond(
-                typ == TYPE_BOX, do_box,
-                lambda s: jax.lax.cond(typ == TYPE_LEAF, do_leaf, do_inst, s),
-                st2,
-            )
-            return st2
+            # functional pushes from the branch-reported scalars
+            box_i = is_box.astype(jnp.int32)
+            any0 = flag_ref[0] * box_i
+            any1 = flag_ref[1] * box_i
+            first0 = flag_ref[2]
+            near_c = jnp.where(first0 == 1, c0, c1)
+            far_c = jnp.where(first0 == 1, c1, c0)
+            near_ok = jnp.where(first0 == 1, any0, any1)
+            far_ok = jnp.where(first0 == 1, any1, any0)
+            # instance pop pushes its BLAS root (c0); box pushes far then near
+            p1 = jnp.where(is_inst, 1, far_ok)
+            p1_val = jnp.where(is_inst, c0, far_c)
+            stack = jnp.where((scols == sp) & (p1 == 1), p1_val, stack)
+            sp = sp + p1
+            stack = jnp.where((scols == sp) & (near_ok == 1), near_c, stack)
+            sp = sp + near_ok
+            done = flag_ref[4] if any_hit else jnp.int32(0)
+            return step + 1, sp, stack, done
 
-        final = jax.lax.while_loop(cond, body, state)
-        best_t, best_prim, best_inst = final[3], final[4], final[5]
-        best_u, best_v = final[6], final[7]
+        fin = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.int32(1), stack0, jnp.int32(0)))
+
+        best_t = best_ref[0]
+        best_prim = pltpu.bitcast(best_ref[1], jnp.int32)
+        best_inst = pltpu.bitcast(best_ref[2], jnp.int32)
         miss = best_prim < 0
         t_out[0] = jnp.where(miss, jnp.float32(jnp.inf), best_t)
         prim_out[0] = best_prim
         inst_out[0] = jnp.where(miss, -1, best_inst)
-        u_out[0] = best_u
-        v_out[0] = best_v
+        if debug_steps:
+            u_out[0] = jnp.full((8, 128), fin[0], jnp.int32).astype(jnp.float32)
+        else:
+            u_out[0] = best_ref[3]
+        v_out[0] = best_ref[4]
 
     return kernel
 
 
-def _sort_keys(o: jax.Array, d: jax.Array) -> jax.Array:
-    """Coherence sort keys: direction octant (3 bits) then origin morton."""
-    from .bvh import morton_codes
-
-    octant = (
-        (d[:, 0] < 0).astype(jnp.uint32) << 2
-        | ((d[:, 1] < 0).astype(jnp.uint32) << 1)
-        | (d[:, 2] < 0).astype(jnp.uint32)
-    )
-    lo = jnp.min(o, axis=0)
-    hi = jnp.max(o, axis=0)
-    m = morton_codes(o, lo, hi)
-    return (octant << 29) | (m >> 3)
+# NOTE on ray ordering (measured on TPU v5e, example scene, 1M rays):
+#   * gather-based octant/morton ray sorting: ~30 ns/row per permutation
+#     (8 permutations = ~90 ms) — dominated the whole trace;
+#   * transpose-based (8, 128)-pixel tiling: the transposes are free, but
+#     feeding transpose-produced arrays into pallas_call made the kernel
+#     ~9x slower (layout/materialization effect — even when the tiled packet
+#     CONTENTS were bit-identical to the identity order at w=128);
+#   * identity row-major order: packets are ~1024-pixel row strips, already
+#     frustum-coherent for primary rays and surface-local for secondary
+#     wavefronts. 20.8 Mrays/s on the example scene. This is the shipped
+#     ordering; revisit tiling only together with the layout mystery.
 
 
 @partial(
     jax.jit,
-    static_argnames=("root_code", "stack_size", "any_hit", "sort_rays"),
+    static_argnames=("root_code", "stack_size", "any_hit", "debug_steps"),
 )
 def trace_scene_pallas(
     scene: RTScene,
@@ -290,37 +299,29 @@ def trace_scene_pallas(
     stack_size: int,
     any_hit: bool = False,
     active: Optional[jax.Array] = None,
-    sort_rays: bool = True,
+    debug_steps: bool = False,
 ) -> HitRecord2:
-    """Packet-traversal front end: pad + (optionally) coherence-sort rays,
-    run the kernel per 1024-ray packet, un-sort the hit records."""
+    """Packet-traversal front end: rays run in their given order (pixel-major
+    wavefronts are already strip-coherent — see ordering note above)."""
     r = ray_o.shape[0]
     r_pad = -(-r // PACKET) * PACKET
     t_cap = jnp.asarray(t_max, jnp.float32) + ray_o[:, 0] * 0.0
     if active is not None:
         t_cap = jnp.where(active, t_cap, -1.0)   # never hits, never pushes
-
-    if sort_rays:
-        order = jnp.argsort(_sort_keys(ray_o, ray_d)).astype(jnp.int32)
-        o_s = ray_o[order]
-        d_s = ray_d[order]
-        t_s = t_cap[order]
-    else:
-        order = None
-        o_s, d_s, t_s = ray_o, ray_d, t_cap
-
-    def pad(x, fill):
-        return jnp.pad(x, ((0, r_pad - r),) + ((0, 0),) * (x.ndim - 1),
-                       constant_values=fill)
-
-    o_s = pad(o_s, 0.0)
-    d_s = pad(d_s, 1.0)
-    t_s = pad(t_s, -1.0)
-
     g = r_pad // PACKET
-    o_pk = o_s.reshape(g, 8, 128, 3).transpose(0, 3, 1, 2)
-    d_pk = d_s.reshape(g, 8, 128, 3).transpose(0, 3, 1, 2)
-    t_pk = t_s.reshape(g, 1, 8, 128)
+
+    def to_planes(x3, fill):
+        """f32[r, 3] -> f32[g, 3, 8, 128], per-column (lane-dim preserved)."""
+        cols = []
+        for k in range(3):
+            c = jnp.pad(x3[:, k], (0, r_pad - r), constant_values=fill)
+            cols.append(c.reshape(g, 8, 128))
+        return jnp.stack(cols, axis=1)
+
+    o_pk = to_planes(ray_o, 0.0)
+    d_pk = to_planes(ray_d, 1.0)
+    t_pk = jnp.pad(t_cap, (0, r_pad - r), constant_values=-1.0).reshape(
+        g, 1, 8, 128)
 
     boxes, codes, lpos, lprim = _split_scene(scene)
     nn = scene.nodes.shape[0]
@@ -328,7 +329,8 @@ def trace_scene_pallas(
     max_steps = nn + nl + 64
     assert stack_size <= _STACK, "scene too deep for the packet kernel"
 
-    kernel = _make_kernel(root_code, max_steps, any_hit)
+    kernel = _make_kernel(root_code, max_steps, any_hit,
+                          debug_steps=debug_steps)
 
     smem = lambda n: pl.BlockSpec(
         (n,), lambda i: (0,), memory_space=pltpu.SMEM)
@@ -355,6 +357,11 @@ def trace_scene_pallas(
             jax.ShapeDtypeStruct((g, 8, 128), jnp.float32),
             jax.ShapeDtypeStruct((g, 8, 128), jnp.float32),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((9, 8, 128), jnp.float32),   # object-space ray planes
+            pltpu.VMEM((5, 8, 128), jnp.float32),   # best-hit planes
+            pltpu.SMEM((8,), jnp.int32),            # cross-branch scalars
+        ],
     )(boxes, codes, lpos, lprim, o_pk, d_pk, t_pk)
 
     t_f = t_r.reshape(r_pad)[:r]
@@ -362,11 +369,6 @@ def trace_scene_pallas(
     inst_f = inst_r.reshape(r_pad)[:r]
     u_f = u_r.reshape(r_pad)[:r]
     v_f = v_r.reshape(r_pad)[:r]
-    if order is not None:
-        inv = jnp.zeros_like(order).at[order].set(
-            jnp.arange(r, dtype=jnp.int32))
-        t_f, prim_f, inst_f, u_f, v_f = (
-            t_f[inv], prim_f[inv], inst_f[inv], u_f[inv], v_f[inv])
     return HitRecord2(
         t=t_f, prim=prim_f, inst=inst_f,
         bary=jnp.stack([u_f, v_f], axis=-1),

@@ -236,6 +236,7 @@ class RenderPass:
         self._mapping_version = -1
         self._work_capacity = 0   # 0 = kernel default; grown on overflow
         self._check_overflow = True
+        self._last_required = None  # previous frame's demand (device scalar)
 
     # -- instance registration (RenderPass::addInstance, :744-801) ----------
     def add_instance(
@@ -311,6 +312,33 @@ class RenderPass:
             self._cache_dirty = False
         return self._cached_slots, self._cached_visible, self._cached_table
 
+    def _grow_work_capacity(self, required: int) -> None:
+        # 1.25x headroom, 4096-slot tiers (pow2 tiers left the kernel grid
+        # mostly padding at large scenes)
+        self._work_capacity = -(-int(required * 1.25) // 4096) * 4096
+
+    def _consume_overflow_signal(self, mapping) -> None:
+        """Deferred per-frame overflow growth: consult the previous frame's
+        ``required_work`` (device scalar) without stalling the pipeline —
+        if it isn't materialized yet, check again next frame. Frames are
+        never shipped with dropped triangles either way: the rasterizer's
+        lax.cond fallback covers demand up to 2x capacity in-graph."""
+        prev = self._last_required
+        if prev is None:
+            return
+        ready = getattr(prev, "is_ready", None)
+        if ready is not None and not ready():
+            return
+        self._last_required = None
+        from ..ops.raster_exact import default_pair_capacity
+
+        required = int(prev)
+        cap = self._work_capacity or default_pair_capacity(
+            self.width, self.height, mapping.capacity
+        )
+        if required > cap:
+            self._grow_work_capacity(required)
+
     def _current_mapping(self):
         from ..ops.static_batch import build_static_mapping
 
@@ -345,6 +373,8 @@ class RenderPass:
         slots, visible, table = self._device_inputs(instances.capacity)
         if static_path:
             mapping = self._current_mapping()
+            if self.use_pallas:
+                self._consume_overflow_signal(mapping)
             kwargs = dict(
                 width=self.width, height=self.height,
                 do_culling=self.do_culling, use_pallas=self.use_pallas,
@@ -356,7 +386,8 @@ class RenderPass:
                 self.lights, cam, slots, visible, self.tonemap_params, **kwargs,
             )
             if self.use_pallas and self._check_overflow:
-                # amortized overflow check (reference buffer-growth analogue)
+                # blocking check right after topology change / resize
+                # (reference buffer-growth analogue)
                 from ..ops.raster_exact import default_pair_capacity
 
                 required = int(aux["required_work"])
@@ -364,9 +395,7 @@ class RenderPass:
                     self.width, self.height, mapping.capacity
                 )
                 if required > cap:
-                    # 1.25x headroom, 4096-slot tiers (pow2 tiers left the
-                    # kernel grid mostly padding at large scenes)
-                    self._work_capacity = -(-int(required * 1.25) // 4096) * 4096
+                    self._grow_work_capacity(required)
                     kwargs["work_capacity"] = self._work_capacity
                     ldr, aux = render_frame_static(
                         mapping, instances, self.scene.tables(), table,
@@ -374,6 +403,12 @@ class RenderPass:
                         **kwargs,
                     )
                 self._check_overflow = False
+            elif self.use_pallas:
+                # steady state: the kernel's in-graph 2x fallback keeps THIS
+                # frame complete even if the camera blew past capacity; keep
+                # the demand scalar so the next render call grows the
+                # persistent capacity (stops paying the fallback)
+                self._last_required = aux["required_work"]
             return ldr, aux
         need = self._required_tri_capacity()
         if need > self._tri_capacity:
