@@ -14,13 +14,19 @@ PaperRenderer.h:70) but reallocates host-side, since traced shapes are static:
 the arena presents a *capacity-tiered* device view, and a capacity change is
 an (amortized, rare) recompile.
 
-Meshes are append-only like the reference's immutable ``Model`` geometry; the
-free/compact path of FragmentableBuffer is provided by ``remove_mesh`` +
-``compact`` for API parity (VulkanResources.cpp:332-542).
+Mesh ranges are placed by a FragmentableBuffer-parity offset allocator
+(best-fit reuse of freed ranges, top-of-stack shrink, compaction emitting
+relocation records — VulkanResources.cpp:332-542): the native C++
+``FragmentableArena`` (native/scenecore.cpp) when built, a pure-python mirror
+otherwise. ``remove_mesh`` really frees; ``add_mesh`` reuses holes;
+``compact`` re-packs live meshes densely and returns the handle remap that
+owners (Scene.compact_geometry) use to fix up models — the reference's
+compaction relocation callback (PaperRenderer.cpp:129-149).
 """
 
 from __future__ import annotations
 
+import bisect
 import dataclasses
 import math
 from typing import Dict, List, Optional, Tuple
@@ -30,6 +36,80 @@ import jax.numpy as jnp
 import numpy as np
 
 GROWTH_FACTOR = 1.4  # mirrors instancesDataBufferOverhead, PaperRenderer.h:70
+
+
+class PyFragArena:
+    """Pure-python mirror of the native FragmentableArena (scenecore.cpp):
+    best-fit reuse by size, top-of-stack free shrinks directly, compaction
+    shifts live ranges down and reports relocation triplets."""
+
+    def __init__(self, capacity: int = 1 << 60, alignment: int = 1):
+        self.capacity = capacity
+        self.alignment = max(1, alignment)
+        self.stack_top = 0
+        self._free: List[Tuple[int, int]] = []   # (size, offset), sorted
+        self._live: Dict[int, int] = {}          # offset -> size
+
+    def alloc(self, size: int) -> Optional[int]:
+        size = -(-size // self.alignment) * self.alignment
+        i = bisect.bisect_left(self._free, (size, 0))
+        if i < len(self._free):
+            fsize, off = self._free.pop(i)
+            if fsize > size:
+                bisect.insort(self._free, (fsize - size, off + size))
+            self._live[off] = size
+            return off
+        if self.stack_top + size > self.capacity:
+            return None
+        off = self.stack_top
+        self.stack_top += size
+        self._live[off] = size
+        return off
+
+    def free(self, offset: int) -> bool:
+        size = self._live.pop(offset, None)
+        if size is None:
+            return False
+        if offset + size == self.stack_top:
+            self.stack_top = offset
+        else:
+            bisect.insort(self._free, (size, offset))
+        return True
+
+    @property
+    def live_count(self) -> int:
+        return len(self._live)
+
+    def compact(self):
+        """Returns (old_offsets, new_offsets, sizes, new_top)."""
+        old, new, sizes = [], [], []
+        cursor = 0
+        relocated: Dict[int, int] = {}
+        for off in sorted(self._live):
+            size = self._live[off]
+            if off != cursor:
+                old.append(off)
+                new.append(cursor)
+                sizes.append(size)
+            relocated[cursor] = size
+            cursor += size
+        self._live = relocated
+        self._free = []
+        self.stack_top = cursor
+        return (np.asarray(old, np.uint64), np.asarray(new, np.uint64),
+                np.asarray(sizes, np.uint64), cursor)
+
+
+def _make_allocator(use_native: bool):
+    if use_native:
+        try:
+            from ..native import AVAILABLE, NativeArena
+
+            if AVAILABLE:
+                return NativeArena(1 << 48, 1)
+        except Exception:
+            pass
+    return PyFragArena()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -61,17 +141,25 @@ def _round_capacity(n: int, floor: int = 1024) -> int:
 
 
 class GeometryArena:
-    """Host-side packed geometry heap; uploads a static-shaped device view."""
+    """Host-side packed geometry heap; uploads a static-shaped device view.
 
-    def __init__(self, vertex_capacity: int = 1024, tri_capacity: int = 1024):
+    Offsets come from a FragmentableArena (native C++ when built): freed mesh
+    ranges are reused best-fit by later ``add_mesh`` calls without waiting
+    for compaction — the reference FragmentableBuffer::newWrite semantics
+    (VulkanResources.cpp:332-403)."""
+
+    def __init__(self, vertex_capacity: int = 1024, tri_capacity: int = 1024,
+                 use_native: bool = True):
         vertex_capacity = _round_capacity(vertex_capacity)
         tri_capacity = _round_capacity(tri_capacity)
         self._pos = np.zeros((vertex_capacity, 3), np.float32)
         self._nrm = np.zeros((vertex_capacity, 3), np.float32)
         self._uv = np.zeros((vertex_capacity, 2), np.float32)
         self._idx = np.zeros((tri_capacity, 3), np.int32)
-        self.vertex_count = 0
+        self.vertex_count = 0   # high-water mark (allocator stack top)
         self.tri_count = 0
+        self._valloc = _make_allocator(use_native)
+        self._talloc = _make_allocator(use_native)
         self._meshes: Dict[int, MeshHandle] = {}
         self._next_mesh_id = 0
         self._device: Optional[GeometryArrays] = None
@@ -80,22 +168,21 @@ class GeometryArena:
         self.revision = 0
 
     # -- capacity management (amortized growth; reference: 1.4x overhead) ---
-    def _ensure(self, extra_v: int, extra_t: int) -> None:
-        need_v = self.vertex_count + extra_v
-        need_t = self.tri_count + extra_t
+    def _ensure(self, need_v: int, need_t: int) -> None:
         if need_v > self._pos.shape[0]:
             cap = _round_capacity(need_v)
             for name in ("_pos", "_nrm"):
                 arr = np.zeros((cap, 3), np.float32)
-                arr[: self.vertex_count] = getattr(self, name)[: self.vertex_count]
+                old = getattr(self, name)
+                arr[: old.shape[0]] = old
                 setattr(self, name, arr)
             uv = np.zeros((cap, 2), np.float32)
-            uv[: self.vertex_count] = self._uv[: self.vertex_count]
+            uv[: self._uv.shape[0]] = self._uv
             self._uv = uv
         if need_t > self._idx.shape[0]:
             cap = _round_capacity(need_t)
             idx = np.zeros((cap, 3), np.int32)
-            idx[: self.tri_count] = self._idx[: self.tri_count]
+            idx[: self._idx.shape[0]] = self._idx
             self._idx = idx
 
     def add_mesh(
@@ -112,14 +199,17 @@ class GeometryArena:
         if uvs is None:
             uvs = np.zeros((positions.shape[0], 2), np.float32)
         nv, nt = positions.shape[0], indices.shape[0]
-        self._ensure(nv, nt)
-        vo, to = self.vertex_count, self.tri_count
+        vo = self._valloc.alloc(nv)
+        to = self._talloc.alloc(nt)
+        assert vo is not None and to is not None
+        vo, to = int(vo), int(to)
+        self._ensure(vo + nv, to + nt)
         self._pos[vo : vo + nv] = positions
         self._nrm[vo : vo + nv] = np.asarray(normals, np.float32).reshape(-1, 3)
         self._uv[vo : vo + nv] = np.asarray(uvs, np.float32).reshape(-1, 2)
         self._idx[to : to + nt] = indices + vo  # arena-global indexing
-        self.vertex_count += nv
-        self.tri_count += nt
+        self.vertex_count = max(self.vertex_count, vo + nv)
+        self.tri_count = max(self.tri_count, to + nt)
         handle = MeshHandle(self._next_mesh_id, vo, nv, to, nt)
         self._meshes[handle.mesh_id] = handle
         self._next_mesh_id += 1
@@ -128,41 +218,49 @@ class GeometryArena:
         return handle
 
     def remove_mesh(self, handle: MeshHandle) -> None:
-        """Mark a mesh's range dead (FragmentableBuffer::removeFromRange parity,
-        VulkanResources.cpp:405-422). Space is reclaimed by ``compact``."""
-        self._meshes.pop(handle.mesh_id, None)
+        """Free a mesh's ranges (FragmentableBuffer::removeFromRange parity,
+        VulkanResources.cpp:405-422). The space is immediately reusable by
+        add_mesh (best-fit); ``compact`` re-packs the survivors densely."""
+        if self._meshes.pop(handle.mesh_id, None) is None:
+            return
+        self._valloc.free(handle.vertex_offset)
+        self._talloc.free(handle.tri_offset)
+        # dead triangle rows become degenerate so stale references draw nothing
+        self._idx[handle.tri_offset : handle.tri_offset + handle.tri_count] = 0
         self._dirty = True
         self.revision += 1
 
     def compact(self) -> Dict[int, MeshHandle]:
-        """Re-pack live meshes densely; returns {mesh_id: new handle} so
-        owners can fix up offsets (FragmentableBuffer::compact relocation
-        callback parity, VulkanResources.cpp:424-542)."""
-        new_pos = np.zeros_like(self._pos)
-        new_nrm = np.zeros_like(self._nrm)
-        new_uv = np.zeros_like(self._uv)
-        new_idx = np.zeros_like(self._idx)
-        vc = tc = 0
+        """Re-pack live meshes densely using the allocator's relocation plan;
+        returns {mesh_id: new handle} so owners can fix up offsets
+        (FragmentableBuffer::compact relocation callback parity,
+        VulkanResources.cpp:424-542; engine fixup PaperRenderer.cpp:129-149)."""
+        v_old, v_new, v_size, v_top = self._valloc.compact()
+        t_old, t_new, t_size, t_top = self._talloc.compact()
+
+        # apply moves ascending (shift-down ⇒ dest < src, overlap-safe —
+        # the reference's iterated vkCmdCopyBuffer, VulkanResources.cpp:488)
+        for old, new, size in zip(v_old, v_new, v_size):
+            old, new, size = int(old), int(new), int(size)
+            for arr in (self._pos, self._nrm, self._uv):
+                arr[new : new + size] = arr[old : old + size]
+        for old, new, size in zip(t_old, t_new, t_size):
+            old, new, size = int(old), int(new), int(size)
+            self._idx[new : new + size] = self._idx[old : old + size]
+
+        vmap = {int(o): int(n) for o, n in zip(v_old, v_new)}
+        tmap = {int(o): int(n) for o, n in zip(t_old, t_new)}
         remapped: Dict[int, MeshHandle] = {}
-        for mid, h in sorted(self._meshes.items(), key=lambda kv: kv[1].vertex_offset):
-            new_pos[vc : vc + h.vertex_count] = self._pos[
-                h.vertex_offset : h.vertex_offset + h.vertex_count
-            ]
-            new_nrm[vc : vc + h.vertex_count] = self._nrm[
-                h.vertex_offset : h.vertex_offset + h.vertex_count
-            ]
-            new_uv[vc : vc + h.vertex_count] = self._uv[
-                h.vertex_offset : h.vertex_offset + h.vertex_count
-            ]
-            tris = self._idx[h.tri_offset : h.tri_offset + h.tri_count]
-            new_idx[tc : tc + h.tri_count] = tris - h.vertex_offset + vc
-            nh = MeshHandle(mid, vc, h.vertex_count, tc, h.tri_count)
-            remapped[mid] = nh
-            vc += h.vertex_count
-            tc += h.tri_count
-        self._pos, self._nrm, self._uv, self._idx = new_pos, new_nrm, new_uv, new_idx
-        self.vertex_count, self.tri_count = vc, tc
+        for mid, h in self._meshes.items():
+            nvo = vmap.get(h.vertex_offset, h.vertex_offset)
+            nto = tmap.get(h.tri_offset, h.tri_offset)
+            if nvo != h.vertex_offset:
+                # triangle indices embed arena-global vertex ids: shift them
+                self._idx[nto : nto + h.tri_count] += nvo - h.vertex_offset
+            remapped[mid] = MeshHandle(mid, nvo, h.vertex_count, nto, h.tri_count)
         self._meshes = remapped
+        self.vertex_count = int(v_top)
+        self.tri_count = int(t_top)
         self._dirty = True
         self.revision += 1
         return remapped

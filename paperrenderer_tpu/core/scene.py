@@ -107,7 +107,7 @@ class Scene:
     """
 
     def __init__(self, arena: Optional[GeometryArena] = None, use_native: bool = True):
-        self.arena = arena or GeometryArena()
+        self.arena = arena or GeometryArena(use_native=use_native)
         self.models: List[Model] = []
         self.instances: List[ModelInstance] = []
         self._dirty: Set[int] = set()
@@ -191,6 +191,27 @@ class Scene:
 
     def geometry(self) -> GeometryArrays:
         return self.arena.device_arrays()
+
+    def compact_geometry(self) -> None:
+        """Compact the geometry arena and fix up every model's mesh handles
+        off the relocation remap — the engine-side compaction callback
+        (reference PaperRenderer.cpp:129-149: compaction invalidates and
+        re-references all owners). Bumps the topology version so static
+        mappings, BLAS sets, and attr tables rebuild."""
+        import dataclasses as _dc
+
+        remap = self.arena.compact()
+        for model in self.models:
+            new_lods = []
+            for lod in model.lods:
+                new_meshes = tuple(
+                    _dc.replace(mm, handle=remap.get(mm.handle.mesh_id, mm.handle))
+                    for mm in lod.meshes
+                )
+                new_lods.append(_dc.replace(lod, meshes=new_meshes))
+            model.lods = tuple(new_lods)
+        self._tables_dirty = True
+        self.version += 1
 
     # -- instances (swap-remove registry, PaperRenderer.cpp:255-306) ----------
     def add_instance(self, instance: ModelInstance) -> ModelInstance:

@@ -61,7 +61,16 @@ def _tier(n: int, floor: int = 2048) -> int:
 
 
 def _morton_u64(p: np.ndarray) -> np.ndarray:
-    """21-bit/axis morton codes for spatial ordering (host-side)."""
+    """21-bit/axis morton codes for spatial ordering (host-side). Uses the
+    native scenecore.morton3d when built (the C++ hot loop for large
+    topology rebuilds); numpy fallback below."""
+    try:
+        from ..native import AVAILABLE, morton3d
+
+        if AVAILABLE:
+            return morton3d(p, p.min(axis=0), p.max(axis=0))
+    except Exception:
+        pass
     lo = p.min(axis=0)
     ext = np.maximum(p.max(axis=0) - lo, 1e-12)
     q = np.clip((p - lo) / ext * 2047.0, 0, 2047).astype(np.uint64)

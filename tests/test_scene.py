@@ -139,3 +139,51 @@ def test_scene_tables_layout():
     assert int(t.mesh_tri_offset[m0]) == h_hi.tri_offset
     assert scene.max_meshes_per_lod == 2
     assert scene.max_slots == 2
+
+
+def test_arena_hole_reuse_after_free():
+    """Freed mesh ranges are reused best-fit by later adds without compaction
+    (FragmentableBuffer::newWrite reuse, VulkanResources.cpp:332-403)."""
+    arena = GeometryArena()
+    p, i, n, u = make_cube()
+    h1 = arena.add_mesh(p, i, n, u)
+    h2 = arena.add_mesh(p + 10.0, i, n, u)
+    h3 = arena.add_mesh(p + 20.0, i, n, u)
+    top_before = arena.vertex_count
+    arena.remove_mesh(h2)
+    h4 = arena.add_mesh(p + 30.0, i, n, u)   # same size: must reuse the hole
+    assert h4.vertex_offset == h2.vertex_offset
+    assert h4.tri_offset == h2.tri_offset
+    assert arena.vertex_count == top_before  # no growth
+    dev = arena.device_arrays()
+    pos4 = np.asarray(
+        dev.positions[h4.vertex_offset : h4.vertex_offset + h4.vertex_count])
+    np.testing.assert_allclose(pos4, p + 30.0)
+
+
+def test_scene_compact_geometry_keeps_render_identical():
+    """Compaction mid-scene relocates live meshes and fixes up every model;
+    the rendered image must be unchanged (reference compaction fixup,
+    PaperRenderer.cpp:129-149)."""
+    from paperrenderer_tpu.core import Camera, MaterialRegistry
+    from paperrenderer_tpu.core.geometry import make_uv_sphere as _sph
+    from paperrenderer_tpu.render import RenderPass
+
+    scene = Scene()
+    registry = MaterialRegistry()
+    # doomed mesh first so compaction actually moves the survivors
+    doomed = scene.arena.add_mesh(*make_cube(3.0))
+    model = _cube_model(scene)
+    rp = RenderPass(scene, registry, width=64, height=64)
+    inst = ModelInstance(model)
+    rp.add_instance(inst, {})
+    cam = Camera(yfov_deg=60.0, aspect=1.0, near=0.1, far=100.0)
+    cam.look_at((0.0, -3.0, 1.0), (0.0, 0.0, 0.0), up=(0, 0, 1))
+    before, _ = rp.render(cam)
+    before = np.asarray(before)
+
+    scene.arena.remove_mesh(doomed)
+    scene.compact_geometry()
+    assert model.lods[0].meshes[0].handle.vertex_offset == 0  # moved down
+    after, _ = rp.render(cam)
+    np.testing.assert_allclose(np.asarray(after), before, atol=1e-5)
