@@ -42,6 +42,8 @@ class MaterialTable:
     metallic: jax.Array      # f32[M]
     alpha: jax.Array         # f32[M]
     shading_model: jax.Array  # i32[M]
+    base_tex: jax.Array      # i32[M] — atlas texture id, -1 = untextured
+    emissive_tex: jax.Array  # i32[M]
 
 
 class Material:
@@ -57,6 +59,8 @@ class Material:
         metallic: float = 0.0,
         alpha: float = 1.0,
         shading_model: int = SHADE_PBR,
+        base_texture=None,       # u8/f32 [H, W, C] image (sRGB) or None
+        emissive_texture=None,
     ):
         self.name = name
         self.albedo = tuple(albedo)
@@ -65,6 +69,8 @@ class Material:
         self.metallic = float(metallic)
         self.alpha = float(alpha)
         self.shading_model = int(shading_model)
+        self.base_texture = base_texture
+        self.emissive_texture = emissive_texture
 
     def instance(self, **overrides) -> "MaterialInstance":
         return MaterialInstance(self, **overrides)
@@ -85,6 +91,8 @@ class MaterialInstance:
             metallic=self.base.metallic,
             alpha=self.base.alpha,
             shading_model=self.base.shading_model,
+            base_texture=self.base.base_texture,
+            emissive_texture=self.base.emissive_texture,
         )
         vals.update(self.overrides)
         return vals
@@ -104,8 +112,24 @@ class MaterialRegistry:
         # must stay alive or a GC'd temporary's address can be reused and
         # silently dedup a *different* material.
         self._objects = []
+        # texture atlas shared by all materials (reference: Image instances
+        # bound through combined samplers — VulkanResources.cpp:640-1003)
+        from .texture import TextureAtlas
+
+        self.textures = TextureAtlas()
+        self._tex_ids: Dict[int, int] = {}   # id(image) -> atlas id
+        self._tex_refs = []
         self.default = Material("default")
         self.register(self.default)
+
+    def _texture_id(self, img) -> int:
+        if img is None:
+            return -1
+        key = id(img)
+        if key not in self._tex_ids:
+            self._tex_ids[key] = self.textures.add(img)
+            self._tex_refs.append(img)
+        return self._tex_ids[key]
 
     def register(self, mat) -> int:
         key = id(mat)
@@ -134,6 +158,16 @@ class MaterialRegistry:
     def has_leaf(self) -> bool:
         return any(v["shading_model"] == SHADE_LEAF for v in self._rows)
 
+    @property
+    def has_textures(self) -> bool:
+        return self.textures.count > 0
+
+    def texture_arrays(self):
+        """Device atlas view (None when no material is textured)."""
+        if self.textures.count == 0:
+            return None
+        return self.textures.device_arrays()
+
     def table(self) -> MaterialTable:
         n = max(1, len(self._rows))
         albedo = np.ones((n, 3), np.float32)
@@ -142,6 +176,8 @@ class MaterialRegistry:
         metallic = np.zeros((n,), np.float32)
         alpha = np.ones((n,), np.float32)
         shading = np.zeros((n,), np.int32)
+        base_tex = np.full((n,), -1, np.int32)
+        emissive_tex = np.full((n,), -1, np.int32)
         for i, vals in enumerate(self._rows):
             albedo[i] = vals["albedo"]
             emissive[i] = vals["emissive"]
@@ -149,6 +185,8 @@ class MaterialRegistry:
             metallic[i] = vals["metallic"]
             alpha[i] = vals["alpha"]
             shading[i] = vals["shading_model"]
+            base_tex[i] = self._texture_id(vals.get("base_texture"))
+            emissive_tex[i] = self._texture_id(vals.get("emissive_texture"))
         return MaterialTable(
             albedo=jnp.asarray(albedo),
             emissive=jnp.asarray(emissive),
@@ -156,4 +194,6 @@ class MaterialRegistry:
             metallic=jnp.asarray(metallic),
             alpha=jnp.asarray(alpha),
             shading_model=jnp.asarray(shading),
+            base_tex=jnp.asarray(base_tex),
+            emissive_tex=jnp.asarray(emissive_tex),
         )

@@ -1,0 +1,248 @@
+"""Texture atlas + TPU-native sampling.
+
+Reference parity: ``Image`` — staged upload, blit-chain mip generation,
+views/samplers (src/PaperRenderer/VulkanResources.cpp:640-1003). The TPU
+redesign packs ALL textures (and their mip chains, box-filtered at upload
+like the reference's blit chain ``generateMipmaps``) into ONE device atlas,
+because samplers become gathers and the gather cost model is "count the
+rows":
+
+  * texels are stored as PAIRS — ``pairs f32[H*W]``-style rows holding
+    (texel[x], texel[x+1]) as two bitcast RGBA8 words — so one bilinear tap
+    row (two x-adjacent texels) costs ONE row gather; a full bilinear sample
+    is TWO gathers (y0 and y1 rows);
+  * per-(texture, mip) placement rects live in a small table resolved by a
+    one-hot matmul (tables are tiny; one-hot beats per-pixel gathers);
+  * mip level is an explicit argument — the deferred shading path computes
+    it from image-space uv derivatives (quad-derivative analogue).
+
+Colors are linearized (sRGB -> linear) at upload, matching the reference's
+``VK_FORMAT_*_SRGB`` views doing the conversion in hardware.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MAX_MIPS = 8
+
+
+def _srgb_to_linear(x: np.ndarray) -> np.ndarray:
+    a = x / 255.0
+    return np.where(a <= 0.04045, a / 12.92, ((a + 0.055) / 1.055) ** 2.4)
+
+
+def _to_rgba8(img: np.ndarray, srgb: bool) -> np.ndarray:
+    """Any (h, w, 1|3|4) u8/f32 image -> linear RGBA8."""
+    img = np.asarray(img)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.dtype != np.uint8:
+        img = np.clip(np.asarray(img, np.float32), 0.0, 1.0)
+        img = (img * 255.0 + 0.5).astype(np.uint8)
+    if srgb:
+        lin = np.clip(_srgb_to_linear(img[..., :3].astype(np.float32)) * 255.0
+                      + 0.5, 0, 255).astype(np.uint8)
+        img = np.concatenate([lin, img[..., 3:]], axis=-1) if img.shape[-1] == 4 \
+            else lin
+    h, w, c = img.shape
+    if c == 1:
+        img = np.repeat(img, 3, axis=-1)
+        c = 3
+    if c == 3:
+        img = np.concatenate(
+            [img, np.full((h, w, 1), 255, np.uint8)], axis=-1)
+    return img
+
+
+def _mip_chain(img: np.ndarray) -> List[np.ndarray]:
+    """Box-filtered mip chain (the reference's linear blit chain,
+    VulkanResources.cpp:865-1003), down to 1x1, capped at MAX_MIPS."""
+    mips = [img]
+    while len(mips) < MAX_MIPS and max(mips[-1].shape[0], mips[-1].shape[1]) > 1:
+        m = mips[-1].astype(np.float32)
+        h, w = m.shape[:2]
+        h2, w2 = max(h // 2, 1), max(w // 2, 1)
+        m = m[: h2 * 2, : w2 * 2]
+        if h > 1:
+            m = (m[0::2] + m[1::2]) * 0.5
+        if w > 1:
+            m = (m[:, 0::2] + m[:, 1::2]) * 0.5
+        mips.append((m + 0.5).astype(np.uint8))
+    return mips
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TextureArrays:
+    """Device-side atlas view."""
+
+    pairs: jax.Array   # i32[H*W, 2] — (texel[x], texel[x+1]) RGBA8 words
+    rects: jax.Array   # f32[T, MAX_MIPS, 4] — (x, y, w, h) per (tex, mip)
+    mip_counts: jax.Array  # i32[T]
+    width: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+    @property
+    def count(self) -> int:
+        return self.rects.shape[0]
+
+
+class TextureAtlas:
+    """Host-side shelf packer; rebuilds the device arrays when dirty."""
+
+    def __init__(self, width: int = 1024):
+        self.width = width
+        self._shelves: List[Tuple[int, int, int]] = []  # (y, height, x_used)
+        self._height = 0
+        self._entries: List[List[Tuple[int, int, int, int]]] = []  # per tex: mip rects
+        self._images: List[List[np.ndarray]] = []
+        self._dirty = True
+        self._device: Optional[TextureArrays] = None
+
+    def _place(self, w: int, h: int) -> Tuple[int, int]:
+        for i, (y, sh, x) in enumerate(self._shelves):
+            if sh >= h and x + w <= self.width:
+                self._shelves[i] = (y, sh, x + w)
+                return x, y
+        y = self._height
+        self._shelves.append((y, h, w))
+        self._height += h
+        return 0, y
+
+    def add(self, image: np.ndarray, srgb: bool = True) -> int:
+        """Register a texture; returns its id. Builds + places its mip chain."""
+        rgba = _to_rgba8(image, srgb)
+        assert rgba.shape[1] <= self.width, "texture wider than the atlas"
+        mips = _mip_chain(rgba)
+        rects = []
+        for m in mips:
+            h, w = m.shape[:2]
+            x, y = self._place(w, h)
+            rects.append((x, y, w, h))
+        tid = len(self._entries)
+        self._entries.append(rects)
+        self._images.append(mips)
+        self._dirty = True
+        return tid
+
+    @property
+    def count(self) -> int:
+        return len(self._entries)
+
+    def device_arrays(self) -> TextureArrays:
+        if not self._dirty and self._device is not None:
+            return self._device
+        h = max(1, self._height)
+        w = self.width
+        atlas = np.zeros((h, w, 4), np.uint8)
+        t = max(1, len(self._entries))
+        rects = np.zeros((t, MAX_MIPS, 4), np.float32)
+        mip_counts = np.ones((t,), np.int32)
+        for tid, (mips, rlist) in enumerate(zip(self._images, self._entries)):
+            mip_counts[tid] = len(mips)
+            for lvl, (m, (x, y, mw, mh)) in enumerate(zip(mips, rlist)):
+                atlas[y : y + mh, x : x + mw] = m
+                rects[tid, lvl] = (x, y, mw, mh)
+            for lvl in range(len(mips), MAX_MIPS):
+                rects[tid, lvl] = rects[tid, len(mips) - 1]
+        words = atlas.reshape(h, w, 4).view(np.uint32)[..., 0]  # RGBA8 LE words
+        # x-adjacent pairs (clamped at the atlas edge): one gather = one tap row
+        nxt = np.concatenate([words[:, 1:], words[:, -1:]], axis=1)
+        pairs = np.stack([words, nxt], axis=-1).reshape(h * w, 2)
+        self._device = TextureArrays(
+            pairs=jnp.asarray(pairs.view(np.int32)),
+            rects=jnp.asarray(rects),
+            mip_counts=jnp.asarray(mip_counts),
+            width=w,
+        )
+        self._dirty = False
+        return self._device
+
+
+def _decode_rgba(word: jax.Array) -> jax.Array:
+    """i32 RGBA8 word -> f32[..., 4] in [0, 1]."""
+    w = word
+    return jnp.stack(
+        [
+            (w & 0xFF).astype(jnp.float32),
+            ((w >> 8) & 0xFF).astype(jnp.float32),
+            ((w >> 16) & 0xFF).astype(jnp.float32),
+            ((w >> 24) & 0xFF).astype(jnp.float32),
+        ],
+        axis=-1,
+    ) * (1.0 / 255.0)
+
+
+def _rect_lookup(tex: TextureArrays, tex_id: jax.Array, lod: jax.Array):
+    """(x, y, w, h) of each sample's (texture, mip) via one-hot matmul."""
+    t = tex.rects.shape[0]
+    lvl = jnp.clip(
+        lod.astype(jnp.int32), 0, tex.mip_counts[jnp.clip(tex_id, 0, t - 1)] - 1
+    )
+    flat = tex.rects.reshape(t * MAX_MIPS, 4)
+    key = jnp.clip(tex_id, 0, t - 1) * MAX_MIPS + lvl
+    onehot = (
+        key[..., None]
+        == jnp.arange(t * MAX_MIPS, dtype=jnp.int32)
+    ).astype(jnp.float32)
+    return onehot @ flat    # [..., 4]
+
+
+def sample_bilinear(
+    tex: TextureArrays,
+    tex_id: jax.Array,   # i32[...]; negative = no texture -> white
+    uv: jax.Array,       # f32[..., 2]
+    lod: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Bilinear (nearest-mip) sample -> f32[..., 4] linear RGBA.
+
+    Two row gathers per sample (paired texels); repeat wrap; the reference's
+    combined image sampler analogue."""
+    if lod is None:
+        lod = jnp.zeros(tex_id.shape, jnp.float32)
+    rect = _rect_lookup(tex, tex_id, lod)
+    rx, ry, rw, rh = rect[..., 0], rect[..., 1], rect[..., 2], rect[..., 3]
+
+    u = uv[..., 0] - jnp.floor(uv[..., 0])   # repeat wrap
+    v = uv[..., 1] - jnp.floor(uv[..., 1])
+    fx = u * rw - 0.5
+    fy = v * rh - 0.5
+    x0 = jnp.clip(jnp.floor(fx), 0.0, jnp.maximum(rw - 2.0, 0.0))
+    y0 = jnp.clip(jnp.floor(fy), 0.0, jnp.maximum(rh - 1.0, 0.0))
+    # rw == 1: the paired second texel belongs to an atlas neighbor — zero it
+    ax = jnp.where(rw >= 2.0, jnp.clip(fx - x0, 0.0, 1.0), 0.0)[..., None]
+    ay = jnp.clip(fy - y0, 0.0, 1.0)[..., None]
+    y1 = jnp.minimum(y0 + 1.0, rh - 1.0)
+
+    gx = (rx + x0).astype(jnp.int32)
+    gy0 = (ry + y0).astype(jnp.int32)
+    gy1 = (ry + y1).astype(jnp.int32)
+    w = tex.width
+    n = tex.pairs.shape[0]
+    row0 = tex.pairs[jnp.clip(gy0 * w + gx, 0, n - 1)]   # [..., 2]
+    row1 = tex.pairs[jnp.clip(gy1 * w + gx, 0, n - 1)]
+    c00 = _decode_rgba(row0[..., 0])
+    c10 = _decode_rgba(row0[..., 1])
+    c01 = _decode_rgba(row1[..., 0])
+    c11 = _decode_rgba(row1[..., 1])
+    top = c00 * (1.0 - ax) + c10 * ax
+    bot = c01 * (1.0 - ax) + c11 * ax
+    out = top * (1.0 - ay) + bot * ay
+    return jnp.where((tex_id >= 0)[..., None], out, 1.0)
+
+
+def uv_screen_lod(uv: jax.Array, rw: jax.Array, rh: jax.Array) -> jax.Array:
+    """Mip level from image-space uv derivatives: f32[H, W, 2] uv image +
+    per-pixel texture extents -> f32[H, W]. The deferred-shading analogue of
+    fragment-quad derivatives."""
+    du_dx = jnp.abs(jnp.diff(uv, axis=1, append=uv[:, -1:]))
+    du_dy = jnp.abs(jnp.diff(uv, axis=0, append=uv[-1:]))
+    fx = jnp.maximum(du_dx[..., 0] * rw, du_dx[..., 1] * rh)
+    fy = jnp.maximum(du_dy[..., 0] * rw, du_dy[..., 1] * rh)
+    foot = jnp.maximum(jnp.maximum(fx, fy), 1e-8)
+    return jnp.clip(jnp.log2(foot), 0.0, MAX_MIPS - 1.0)

@@ -13,8 +13,10 @@ the same surface with no external dependencies (json + struct + numpy):
     emissiveFactor, alphaMode BLEND -> SHADE_TRANSLUCENT
   * node hierarchy with TRS or matrix transforms (flattened to world TRS)
 
-Textures are not yet sampled (the parameter factors are used) — matching the
-per-primitive parameter surface the shading path consumes today.
+  * textures: baseColorTexture / emissiveTexture images (embedded
+    bufferView, data: URI, or external file) are decoded and attached to the
+    Material; the MaterialRegistry packs them into the shared device atlas
+    (core/texture.py) when the material table is built.
 """
 
 from __future__ import annotations
@@ -136,16 +138,53 @@ class GltfScene:
         # ^ (model index, pos, scale, quat)
 
 
+def _texture_image(gltf: dict, buffers: List[bytes], base_dir: str,
+                   cache: Dict[int, Optional[np.ndarray]],
+                   tex_ref: Optional[dict]) -> Optional[np.ndarray]:
+    """Resolve a glTF textureInfo -> decoded u8 image (None if absent)."""
+    if tex_ref is None:
+        return None
+    tex = gltf.get("textures", [])[tex_ref["index"]]
+    src = tex.get("source")
+    if src is None:
+        return None
+    if src in cache:
+        return cache[src]
+    img_def = gltf["images"][src]
+    from .image import read_image
+
+    if "bufferView" in img_def:
+        view = gltf["bufferViews"][img_def["bufferView"]]
+        buf = buffers[view.get("buffer", 0)]
+        start = view.get("byteOffset", 0)
+        data = buf[start : start + view["byteLength"]]
+        img = read_image(data)
+    else:
+        uri = img_def.get("uri", "")
+        if uri.startswith("data:"):
+            img = read_image(base64.b64decode(uri.split(",", 1)[1]))
+        else:
+            img = read_image(os.path.join(base_dir, uri))
+    cache[src] = img
+    return img
+
+
 def load_gltf(path: str, arena: GeometryArena) -> GltfScene:
     """Parse a .glb/.gltf file into arena-backed Models + instance TRS list."""
     gltf, buffers = _load_container(path)
     out = GltfScene()
+    base_dir = os.path.dirname(os.path.abspath(path))
+    img_cache: Dict[int, Optional[np.ndarray]] = {}
 
     for mi, mat in enumerate(gltf.get("materials", [])):
         pbr = mat.get("pbrMetallicRoughness", {})
         base = pbr.get("baseColorFactor", [1, 1, 1, 1])
         emissive = mat.get("emissiveFactor", [0, 0, 0])
         blend = mat.get("alphaMode", "OPAQUE") == "BLEND"
+        base_img = _texture_image(gltf, buffers, base_dir, img_cache,
+                                  pbr.get("baseColorTexture"))
+        emis_img = _texture_image(gltf, buffers, base_dir, img_cache,
+                                  mat.get("emissiveTexture"))
         out.materials.append(
             Material(
                 mat.get("name", f"material{mi}"),
@@ -155,6 +194,8 @@ def load_gltf(path: str, arena: GeometryArena) -> GltfScene:
                 metallic=float(pbr.get("metallicFactor", 1.0)),
                 emissive=tuple(emissive),
                 shading_model=SHADE_TRANSLUCENT if blend else SHADE_PBR,
+                base_texture=base_img,
+                emissive_texture=emis_img,
             )
         )
     default_mat = Material("gltf-default")

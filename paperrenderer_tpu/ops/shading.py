@@ -152,12 +152,15 @@ def shade_gbuffer(
     shadow_vis: jax.Array | None = None,  # f32[L, H, W] per-light visibility
     ambient_occlusion: jax.Array | None = None,  # f32[H, W]
     background: tuple = (0.0, 0.0, 0.0),
+    textures=None,  # core.texture.TextureArrays | None
 ) -> jax.Array:
     """Shade the G-buffer -> HDR image f32[H, W, 3].
 
     ``shadow_vis``/``ambient_occlusion`` slots let the RT passes feed their
     results into the same shading path (hybrid frames), replacing the
-    reference's shadow-ray loop in raytrace.rchit:61-122.
+    reference's shadow-ray loop in raytrace.rchit:61-122. ``textures``
+    enables baseColor/emissive texture sampling (mip level from image-space
+    uv derivatives — the fragment-quad-derivative analogue).
     """
     m = materials.albedo.shape[0]
     if m <= 128:
@@ -176,6 +179,22 @@ def shade_gbuffer(
         emissive = materials.emissive[gbuf.material]
         roughness = materials.roughness[gbuf.material]
         metallic = materials.metallic[gbuf.material]
+
+    if textures is not None:
+        from ..core.texture import sample_bilinear, uv_screen_lod
+
+        base_tex = materials.base_tex[gbuf.material]
+        emis_tex = materials.emissive_tex[gbuf.material]
+        t = textures.count
+        oh = jax.nn.one_hot(jnp.clip(base_tex, 0, t - 1), t, dtype=jnp.float32)
+        wh = oh @ textures.rects[:, 0, 2:4]     # mip-0 extents, one-hot lookup
+        lod = uv_screen_lod(gbuf.uv, wh[..., 0], wh[..., 1])
+        albedo = albedo * sample_bilinear(textures, base_tex, gbuf.uv, lod)[..., :3]
+        emissive = emissive + jnp.where(
+            (emis_tex >= 0)[..., None],
+            sample_bilinear(textures, emis_tex, gbuf.uv, lod)[..., :3],
+            0.0,
+        )
 
     view_dir = cam_pos - gbuf.world_pos
     view_dir = view_dir / jnp.maximum(

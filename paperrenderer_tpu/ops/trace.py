@@ -203,11 +203,12 @@ class BatchTracer:
 
     def __init__(self, batch: TriangleBatch, bvh: BVH,
                  materials: Optional[MaterialTable] = None,
-                 leaf_cutout: bool = False):
+                 leaf_cutout: bool = False, textures=None):
         self.batch = batch
         self.bvh = bvh
         self.materials = materials
         self.leaf_cutout = leaf_cutout
+        self.textures = textures
 
     def trace(self, o, d, t_max, *, any_hit=False, active=None,
               use_alpha=False):
@@ -319,6 +320,7 @@ def shade_surfaces(
     cam_or_prev_pos: jax.Array,  # f32[3] or f32[R, 3] — viewer position(s)
     shadow_vis: jax.Array,       # f32[L, R]
     ao: jax.Array,               # f32[R]
+    textures=None,               # core.texture.TextureArrays | None
 ) -> jax.Array:
     """Direct lighting + ambient + emissive at hit points (rchit:48-122,
     :173-226 minus reflections). Returns f32[R, 3]; invalid rays -> 0."""
@@ -326,6 +328,15 @@ def shade_surfaces(
     emissive = materials.emissive[surf.material]
     roughness = materials.roughness[surf.material]
     metallic = materials.metallic[surf.material]
+    if textures is not None:
+        from ..core.texture import sample_bilinear
+
+        base_tex = materials.base_tex[surf.material]
+        emis_tex = materials.emissive_tex[surf.material]
+        albedo = albedo * sample_bilinear(textures, base_tex, surf.uv)[..., :3]
+        emissive = emissive + jnp.where(
+            (emis_tex >= 0)[..., None],
+            sample_bilinear(textures, emis_tex, surf.uv)[..., :3], 0.0)
 
     view_dir = cam_or_prev_pos - surf.world_pos
     view_dir = view_dir / jnp.maximum(jnp.linalg.norm(view_dir, axis=-1, keepdims=True), 1e-9)
@@ -389,7 +400,8 @@ def reflections(
             hit2, ctx, materials,
             jax.random.fold_in(k, 2), params.ao_samples, params.ao_radius,
         )
-        color2 = shade_surfaces(hit2, materials, lights, surf.world_pos, svis, ao2)
+        color2 = shade_surfaces(hit2, materials, lights, surf.world_pos,
+                                svis, ao2, getattr(ctx, "textures", None))
         acc = acc + jnp.where(hit2.valid[:, None], color2, BACKGROUND)
     refl = acc / params.reflection_samples
     influence = jnp.clip(metal, 0.04, 1.0)[:, None]
@@ -428,7 +440,8 @@ def trace_frame(
     ao = ambient_occlusion(
         surf, ctx, materials, key, params.ao_samples, params.ao_radius,
     )
-    color = shade_surfaces(surf, materials, lights, camera.cam_pos, svis, ao)
+    color = shade_surfaces(surf, materials, lights, camera.cam_pos, svis, ao,
+                           getattr(ctx, "textures", None))
     color = color + reflections(
         surf, ctx, materials, lights, camera.cam_pos,
         jax.random.fold_in(key, 7), params,

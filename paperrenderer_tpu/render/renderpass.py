@@ -60,6 +60,7 @@ def render_frame(
     slot_materials: jax.Array,      # i32[N, S]
     instance_visible: jax.Array,    # bool[N]
     tonemap_params: TonemapParams,
+    textures=None,
     *,
     width: int,
     height: int,
@@ -90,7 +91,8 @@ def render_frame(
     else:
         depth, tid, bary = R.rasterize(batch, width, height)
     gbuf = R.resolve_gbuffer(batch, depth, tid, bary)
-    hdr = shade_gbuffer(gbuf, materials, lights, camera.cam_pos)
+    hdr = shade_gbuffer(gbuf, materials, lights, camera.cam_pos,
+                        textures=textures)
     ldr = tonemap(hdr, tonemap_params)
     aux = {
         "visible_count": jnp.sum(pre.visible.astype(jnp.int32)),
@@ -120,6 +122,7 @@ def render_frame_static(
     slot_materials: jax.Array,
     instance_visible: jax.Array,
     tonemap_params: TonemapParams,
+    textures=None,
     *,
     width: int,
     height: int,
@@ -161,7 +164,8 @@ def render_frame_static(
         gbuf = R.resolve_gbuffer_packed(
             R.pack_attributes(batch), depth, tid, bary, camera
         )
-    hdr = shade_gbuffer(gbuf, materials, lights, camera.cam_pos)
+    hdr = shade_gbuffer(gbuf, materials, lights, camera.cam_pos,
+                        textures=textures)
     if translucent_layers > 0:
         from ..ops.translucency import composite_translucency
 
@@ -230,6 +234,7 @@ class RenderPass:
         self._cached_slots = None
         self._cached_visible = None
         self._cached_table = None
+        self._cached_textures = None
         self._cached_capacity = -1
         # static fast path: pre-expanded triangles keyed on scene.version
         self._mapping = None
@@ -308,6 +313,7 @@ class RenderPass:
             self._cached_slots = self._slot_material_array(capacity)
             self._cached_visible = self._visible_array(capacity)
             self._cached_table = self.materials.table()
+            self._cached_textures = self.materials.texture_arrays()
             self._cached_capacity = capacity
             self._cache_dirty = False
         return self._cached_slots, self._cached_visible, self._cached_table
@@ -383,7 +389,8 @@ class RenderPass:
             )
             ldr, aux = render_frame_static(
                 mapping, instances, self.scene.tables(), table,
-                self.lights, cam, slots, visible, self.tonemap_params, **kwargs,
+                self.lights, cam, slots, visible, self.tonemap_params,
+                self._cached_textures, **kwargs,
             )
             if self.use_pallas and self._check_overflow:
                 # blocking check right after topology change / resize
@@ -400,7 +407,7 @@ class RenderPass:
                     ldr, aux = render_frame_static(
                         mapping, instances, self.scene.tables(), table,
                         self.lights, cam, slots, visible, self.tonemap_params,
-                        **kwargs,
+                        self._cached_textures, **kwargs,
                     )
                 self._check_overflow = False
             elif self.use_pallas:
@@ -423,6 +430,7 @@ class RenderPass:
             slots,
             visible,
             self.tonemap_params,
+            self._cached_textures,
             width=self.width,
             height=self.height,
             max_meshes_per_lod=self.scene.max_meshes_per_lod,

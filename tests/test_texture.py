@@ -1,0 +1,261 @@
+"""Texture atlas + sampling tests.
+
+Covers the reference Image subsystem's capability surface
+(src/PaperRenderer/VulkanResources.cpp:640-1003 — staged upload, mip chain,
+sampler) in its TPU redesign: a packed pair-texel atlas sampled by row
+gathers, sRGB linearization at upload, mip selection by explicit lod.
+"""
+
+import io
+import json
+import struct
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from paperrenderer_tpu.core import (
+    Camera, GeometryArena, Material, MaterialRegistry, Scene,
+)
+from paperrenderer_tpu.ops.shading import Lights
+from paperrenderer_tpu.core.geometry import make_plane
+from paperrenderer_tpu.core.model import Model, ModelInstance
+from paperrenderer_tpu.core.texture import (
+    MAX_MIPS, TextureAtlas, sample_bilinear,
+)
+from paperrenderer_tpu.render import RayTraceRender, RenderPass
+
+
+def _sample(atlas, tid, u, v, lod=None):
+    tex = atlas.device_arrays()
+    uv = jnp.asarray([[u, v]], jnp.float32)
+    t = jnp.asarray([tid], jnp.int32)
+    lo = None if lod is None else jnp.asarray([lod], jnp.float32)
+    return np.asarray(sample_bilinear(tex, t, uv, lo))[0]
+
+
+def test_texel_center_exact():
+    """Sampling at texel centers returns the stored texel exactly."""
+    img = np.zeros((2, 2, 3), np.uint8)
+    img[0, 0] = (255, 0, 0)
+    img[0, 1] = (0, 255, 0)
+    img[1, 0] = (0, 0, 255)
+    img[1, 1] = (255, 255, 255)
+    atlas = TextureAtlas(width=64)
+    tid = atlas.add(img, srgb=False)
+    np.testing.assert_allclose(_sample(atlas, tid, 0.25, 0.25)[:3], [1, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(_sample(atlas, tid, 0.75, 0.25)[:3], [0, 1, 0], atol=1e-6)
+    np.testing.assert_allclose(_sample(atlas, tid, 0.25, 0.75)[:3], [0, 0, 1], atol=1e-6)
+    np.testing.assert_allclose(_sample(atlas, tid, 0.75, 0.75)[:3], [1, 1, 1], atol=1e-6)
+
+
+def test_bilinear_midpoint_and_wrap():
+    img = np.zeros((1, 2, 3), np.uint8)
+    img[0, 0] = (0, 0, 0)
+    img[0, 1] = (255, 255, 255)
+    atlas = TextureAtlas(width=64)
+    tid = atlas.add(img, srgb=False)
+    # midpoint between the two texels = 0.5
+    mid = _sample(atlas, tid, 0.5, 0.5)
+    np.testing.assert_allclose(mid[:3], [0.5, 0.5, 0.5], atol=1 / 255)
+    # repeat wrap: u = 1.25 == u = 0.25
+    np.testing.assert_allclose(
+        _sample(atlas, tid, 1.25, 0.5), _sample(atlas, tid, 0.25, 0.5), atol=1e-6
+    )
+
+
+def test_one_by_one_texture_no_atlas_bleed():
+    """A 1x1 texture must not blend with its atlas shelf neighbor."""
+    atlas = TextureAtlas(width=64)
+    a = atlas.add(np.full((1, 1, 3), 200, np.uint8), srgb=False)
+    atlas.add(np.zeros((4, 4, 3), np.uint8), srgb=False)  # neighbor
+    for u in (0.05, 0.5, 0.95):
+        np.testing.assert_allclose(
+            _sample(atlas, a, u, 0.5)[:3], [200 / 255] * 3, atol=1e-6
+        )
+
+
+def test_mip_chain_lod_selection():
+    """lod selects box-filtered mips; the last mip is the image mean."""
+    img = np.zeros((4, 4, 3), np.uint8)
+    img[::2, ::2] = 255
+    img[1::2, 1::2] = 255  # checker: mean 127.5
+    atlas = TextureAtlas(width=64)
+    tid = atlas.add(img, srgb=False)
+    n_mips = int(np.asarray(atlas.device_arrays().mip_counts)[tid])
+    assert n_mips == 3  # 4x4, 2x2, 1x1
+    top = _sample(atlas, tid, 1 / 8, 1 / 8, lod=0.0)
+    np.testing.assert_allclose(top[:3], [1, 1, 1], atol=1e-6)
+    last = _sample(atlas, tid, 0.5, 0.5, lod=2.0)
+    np.testing.assert_allclose(last[:3], [0.5, 0.5, 0.5], atol=2 / 255)
+    # lod beyond the chain clamps to the last mip
+    np.testing.assert_allclose(
+        _sample(atlas, tid, 0.5, 0.5, lod=float(MAX_MIPS)), last, atol=1e-6
+    )
+
+
+def test_srgb_linearization():
+    """sRGB 188 -> linear ~0.5 (the reference's *_SRGB view conversion)."""
+    atlas = TextureAtlas(width=16)
+    tid = atlas.add(np.full((1, 1, 3), 188, np.uint8), srgb=True)
+    v = _sample(atlas, tid, 0.5, 0.5)[0]
+    assert abs(v - 0.502) < 0.01
+
+
+def test_negative_id_samples_white():
+    atlas = TextureAtlas(width=16)
+    atlas.add(np.zeros((2, 2, 3), np.uint8))
+    np.testing.assert_allclose(_sample(atlas, -1, 0.3, 0.3), [1, 1, 1, 1])
+
+
+def _checker(n=8, c0=(0, 0, 0), c1=(255, 255, 255)):
+    img = np.zeros((n, n, 3), np.uint8)
+    img[...] = c0
+    ii, jj = np.meshgrid(range(n), range(n), indexing="ij")
+    img[(ii // (n // 2) + jj // (n // 2)) % 2 == 1] = c1
+    return img
+
+
+def _textured_plane_scene(tex_img):
+    scene = Scene()
+    registry = MaterialRegistry()
+    plane = Model.from_mesh(scene.arena, *make_plane(size=2.0), name="plane")
+    mat = Material("textured", albedo=(1, 1, 1), roughness=1.0,
+                   base_texture=tex_img)
+    return scene, registry, plane, mat
+
+
+def test_raster_textured_render():
+    """A checker baseColor texture shows distinct quadrants in raster."""
+    # red / green checker so quadrants are distinguishable channels
+    img = _checker(8, c0=(255, 0, 0), c1=(0, 255, 0))
+    scene, registry, plane, mat = _textured_plane_scene(img)
+    rp = RenderPass(scene, registry, width=32, height=32,
+                    lights=Lights.make([], ambient=(1, 1, 1, 1.0)))
+    inst = ModelInstance(plane)
+    rp.add_instance(inst, {0: mat.instance()})
+    cam = Camera(yfov_deg=45.0, aspect=1.0, near=0.1, far=50.0)
+    cam.look_at((0.0, 0.0, 2.5), (0.0, 0.0, 0.0), up=(0, 1, 0))
+    ldr, aux = rp.render(cam)
+    img_out = np.asarray(ldr)
+    assert float(aux["coverage"]) > 0.5
+    # sample interior points of opposing quadrants
+    a = img_out[8, 8]     # one checker color
+    b = img_out[8, 24]    # the other
+    assert abs(float(a[0]) - float(b[0])) > 0.2  # red differs across quadrants
+    assert abs(float(a[1]) - float(b[1])) > 0.2
+
+
+def test_rt_textured_render():
+    """The same checker texture shows through the ray-traced path."""
+    img = _checker(8, c0=(255, 0, 0), c1=(0, 255, 0))
+    scene, registry, plane, mat = _textured_plane_scene(img)
+    rt = RayTraceRender(scene, registry, width=32, height=32,
+                        lights=Lights.make([], ambient=(1, 1, 1, 1.0)),
+                        shadow_samples=0, reflection_samples=0, ao_samples=0)
+    inst = ModelInstance(plane)
+    rt.add_instance(inst, {0: mat.instance()})
+    cam = Camera(yfov_deg=45.0, aspect=1.0, near=0.1, far=50.0)
+    cam.look_at((0.0, 0.0, 2.5), (0.0, 0.0, 0.0), up=(0, 1, 0))
+    ldr, aux = rt.render(cam)
+    img_out = np.asarray(ldr)
+    a = img_out[8, 8]
+    b = img_out[8, 24]
+    assert abs(float(a[0]) - float(b[0])) > 0.2
+    assert abs(float(a[1]) - float(b[1])) > 0.2
+
+
+def _png_bytes(img: np.ndarray) -> bytes:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "PNG")
+    return buf.getvalue()
+
+
+def _make_textured_glb(path):
+    """One textured quad (POSITION/NORMAL/TEXCOORD_0) with an embedded PNG."""
+    positions = np.asarray(
+        [[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]], np.float32
+    )
+    normals = np.tile(np.asarray([[0, 0, 1]], np.float32), (4, 1))
+    uvs = np.asarray([[0, 1], [1, 1], [1, 0], [0, 0]], np.float32)
+    indices = np.asarray([0, 1, 2, 0, 2, 3], np.uint16)
+    png = _png_bytes(_checker(8, c0=(255, 0, 0), c1=(0, 255, 0)))
+
+    bin_parts = [positions.tobytes(), normals.tobytes(), uvs.tobytes(),
+                 indices.tobytes(), png]
+    offsets, off = [], 0
+    for part in bin_parts:
+        offsets.append(off)
+        off += len(part) + (-len(part) % 4)
+    binary = b"".join(p + b"\x00" * (-len(p) % 4) for p in bin_parts)
+
+    gltf = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": 0, "NORMAL": 1, "TEXCOORD_0": 2},
+            "indices": 3,
+            "material": 0,
+        }]}],
+        "materials": [{
+            "pbrMetallicRoughness": {
+                "baseColorFactor": [1, 1, 1, 1],
+                "baseColorTexture": {"index": 0},
+                "roughnessFactor": 1.0,
+                "metallicFactor": 0.0,
+            },
+        }],
+        "textures": [{"source": 0}],
+        "images": [{"bufferView": 4, "mimeType": "image/png"}],
+        "buffers": [{"byteLength": len(binary)}],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": offsets[0], "byteLength": 48},
+            {"buffer": 0, "byteOffset": offsets[1], "byteLength": 48},
+            {"buffer": 0, "byteOffset": offsets[2], "byteLength": 32},
+            {"buffer": 0, "byteOffset": offsets[3], "byteLength": 12},
+            {"buffer": 0, "byteOffset": offsets[4], "byteLength": len(png)},
+        ],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 4, "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5126, "count": 4, "type": "VEC3"},
+            {"bufferView": 2, "componentType": 5126, "count": 4, "type": "VEC2"},
+            {"bufferView": 3, "componentType": 5123, "count": 6, "type": "SCALAR"},
+        ],
+    }
+    json_bytes = json.dumps(gltf).encode()
+    json_bytes += b" " * (-len(json_bytes) % 4)
+    total = 12 + 8 + len(json_bytes) + 8 + len(binary)
+    with open(path, "wb") as f:
+        f.write(struct.pack("<4sII", b"glTF", 2, total))
+        f.write(struct.pack("<I4s", len(json_bytes), b"JSON"))
+        f.write(json_bytes)
+        f.write(struct.pack("<I4s", len(binary), b"BIN\x00"))
+        f.write(binary)
+
+
+def test_textured_glb_loads_and_renders(tmp_path):
+    from paperrenderer_tpu.io.gltf import instantiate, load_gltf
+
+    path = str(tmp_path / "textured.glb")
+    _make_textured_glb(path)
+    scene = Scene()
+    registry = MaterialRegistry()
+    gs = load_gltf(path, scene.arena)
+    assert gs.materials[0].base_texture is not None
+    assert gs.materials[0].base_texture.shape[:2] == (8, 8)
+    rp = RenderPass(scene, registry, width=32, height=32,
+                    lights=Lights.make([], ambient=(1, 1, 1, 1.0)))
+    instantiate(gs, rp)
+    cam = Camera(yfov_deg=45.0, aspect=1.0, near=0.1, far=50.0)
+    cam.look_at((0.0, 0.0, 2.5), (0.0, 0.0, 0.0), up=(0, 1, 0))
+    ldr, aux = rp.render(cam)
+    img_out = np.asarray(ldr)
+    assert float(aux["coverage"]) > 0.5
+    a, b = img_out[8, 8], img_out[8, 24]
+    assert abs(float(a[0]) - float(b[0])) > 0.2
+    assert abs(float(a[1]) - float(b[1])) > 0.2
