@@ -1,57 +1,166 @@
-"""Benchmark: steady-state raster frames/sec on the bundled example scene.
+"""Benchmark: the BASELINE.md metric matrix on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} for the
+headline metric (config-1 raster fps), plus a "metrics" dict carrying the
+whole matrix of record (BASELINE.md:27-33):
+
+  config1_raster_fps_512        example scene, raster, 512x512
+  config2_raster_ms_10k_1080p   10k instances, full preprocess+raster, 1080p
+  config3_primary_mrays_1080p   two-level BVH primary traversal, Mrays/s
+  config3_tlas_refit_ms         per-frame TLAS assemble/refit
+  config4_hybrid_ms_1080p       hybrid raster G-buffer + RT passes, 1080p
+  config5_raster_ms_100k_1080p  100k animated instances, raster, 1080p
 
 The reference publishes no numbers (BASELINE.md), so the baseline of record
-is self-generated: BASELINE_FPS below is the first measured value of this
-config on one TPU v5e chip (round 1, brute-force rasterizer). vs_baseline
-therefore tracks speedup across rounds on identical hardware/workload.
+is self-generated: BASELINE_FPS below is the first measured value of config 1
+on one TPU v5e chip (round 1, brute-force rasterizer). vs_baseline therefore
+tracks speedup across rounds on identical hardware/workload.
 
-Config: BASELINE.json config-1 analogue — the procedural example scene
-(5 instances, ~4.1k triangles, 2 point lights, PBR + ACES), raster path,
-headless 512x512.
+Each config is guarded: a failure records an "error:..." string for that
+metric instead of killing the bench.
 """
 
 import json
-import sys
 import time
 
-# Self-generated baseline: round-1 first-working-renderer measurement on one
-# TPU v5e chip (brute-force rasterizer, pre-optimization: 6 fps). The static
-# expansion + binned Pallas raster path brought round 1 to ~70 fps.
 BASELINE_FPS = 6.0
 
-WIDTH = HEIGHT = 512
 WARMUP = 2
 ITERS = 10
 
 
-def main():
-    from examples.render_scene import (  # reuse the example scene builder
-        build_example_scene,
+def _setup_cache():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_bench")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def _time(fn, iters=ITERS, warmup=WARMUP):
+    import jax
+
+    out = None
+    for _ in range(warmup):
+        out = fn()
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_config1():
+    from examples.render_scene import build_example_scene
+
+    rp, cam = build_example_scene(512, 512)
+    dt = _time(lambda: rp.render(cam)[0])
+    return 1.0 / dt
+
+
+def bench_config2():
+    from examples.render_dynamic import build_dynamic_scene
+
+    eng, rp, cam = build_dynamic_scene(10_000, 1920, 1080)
+    dt = _time(lambda: rp.render(cam)[0], iters=5)
+    return dt * 1e3
+
+
+def bench_config3():
+    import jax
+    import jax.numpy as jnp
+
+    from examples.render_rt import build_rt_scene
+    from paperrenderer_tpu.ops import accel as A
+    from paperrenderer_tpu.ops.trace import raygen
+    from paperrenderer_tpu.ops.trace_kernel import (
+        pallas_traversal_ok, trace_scene_pallas,
     )
 
-    rp, cam = build_example_scene(WIDTH, HEIGHT)
+    W, H = 1920, 1080
+    eng, rt, cam = build_rt_scene(W, H)
+    scene = eng.scene
+    blasset, meta, anim_rest, anim_nodes = A.build_blas_set(scene)
+    instances = scene.flush()
+    inst_blas = rt.accel.inst_blas(instances.capacity)
+    tri_attr = rt.accel.tri_attr()
+    masks = [jnp.ones(instances.capacity, bool)]
+    ss = rt.accel.stack_size(instances.capacity)
 
-    # compile + warmup
-    for _ in range(WARMUP):
-        ldr, _aux = rp.render(cam)
-    ldr.block_until_ready()
+    @jax.jit
+    def tlas_refit(instances, inst_blas, tri_attr):
+        rts, _ = A.assemble_scene(
+            blasset, meta, anim_rest, anim_nodes, instances, inst_blas,
+            masks, tri_attr)
+        return rts.nodes
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        ldr, _aux = rp.render(cam)
-    ldr.block_until_ready()
-    dt = (time.perf_counter() - t0) / ITERS
+    refit_ms = _time(
+        lambda: tlas_refit(instances, inst_blas, tri_attr), iters=10) * 1e3
 
-    fps = 1.0 / dt
+    rts, roots = A.assemble_scene(
+        blasset, meta, anim_rest, anim_nodes, instances, inst_blas,
+        masks, tri_attr)
+    o, d = raygen(cam.matrices, W, H)
+    r = o.shape[0]
+    t_max = jnp.full(r, 1000.0)
+    if pallas_traversal_ok(rts, r):
+        trace = lambda: trace_scene_pallas(
+            rts, o, d, t_max, root_code=roots[0], stack_size=ss).t
+    else:
+        trace = lambda: A.trace_scene(
+            rts, o, d, t_max, root_code=roots[0], stack_size=ss).t
+    dt = _time(trace, iters=10)
+    return r / dt / 1e6, refit_ms
+
+
+def bench_config4():
+    from examples.render_hybrid import build_hybrid_scene
+
+    eng, hy, cam = build_hybrid_scene(1920, 1080)
+    dt = _time(lambda: hy.render(cam)[0], iters=3, warmup=1)
+    return dt * 1e3
+
+
+def bench_config5():
+    from examples.render_dynamic import build_dynamic_scene
+
+    eng, rp, cam = build_dynamic_scene(100_000, 1920, 1080)
+    dt = _time(lambda: rp.render(cam)[0], iters=3, warmup=1)
+    return dt * 1e3
+
+
+def main():
+    _setup_cache()
+    metrics = {}
+
+    def run(name, fn):
+        try:
+            metrics[name] = fn()
+        except Exception as e:  # record, don't die
+            metrics[name] = f"error: {type(e).__name__}: {e}"[:200]
+
+    run("config1_raster_fps_512", lambda: round(bench_config1(), 3))
+    run("config2_raster_ms_10k_1080p", lambda: round(bench_config2(), 2))
+
+    def c3():
+        mrays, refit = bench_config3()
+        metrics["config3_tlas_refit_ms"] = round(refit, 3)
+        return round(mrays, 2)
+
+    run("config3_primary_mrays_1080p", c3)
+    run("config4_hybrid_ms_1080p", lambda: round(bench_config4(), 1))
+    run("config5_raster_ms_100k_1080p", lambda: round(bench_config5(), 1))
+
+    fps = metrics.get("config1_raster_fps_512")
+    headline = fps if isinstance(fps, (int, float)) else 0.0
     print(
         json.dumps(
             {
                 "metric": "raster_fps_example_512",
-                "value": round(fps, 3),
+                "value": headline,
                 "unit": "frames/sec",
-                "vs_baseline": round(fps / BASELINE_FPS, 3),
+                "vs_baseline": round(headline / BASELINE_FPS, 3),
+                "metrics": metrics,
             }
         )
     )

@@ -74,7 +74,7 @@ def main():
     t0 = time.time()
     ldr, aux = rt.render(cam)
     ldr.block_until_ready()
-    print(f"first frame: {time.time()-t0:.1f}s  tris={int(aux['total_tris'])}")
+    print(f"first frame: {time.time()-t0:.1f}s")
     t0 = time.time()
     for _ in range(3):
         ldr, aux = rt.render(cam)

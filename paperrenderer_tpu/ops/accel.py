@@ -52,10 +52,13 @@ from ..core.transforms import quat_to_mat3, transform_aabb, trs_to_mat34
 from .bvh import morton_codes
 
 K = 8                      # triangles per BLAS leaf
-LEAF_ROW = 128             # K*9 positions + K*6 uvs + K tagged prim ids
+LEAF_ROW = K * 15          # 120: K*9 positions + K*6 uvs (f32 leaf row)
 _POS = 0                   # leaf row layout offsets
 _UV = K * 9                # 72
-_PRIM = K * 15             # 120
+# Tagged prim ids and child codes live in SEPARATE i32 arrays, never bitcast
+# into f32 rows: TPU data movement (concatenate and friends) flushes f32
+# denormals to zero, and small int bit patterns (< 0x00800000) ARE denormals
+# — instance self-ids silently became 0 when stored that way.
 
 TYPE_BOX = 0
 TYPE_LEAF = 1
@@ -72,14 +75,6 @@ def _code(typ: int, payload, obj: bool = False):
 
 def _next_pow2(n: int) -> int:
     return 1 << max(0, (n - 1)).bit_length() if n > 1 else 1
-
-
-def _f32_from_i32(x):
-    return jax.lax.bitcast_convert_type(jnp.asarray(x, jnp.int32), jnp.float32)
-
-
-def _i32_from_f32(x):
-    return jax.lax.bitcast_convert_type(x, jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -108,7 +103,8 @@ class _BLASBuild:
 
     num_leaves: int          # L (power of two)
     leaf_order: np.ndarray   # i64[L*K] arena tri id per leaf slot (-1 pad)
-    leaf_rows: np.ndarray    # f32[L, 128]
+    leaf_rows: np.ndarray    # f32[L, 120] positions + uvs
+    leaf_prim: np.ndarray    # i32[L, K] tagged prim ids ((slot<<24)|tri, -1 pad)
     node_min: np.ndarray     # f32[2L-1, 3]
     node_max: np.ndarray     # f32[2L-1, 3]
     depth: int
@@ -145,8 +141,7 @@ def _build_blas_host(
     hi[:t] = tri_max[:t]
 
     rows[:, _POS:_UV] = pos9.reshape(l, K * 9)
-    rows[:, _UV:_PRIM] = uv6.reshape(l, K * 6)
-    rows[:, _PRIM:_PRIM + K] = prim.reshape(l, K).view(np.float32)
+    rows[:, _UV:LEAF_ROW] = uv6.reshape(l, K * 6)
 
     leaf_min = lo.reshape(l, K, 3).min(axis=1)
     leaf_max = hi.reshape(l, K, 3).max(axis=1)
@@ -160,18 +155,20 @@ def _build_blas_host(
     node_max = np.concatenate(levels_max, axis=0)
     return _BLASBuild(
         num_leaves=l, leaf_order=leaf_order, leaf_rows=rows,
+        leaf_prim=prim.reshape(l, K),
         node_min=node_min, node_max=node_max, depth=l.bit_length() - 1,
     )
 
 
 def _emit_blas_node_rows(
     b: _BLASBuild, node_off: int, leaf_off: int
-) -> np.ndarray:
-    """Internal node rows f32[L-1, 16] with child codes at global offsets."""
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Internal node rows (f32[L-1, 12] child boxes, i32[L-1, 2] child codes)
+    with the codes at global row offsets."""
     l = b.num_leaves
     if l <= 1:
-        return np.zeros((0, 16), np.float32)
-    rows = np.zeros((l - 1, 16), np.float32)
+        return np.zeros((0, 12), np.float32), np.zeros((0, 2), np.int32)
+    rows = np.zeros((l - 1, 12), np.float32)
     i = np.arange(l - 1)
     c0 = 2 * i + 1
     c1 = 2 * i + 2
@@ -189,9 +186,7 @@ def _emit_blas_node_rows(
             _code(TYPE_LEAF, leaf_off + np.maximum(leaf_k, 0), obj=True),
         ).astype(np.int32)
 
-    rows[:, 12] = codes(c0).view(np.float32)
-    rows[:, 13] = codes(c1).view(np.float32)
-    return rows
+    return rows, np.stack([codes(c0), codes(c1)], axis=-1)
 
 
 @jax.tree_util.register_dataclass
@@ -201,8 +196,10 @@ class BLASSet:
     the child codes, so these arrays concatenate directly into the frame's
     unified node table (static BLAS rows come first)."""
 
-    nodes: jax.Array      # f32[NB, 16] internal rows of all BLASes
-    leaf_rows: jax.Array  # f32[LB, 128]
+    nodes: jax.Array      # f32[NB, 12] internal rows (child boxes)
+    codes: jax.Array      # i32[NB, 2] child codes
+    leaf_rows: jax.Array  # f32[LB, 120] positions + uvs
+    leaf_prim: jax.Array  # i32[LB, K] tagged prim ids
     root_min: jax.Array   # f32[B, 3] object-space root AABBs
     root_max: jax.Array   # f32[B, 3]
     root_code: jax.Array  # i32[B]
@@ -220,8 +217,9 @@ class AnimBLAS:
     node_count: int           # L-1
     leaf_off: int             # rows within the anim-leaf region
     num_leaves: int
-    rest_rows: np.ndarray     # f32[L, 128] rest-pose leaf rows
-    node_codes: np.ndarray    # f32[L-1, 4] static code/pad columns
+    rest_rows: np.ndarray     # f32[L, 120] rest-pose leaf rows
+    rest_prim: np.ndarray     # i32[L, K] tagged prim ids (static)
+    node_codes: np.ndarray    # i32[L-1, 2] static child codes
     phase: float = 0.0        # per-instance animation phase offset
 
 
@@ -237,6 +235,8 @@ class BLASSetMeta:
     num_anim_nodes: int
     num_anim_leaves: int
     num_blas: int
+    anim_node_codes: np.ndarray = None   # i32[NA, 2] (static per topology)
+    anim_leaf_prim: np.ndarray = None    # i32[LA, K]
 
     @property
     def total_nodes(self) -> int:
@@ -298,14 +298,19 @@ def build_blas_set(scene):
         if bi < num_models_blas:
             static_no, static_lo = no, lo
 
-    node_rows = [np.zeros((0, 16), np.float32)]
+    node_rows = [np.zeros((0, 12), np.float32)]
+    node_codes = [np.zeros((0, 2), np.int32)]
     leaf_rows = [np.zeros((0, LEAF_ROW), np.float32)]
+    leaf_prims = [np.zeros((0, K), np.int32)]
     root_min = np.zeros((len(builds), 3), np.float32)
     root_max = np.zeros((len(builds), 3), np.float32)
     root_code = np.zeros(len(builds), np.int32)
     for bi, b in enumerate(builds):
-        node_rows.append(_emit_blas_node_rows(b, node_offs[bi], leaf_offs[bi]))
+        rows, codes = _emit_blas_node_rows(b, node_offs[bi], leaf_offs[bi])
+        node_rows.append(rows)
+        node_codes.append(codes)
         leaf_rows.append(b.leaf_rows)
+        leaf_prims.append(b.leaf_prim)
         root_min[bi] = np.where(np.isfinite(b.node_min[0]), b.node_min[0], 0.0)
         root_max[bi] = np.where(np.isfinite(b.node_max[0]), b.node_max[0], 0.0)
         root_code[bi] = (
@@ -317,7 +322,7 @@ def build_blas_set(scene):
     for ai, inst in enumerate(anim_instances):
         bi = num_models_blas + ai
         b = builds[bi]
-        rows16 = _emit_blas_node_rows(b, node_offs[bi], leaf_offs[bi])
+        _, codes = _emit_blas_node_rows(b, node_offs[bi], leaf_offs[bi])
         anim.append(
             AnimBLAS(
                 blas_id=bi,
@@ -327,14 +332,16 @@ def build_blas_set(scene):
                 leaf_off=leaf_offs[bi] - static_lo,
                 num_leaves=b.num_leaves,
                 rest_rows=b.leaf_rows,
-                node_codes=rows16[:, 12:16] if rows16.size else
-                np.zeros((0, 4), np.float32),
+                rest_prim=b.leaf_prim,
+                node_codes=codes,
                 phase=float(getattr(inst, "anim_phase", 0.0)),
             )
         )
 
     all_nodes = np.concatenate(node_rows, axis=0)
+    all_codes = np.concatenate(node_codes, axis=0)
     all_leaves = np.concatenate(leaf_rows, axis=0)
+    all_prims = np.concatenate(leaf_prims, axis=0)
     meta = BLASSetMeta(
         blas_of_model=blas_of_model,
         max_depth=max((b.depth for b in builds), default=0),
@@ -344,16 +351,20 @@ def build_blas_set(scene):
         num_anim_nodes=no - static_no,
         num_anim_leaves=lo - static_lo,
         num_blas=len(builds),
+        anim_node_codes=all_codes[static_no:],
+        anim_leaf_prim=all_prims[static_lo:],
     )
     blasset = BLASSet(
         nodes=jnp.asarray(all_nodes[:static_no]),
+        codes=jnp.asarray(all_codes[:static_no]),
         leaf_rows=jnp.asarray(all_leaves[:static_lo]),
+        leaf_prim=jnp.asarray(all_prims[:static_lo]),
         root_min=jnp.asarray(root_min),
         root_max=jnp.asarray(root_max),
         root_code=jnp.asarray(root_code),
     )
-    anim_rest = jnp.asarray(all_leaves[static_lo:])        # f32[LA, 128]
-    anim_rest_nodes = jnp.asarray(all_nodes[static_no:])   # f32[NA, 16]
+    anim_rest = jnp.asarray(all_leaves[static_lo:])        # f32[LA, 120]
+    anim_rest_nodes = jnp.asarray(all_nodes[static_no:])   # f32[NA, 12]
     return blasset, meta, anim_rest, anim_rest_nodes
 
 
@@ -369,11 +380,13 @@ def refit_anim_blases(
 ):
     """Animate unique-geometry vertices and refit their BLAS rows in-graph.
 
-    Returns (anim_node_rows f32[NA, 16], anim_leaf_rows f32[LA, 128],
+    Returns (anim_node_rows f32[NA, 12], anim_leaf_rows f32[LA, 120],
     root_lo f32[A, 3], root_hi f32[A, 3]). The morton ordering is the rest
-    pose's (refit keeps topology — TLAS::updateTLAS refit semantics)."""
+    pose's (refit keeps topology — TLAS::updateTLAS refit semantics). Child
+    codes are static (meta.anim_node_codes) — nothing integer flows through
+    the f32 refit math."""
     if not meta.anim:
-        z = jnp.zeros((0, 16), jnp.float32)
+        z = jnp.zeros((0, 12), jnp.float32)
         return (z, jnp.zeros((0, LEAF_ROW), jnp.float32),
                 jnp.zeros((0, 3), jnp.float32), jnp.zeros((0, 3), jnp.float32))
 
@@ -388,8 +401,7 @@ def refit_anim_blases(
         rows = rows.at[:, _POS:_UV].set(pos9.reshape(a.num_leaves, K * 9))
         leaf_parts.append(rows)
 
-        prim = _i32_from_f32(rows[:, _PRIM:_PRIM + K])          # [L, K]
-        ok = (prim >= 0)[..., None]
+        ok = jnp.asarray(a.rest_prim >= 0)[..., None]           # [L, K, 1]
         tri_min = jnp.minimum(
             jnp.minimum(pos9[..., 0:3], pos9[..., 3:6]), pos9[..., 6:9])
         tri_max = jnp.maximum(
@@ -411,15 +423,14 @@ def refit_anim_blases(
         if l > 1:
             c0 = jnp.arange(1, 2 * l - 1, 2)
             c1 = c0 + 1
-            rows16 = jnp.concatenate(
-                [node_min[c0], node_max[c0], node_min[c1], node_max[c1],
-                 jnp.asarray(a.node_codes)],
+            rows12 = jnp.concatenate(
+                [node_min[c0], node_max[c0], node_min[c1], node_max[c1]],
                 axis=-1,
             )
-            node_parts.append(rows16)
+            node_parts.append(rows12)
 
     nodes = (jnp.concatenate(node_parts, axis=0) if node_parts
-             else jnp.zeros((0, 16), jnp.float32))
+             else jnp.zeros((0, 12), jnp.float32))
     return (nodes, jnp.concatenate(leaf_parts, axis=0),
             jnp.stack(roots_lo), jnp.stack(roots_hi))
 
@@ -434,7 +445,8 @@ def build_tlas_rows(
     node_offset: int,         # global row offset of this TLAS's rows
     inst_offset: int,         # global row offset of the instance-row block
 ):
-    """Per-frame TLAS over instance world AABBs -> node rows f32[Lt-1, 16].
+    """Per-frame TLAS over instance world AABBs -> (node rows f32[Lt-1, 12],
+    child codes i32[Lt-1, 2], forward mats).
 
     The TLASInstBuild.comp + vkCmdBuildAccelerationStructuresKHR(TOP_LEVEL)
     analogue: O(N) matrix/AABB math + one morton sort. Leaves are single
@@ -490,20 +502,19 @@ def build_tlas_rows(
             jnp.nan_to_num(node_max[c0], neginf=-1e30),
             jnp.nan_to_num(node_min[c1], posinf=1e30),
             jnp.nan_to_num(node_max[c1], neginf=-1e30),
-            _f32_from_i32(codes_of(c0))[:, None],
-            _f32_from_i32(codes_of(c1))[:, None],
-            jnp.zeros((l - 1, 2), jnp.float32),
         ],
         axis=-1,
     )
-    # dead leaves/subtrees: make the slab test unpassable (min > max)
+    codes = jnp.stack([codes_of(c0), codes_of(c1)], axis=-1)   # i32[l-1, 2]
+    # dead leaves/subtrees: make the slab test unpassable (min > max; the
+    # slab tests reject inverted boxes explicitly)
     dead0 = rows[:, 3:6] < rows[:, 0:3]
     dead1 = rows[:, 9:12] < rows[:, 6:9]
     rows = rows.at[:, 0:3].set(jnp.where(dead0, 1e30, rows[:, 0:3]))
     rows = rows.at[:, 3:6].set(jnp.where(dead0, -1e30, rows[:, 3:6]))
     rows = rows.at[:, 6:9].set(jnp.where(dead1, 1e30, rows[:, 6:9]))
     rows = rows.at[:, 9:12].set(jnp.where(dead1, -1e30, rows[:, 9:12]))
-    return rows, mats
+    return rows, codes, mats
 
 
 def make_instance_rows(
@@ -511,9 +522,9 @@ def make_instance_rows(
     mats: jax.Array,          # f32[N, 3, 4] forward TRS
     inst_blas: jax.Array,     # i32[N]
     root_code: jax.Array,     # i32[B]
-) -> jax.Array:
-    """Instance rows for the unified node table: f32[N, 16] =
-    [inverse 3x4 (12) | blas root code (1) | pad (3)]. Popping an instance
+) -> Tuple[jax.Array, jax.Array]:
+    """Instance rows for the unified node table: (inverse 3x4 f32[N, 12],
+    codes i32[N, 2] = [blas root code, self slot id]). Popping an instance
     code gathers this row, switches the ray to object space, and pushes the
     root code (the per-instance BLAS address in the reference's
     VkAccelerationStructureInstanceKHR record, TLASInstBuild.comp:45-71)."""
@@ -525,14 +536,10 @@ def make_instance_rows(
     t_inv = -jnp.einsum("nij,nj->ni", a_inv, instances.pos)
     inv12 = jnp.concatenate([a_inv, t_inv[:, :, None]], axis=-1).reshape(-1, 12)
     bid = jnp.clip(inst_blas, 0, root_code.shape[0] - 1)
-    rcode = _f32_from_i32(root_code[bid])[:, None]
-    # col 13 carries the instance's own slot id (the traversal reads it when
-    # switching, instead of decoding the global row offset)
-    self_id = _f32_from_i32(
-        jnp.arange(inv12.shape[0], dtype=jnp.int32))[:, None]
-    return jnp.concatenate(
-        [inv12, rcode, self_id, jnp.zeros((inv12.shape[0], 2), jnp.float32)],
+    codes = jnp.stack(
+        [root_code[bid], jnp.arange(inv12.shape[0], dtype=jnp.int32)],
         axis=-1)
+    return inv12, codes
 
 
 @jax.tree_util.register_dataclass
@@ -540,8 +547,10 @@ def make_instance_rows(
 class RTScene:
     """Frame-assembled unified traversal scene (device pytree)."""
 
-    nodes: jax.Array       # f32[*, 16]: [blas | anim | instance | tlas...] rows
-    leaf_rows: jax.Array   # f32[*, 128]: [static | anim] leaf rows
+    nodes: jax.Array       # f32[*, 12]: [blas | anim | instance | tlas...] rows
+    codes: jax.Array       # i32[*, 2]: child codes / [root, self id] per row
+    leaf_rows: jax.Array   # f32[*, 120]: [static | anim] leaf pos+uv rows
+    leaf_prim: jax.Array   # i32[*, K]: tagged prim ids per leaf
     fwd_rows: jax.Array    # f32[N, 12] forward matrices (resolve)
     tri_attr: jax.Array    # f32[Ta, 16] obj normals(9) + uv(6) + slot(1)
 
@@ -582,25 +591,40 @@ def assemble_scene(
         anim_leaves = anim_rest
         root_min, root_max = blasset.root_min, blasset.root_max
 
+    na_codes = (jnp.asarray(meta.anim_node_codes)
+                if meta.anim_node_codes is not None and
+                len(meta.anim_node_codes)
+                else jnp.zeros((anim_nodes.shape[0], 2), jnp.int32))
+    na_prim = (jnp.asarray(meta.anim_leaf_prim)
+               if meta.anim_leaf_prim is not None and len(meta.anim_leaf_prim)
+               else jnp.zeros((anim_leaves.shape[0], K), jnp.int32))
     parts = [blasset.nodes, anim_nodes]
+    code_parts = [blasset.codes, na_codes]
     mats = None
     root_codes: List[int] = []
     tlas_off = inst_off + n
     tlas_parts = []
+    tlas_code_parts = []
     for mask in tlas_masks:
-        rows, mats = build_tlas_rows(
+        rows, codes, mats = build_tlas_rows(
             instances, inst_blas, root_min, root_max, mask,
             node_offset=tlas_off, inst_offset=inst_off,
         )
         tlas_parts.append(rows)
+        tlas_code_parts.append(codes)
         root_codes.append(_code(TYPE_BOX, tlas_off))
         tlas_off += rows.shape[0]
 
-    inst_rows = make_instance_rows(instances, mats, inst_blas, blasset.root_code)
+    inst_rows, inst_codes = make_instance_rows(
+        instances, mats, inst_blas, blasset.root_code)
     nodes = jnp.concatenate(parts + [inst_rows] + tlas_parts, axis=0)
+    codes = jnp.concatenate(
+        code_parts + [inst_codes] + tlas_code_parts, axis=0)
     leaf_rows = jnp.concatenate([blasset.leaf_rows, anim_leaves], axis=0)
+    leaf_prim = jnp.concatenate([blasset.leaf_prim, na_prim], axis=0)
     fwd = mats.reshape(-1, 12)
-    return RTScene(nodes=nodes, leaf_rows=leaf_rows, fwd_rows=fwd,
+    return RTScene(nodes=nodes, codes=codes, leaf_rows=leaf_rows,
+                   leaf_prim=leaf_prim, fwd_rows=fwd,
                    tri_attr=tri_attr), root_codes
 
 
@@ -651,13 +675,19 @@ class HitRecord2:
 
 
 def _slab2(o, inv_d, t_max, bmin0, bmax0, bmin1, bmax1):
-    """Slab-test two child boxes; returns (hit0, hit1, tn0, tn1)."""
+    """Slab-test two child boxes; returns (hit0, hit1, tn0, tn1).
+
+    Dead children are marked min > max (build_tlas_rows); the per-axis
+    min/max normalization would turn that inverted interval into an
+    always-hit box, so inverted boxes are rejected explicitly (one axis
+    suffices — dead boxes invert all three)."""
     def one(bmin, bmax):
         t0 = (bmin - o) * inv_d
         t1 = (bmax - o) * inv_d
         tn = jnp.minimum(t0, t1).max(axis=-1)
         tf = jnp.maximum(t0, t1).min(axis=-1)
-        return (tf >= jnp.maximum(tn, 0.0)) & (tn <= t_max), tn
+        hit = (tf >= jnp.maximum(tn, 0.0)) & (tn <= t_max)
+        return hit & (bmin[..., 0] <= bmax[..., 0]), tn
 
     h0, tn0 = one(bmin0, bmax0)
     h1, tn1 = one(bmin1, bmax1)
@@ -728,7 +758,9 @@ def trace_scene(
         is_inst = live & (typ == TYPE_INST)
 
         # ---- unified node-row gather (box rows AND instance rows) ---------
-        row = scene.nodes[jnp.clip(payload, 0, nn - 1)]          # [R, 16]
+        safe_p = jnp.clip(payload, 0, nn - 1)
+        row = scene.nodes[safe_p]                                # [R, 12]
+        cpair = scene.codes[safe_p]                              # [R, 2]
 
         # ---- instance switch: world ray -> object ray, push BLAS root -----
         inv = row[:, :12]
@@ -742,8 +774,8 @@ def trace_scene(
              for i in range(3)], axis=-1)
         o_obj = jnp.where(is_inst[:, None], o2, o_obj)
         d_obj = jnp.where(is_inst[:, None], d2, d_obj)
-        cur_inst = jnp.where(is_inst, _i32_from_f32(row[:, 13]), cur_inst)
-        rootc = _i32_from_f32(row[:, 12])
+        cur_inst = jnp.where(is_inst, cpair[:, 1], cur_inst)
+        rootc = cpair[:, 0]
 
         def push(sp, stack, val, do):
             sel = (cols == sp[:, None]) & do[:, None]
@@ -763,8 +795,8 @@ def trace_scene(
             row[:, 0:3], row[:, 3:6], row[:, 6:9], row[:, 9:12])
         h0 &= is_box
         h1 &= is_box
-        c0 = _i32_from_f32(row[:, 12])
-        c1 = _i32_from_f32(row[:, 13])
+        c0 = cpair[:, 0]
+        c1 = cpair[:, 1]
         first_is_0 = tn0 <= tn1
         near = jnp.where(first_is_0, c0, c1)
         far = jnp.where(first_is_0, c1, c0)
@@ -773,10 +805,11 @@ def trace_scene(
         sp, stack = push(sp, stack, far, far_hit)
         sp, stack = push(sp, stack, near, near_hit)
 
-        # ---- leaf: ONE 128-float row gather tests K triangles -------------
-        lrow = scene.leaf_rows[jnp.clip(payload, 0, nl - 1)]     # [R, 128]
+        # ---- leaf: one row gather tests K triangles ------------------------
+        safe_l = jnp.clip(payload, 0, nl - 1)
+        lrow = scene.leaf_rows[safe_l]                           # [R, 120]
         tri = lrow[:, _POS:_UV].reshape(r, K, 9)
-        prim_tag = _i32_from_f32(lrow[:, _PRIM:_PRIM + K])        # [R, K]
+        prim_tag = scene.leaf_prim[safe_l]                       # [R, K] i32
         prim = prim_tag & 0x00FFFFFF
         slot = jnp.where(prim_tag >= 0, prim_tag >> 24, 0)
         from .bvh import moller_trumbore
@@ -840,10 +873,12 @@ class SceneTracer:
         stack_size: int,
         leaf_cutout: bool = False,
         use_pallas: bool = False,
+        textures=None,
     ):
         self.scene = scene
         self.slot_materials = slot_materials
         self.materials = materials
+        self.textures = textures
         self.root_code = root_code
         self.stack_size = stack_size
         self.leaf_cutout = leaf_cutout

@@ -184,7 +184,10 @@ def ray_aabb(
     t1 = (box_max - o) * inv_d
     tn = jnp.minimum(t0, t1).max(axis=-1)
     tf = jnp.maximum(t0, t1).min(axis=-1)
-    return (tf >= jnp.maximum(tn, 0.0)) & (tn <= t_max)
+    # dead subtrees are marked min=+inf > max=-inf; the min/max normalization
+    # would otherwise turn that inverted interval into an always-hit box
+    return ((tf >= jnp.maximum(tn, 0.0)) & (tn <= t_max)
+            & (box_min[..., 0] <= box_max[..., 0]))
 
 
 def moller_trumbore(

@@ -34,7 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .accel import (
-    _PAYLOAD_MASK, _POS, _PRIM, _TYPE_SHIFT, K, LEAF_ROW,
+    _PAYLOAD_MASK, _POS, _TYPE_SHIFT, _UV, K,
     HitRecord2, RTScene, TYPE_BOX, TYPE_INST, TYPE_LEAF,
 )
 
@@ -55,18 +55,18 @@ def pallas_traversal_ok(scene: RTScene, n_rays: int) -> bool:
 
 
 def _split_scene(scene: RTScene):
-    """Unified node table -> SMEM-friendly arrays.
+    """Unified node table -> SMEM-friendly flat arrays (the RTScene already
+    keeps codes/prim ids in separate i32 arrays — no bitcasts needed).
 
-    boxes  f32[Nn, 12]  box floats (box rows) / inverse TRS (instance rows)
-    codes  i32[Nn, 2]   child codes (box rows) / [root code, self id] (inst)
-    lpos   f32[Nl, 72]  K object-space triangles
-    lprim  i32[Nl, K]   tagged prim ids ((slot<<24)|tri, -1 = dead)
+    boxes  f32[Nn*12]  box floats (box rows) / inverse TRS (instance rows)
+    codes  i32[Nn*2]   child codes (box rows) / [root code, self id] (inst)
+    lpos   f32[Nl*72]  K object-space triangles
+    lprim  i32[Nl*K]   tagged prim ids ((slot<<24)|tri, -1 = dead)
     """
-    boxes = scene.nodes[:, :12]
-    codes = jax.lax.bitcast_convert_type(scene.nodes[:, 12:14], jnp.int32)
-    lpos = scene.leaf_rows[:, _POS:_POS + K * 9]
-    lprim = jax.lax.bitcast_convert_type(
-        scene.leaf_rows[:, _PRIM:_PRIM + K], jnp.int32)
+    boxes = scene.nodes
+    codes = scene.codes
+    lpos = scene.leaf_rows[:, _POS:_UV]
+    lprim = scene.leaf_prim
     return boxes.reshape(-1), codes.reshape(-1), lpos.reshape(-1), lprim.reshape(-1)
 
 
@@ -151,7 +151,9 @@ def _make_kernel(root_code: int, max_steps: int, any_hit: bool,
                     tf = jnp.minimum(
                         jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
                         jnp.maximum(tz0, tz1))
-                    hit = (tf >= jnp.maximum(tn, 0.0)) & (tn <= best_t)
+                    # reject dead children (marked min > max; the min/max
+                    # normalization above would otherwise always-hit them)
+                    hit = (tf >= jnp.maximum(tn, 0.0)) & (tn <= best_t) & (lx <= hx)
                     return hit, tn
 
                 h0, tn0 = slab(0)

@@ -63,6 +63,7 @@ def make_hybrid_frame(meta, animate: Optional[Callable],
         tonemap_params: TonemapParams,
         key: jax.Array,
         time: jax.Array,
+        textures=None,
         *,
         width: int,
         height: int,
@@ -107,6 +108,7 @@ def make_hybrid_frame(meta, animate: Optional[Callable],
             rt_scene, slot_materials, materials,
             root_code=roots[0], stack_size=stack_size,
             leaf_cutout=leaf_cutout, use_pallas=use_pallas_trace,
+            textures=textures,
         )
 
         # --- RT passes at G-buffer surfaces --------------------------------
@@ -138,6 +140,7 @@ def make_hybrid_frame(meta, animate: Optional[Callable],
             shadow_vis=svis.reshape(-1, height, width),
             ambient_occlusion=ao.reshape(height, width),
             background=T.BACKGROUND_RGB,
+            textures=textures,
         )
         if reflection_samples > 0:
             refl = T.reflections(
@@ -217,7 +220,10 @@ class HybridRender:
         instances = self.scene.flush()
         blasset, meta, anim_rest, anim_nodes = self.accel.blas()
         if self._frame_fn is None or self._frame_key != self.accel._blas_key:
-            self._frame_fn = make_hybrid_frame(meta, self.animate)
+            self._frame_fn = make_hybrid_frame(
+                meta, self.animate,
+                use_pallas_trace=jax.default_backend() not in ("cpu",),
+            )
             self._frame_key = self.accel._blas_key
         slots, visible, table = rp._device_inputs(instances.capacity)
         mapping = rp._current_mapping()
@@ -237,6 +243,7 @@ class HybridRender:
             rp.tonemap_params,
             jax.random.fold_in(self._key, self._frame),
             jnp.float32(time),
+            rp._cached_textures,
             width=self.width,
             height=self.height,
             stack_size=self.accel.stack_size(instances.capacity),

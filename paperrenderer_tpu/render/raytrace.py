@@ -99,6 +99,7 @@ def rt_frame(
     slot_materials: jax.Array,
     tonemap_params: TonemapParams,
     key: jax.Array,
+    textures=None,
     *,
     width: int,
     height: int,
@@ -122,7 +123,8 @@ def rt_frame(
         ao_radius=ao_radius,
         leaf_cutout=leaf_cutout,
     )
-    ctx = BatchTracer(batch, bvh, materials, leaf_cutout=leaf_cutout)
+    ctx = BatchTracer(batch, bvh, materials, leaf_cutout=leaf_cutout,
+                      textures=textures)
     hdr = trace_frame(
         ctx, materials, lights, camera, key,
         width=width, height=height, params=params,
@@ -223,6 +225,7 @@ def make_rt_frame(meta, animate: Optional[Callable], n_tlas: int,
         tonemap_params: TonemapParams,
         key: jax.Array,
         time: jax.Array,
+        textures=None,
         *,
         width: int,
         height: int,
@@ -242,6 +245,7 @@ def make_rt_frame(meta, animate: Optional[Callable], n_tlas: int,
             rt_scene, slot_materials, materials,
             root_code=roots[tlas_index], stack_size=stack_size,
             leaf_cutout=leaf_cutout, use_pallas=use_pallas,
+            textures=textures,
         )
         params = RTParams(
             shadow_samples=shadow_samples,
@@ -314,6 +318,7 @@ class RayTraceRender:
         self._cached_slots = None
         self._cached_masks = None
         self._cached_table = None
+        self._cached_textures = None
         self._cached_capacity = -1
 
     # -- TLAS management (addNewTLAS parity) ---------------------------------
@@ -378,6 +383,7 @@ class RayTraceRender:
             self._cached_slots = self._slot_material_array(capacity)
             self._cached_masks = self._mask_arrays(capacity)
             self._cached_table = self.materials.table()
+            self._cached_textures = self.materials.texture_arrays()
             self._cached_capacity = capacity
             self._cache_dirty = False
         return self._cached_slots, self._cached_masks, self._cached_table
@@ -402,7 +408,7 @@ class RayTraceRender:
             self.accel.inst_blas(instances.capacity), masks,
             self.accel.tri_attr(),
             table, self.lights, cam, slots, self.tonemap_params, key,
-            jnp.float32(time),
+            jnp.float32(time), self._cached_textures,
             width=self.width,
             height=self.height,
             stack_size=self.accel.stack_size(instances.capacity),

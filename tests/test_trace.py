@@ -175,3 +175,34 @@ def test_rt_camera_pixel_matches_raster_material():
     ldr, aux = rt.render(cam)
     c = np.asarray(ldr)[16, 16]
     assert c[0] > c[1] * 1.5 and c[0] > c[2] * 1.5
+
+
+def test_multi_tlas_independent_sets():
+    """Two TLAS instance sets trace independently in one render pass
+    (addNewTLAS parity: reference RayTrace.h:50-56, RayTrace.cpp:159-170)."""
+    scene = Scene()
+    registry = MaterialRegistry()
+    cube = Model.from_mesh(scene.arena, *make_cube(size=1.2), name="cube")
+    rt = RayTraceRender(scene, registry, width=32, height=32,
+                        lights=Lights.make([], ambient=(1, 1, 1, 1.0)),
+                        shadow_samples=0, reflection_samples=0, ao_samples=0)
+    red = Material("red", albedo=(0.9, 0.05, 0.05), roughness=0.8)
+    green = Material("green", albedo=(0.05, 0.9, 0.05), roughness=0.8)
+    t1 = rt.add_tlas()
+    a = ModelInstance(cube)
+    a.set_transform(pos=(-1.2, 0.0, 0.0))
+    rt.add_instance(a, {0: red.instance()}, tlas=0)
+    b = ModelInstance(cube)
+    b.set_transform(pos=(1.2, 0.0, 0.0))
+    rt.add_instance(b, {0: green.instance()}, tlas=t1)
+    cam = _cam(eye=(0.0, -5.0, 0.0), at=(0.0, 0.0, 0.0))
+    img0 = np.asarray(rt.render(cam, tlas=0)[0])
+    img1 = np.asarray(rt.render(cam, tlas=t1)[0])
+    # TLAS 0 sees only the left/red cube; TLAS 1 only the right/green cube
+    left, right = (slice(None), slice(0, 12)), (slice(None), slice(20, 32))
+    bg = 0.043  # tonemapped background level
+    assert img0[left].max() > 0.2 and img0[right].max() < bg + 0.02
+    assert img1[right].max() > 0.2 and img1[left].max() < bg + 0.02
+    # the visible cube carries its own set's material
+    assert img0[left][..., 0].max() > img0[left][..., 1].max() * 1.5
+    assert img1[right][..., 1].max() > img1[right][..., 0].max() * 1.5
