@@ -104,6 +104,7 @@ class _BLASBuild:
     num_leaves: int          # L (power of two)
     leaf_order: np.ndarray   # i64[L*K] arena tri id per leaf slot (-1 pad)
     leaf_rows: np.ndarray    # f32[L, 120] positions + uvs
+    leaf_nrm: np.ndarray     # f32[L, 72] object-space vertex normals
     leaf_prim: np.ndarray    # i32[L, K] tagged prim ids ((slot<<24)|tri, -1 pad)
     node_min: np.ndarray     # f32[2L-1, 3]
     node_max: np.ndarray     # f32[2L-1, 3]
@@ -114,6 +115,7 @@ def _build_blas_host(
     v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,   # f32[T, 3] object space
     uv0: np.ndarray, uv1: np.ndarray, uv2: np.ndarray,  # f32[T, 2]
     prim_tagged: np.ndarray,                           # i32[T] (slot<<24)|tri
+    n0: np.ndarray = None, n1: np.ndarray = None, n2: np.ndarray = None,
 ) -> _BLASBuild:
     t = v0.shape[0]
     centroid = (v0 + v1 + v2) / 3.0
@@ -129,11 +131,17 @@ def _build_blas_host(
 
     vs = np.concatenate([v0, v1, v2], axis=-1).astype(np.float32)   # [T, 9]
     uvs = np.concatenate([uv0, uv1, uv2], axis=-1).astype(np.float32)  # [T, 6]
+    if n0 is None:
+        ns = np.tile(np.asarray([0, 0, 1] * 3, np.float32), (t, 1))
+    else:
+        ns = np.concatenate([n0, n1, n2], axis=-1).astype(np.float32)  # [T, 9]
     pos9 = np.zeros((slots, 9), np.float32)
     uv6 = np.zeros((slots, 6), np.float32)
+    nrm9 = np.zeros((slots, 9), np.float32)
     prim = np.full(slots, -1, np.int32)
     pos9[:t] = vs[order]
     uv6[:t] = uvs[order]
+    nrm9[:t] = ns[order]
     prim[:t] = prim_tagged[order]
     tri_min = np.minimum(np.minimum(pos9[:, 0:3], pos9[:, 3:6]), pos9[:, 6:9])
     tri_max = np.maximum(np.maximum(pos9[:, 0:3], pos9[:, 3:6]), pos9[:, 6:9])
@@ -155,6 +163,7 @@ def _build_blas_host(
     node_max = np.concatenate(levels_max, axis=0)
     return _BLASBuild(
         num_leaves=l, leaf_order=leaf_order, leaf_rows=rows,
+        leaf_nrm=nrm9.reshape(l, K * 9),
         leaf_prim=prim.reshape(l, K),
         node_min=node_min, node_max=node_max, depth=l.bit_length() - 1,
     )
@@ -199,6 +208,7 @@ class BLASSet:
     nodes: jax.Array      # f32[NB, 12] internal rows (child boxes)
     codes: jax.Array      # i32[NB, 2] child codes
     leaf_rows: jax.Array  # f32[LB, 120] positions + uvs
+    leaf_nrm: jax.Array   # f32[LB, 72] object-space vertex normals
     leaf_prim: jax.Array  # i32[LB, K] tagged prim ids
     root_min: jax.Array   # f32[B, 3] object-space root AABBs
     root_max: jax.Array   # f32[B, 3]
@@ -237,6 +247,7 @@ class BLASSetMeta:
     num_blas: int
     anim_node_codes: np.ndarray = None   # i32[NA, 2] (static per topology)
     anim_leaf_prim: np.ndarray = None    # i32[LA, K]
+    anim_leaf_nrm: np.ndarray = None     # f32[LA, K*9] rest normals
 
     @property
     def total_nodes(self) -> int:
@@ -259,6 +270,7 @@ def build_blas_set(scene):
     def model_tris(model):
         """Object-space LOD-0 triangle data + tagged prim ids for a model."""
         v0s, v1s, v2s, u0s, u1s, u2s, prims = [], [], [], [], [], [], []
+        n0s, n1s, n2s = [], [], []
         for mm in model.lods[0].meshes:
             h = mm.handle
             idx = arena._idx[h.tri_offset : h.tri_offset + h.tri_count]
@@ -269,12 +281,15 @@ def build_blas_set(scene):
             u0s.append(arena._uv[idx[:, 0]])
             u1s.append(arena._uv[idx[:, 1]])
             u2s.append(arena._uv[idx[:, 2]])
+            n0s.append(arena._nrm[idx[:, 0]])
+            n1s.append(arena._nrm[idx[:, 1]])
+            n2s.append(arena._nrm[idx[:, 2]])
             prims.append(
                 (np.int32(mm.material_slot) << 24) | tri_ids.astype(np.int32)
             )
         cat = lambda xs: np.concatenate(xs, axis=0)
         return (cat(v0s), cat(v1s), cat(v2s), cat(u0s), cat(u1s), cat(u2s),
-                cat(prims))
+                cat(prims), cat(n0s), cat(n1s), cat(n2s))
 
     for model in scene.models:
         blas_of_model[model.model_id] = len(builds)
@@ -301,6 +316,7 @@ def build_blas_set(scene):
     node_rows = [np.zeros((0, 12), np.float32)]
     node_codes = [np.zeros((0, 2), np.int32)]
     leaf_rows = [np.zeros((0, LEAF_ROW), np.float32)]
+    leaf_nrms = [np.zeros((0, K * 9), np.float32)]
     leaf_prims = [np.zeros((0, K), np.int32)]
     root_min = np.zeros((len(builds), 3), np.float32)
     root_max = np.zeros((len(builds), 3), np.float32)
@@ -310,6 +326,7 @@ def build_blas_set(scene):
         node_rows.append(rows)
         node_codes.append(codes)
         leaf_rows.append(b.leaf_rows)
+        leaf_nrms.append(b.leaf_nrm)
         leaf_prims.append(b.leaf_prim)
         root_min[bi] = np.where(np.isfinite(b.node_min[0]), b.node_min[0], 0.0)
         root_max[bi] = np.where(np.isfinite(b.node_max[0]), b.node_max[0], 0.0)
@@ -341,6 +358,7 @@ def build_blas_set(scene):
     all_nodes = np.concatenate(node_rows, axis=0)
     all_codes = np.concatenate(node_codes, axis=0)
     all_leaves = np.concatenate(leaf_rows, axis=0)
+    all_nrms = np.concatenate(leaf_nrms, axis=0)
     all_prims = np.concatenate(leaf_prims, axis=0)
     meta = BLASSetMeta(
         blas_of_model=blas_of_model,
@@ -353,11 +371,13 @@ def build_blas_set(scene):
         num_blas=len(builds),
         anim_node_codes=all_codes[static_no:],
         anim_leaf_prim=all_prims[static_lo:],
+        anim_leaf_nrm=all_nrms[static_lo:],
     )
     blasset = BLASSet(
         nodes=jnp.asarray(all_nodes[:static_no]),
         codes=jnp.asarray(all_codes[:static_no]),
         leaf_rows=jnp.asarray(all_leaves[:static_lo]),
+        leaf_nrm=jnp.asarray(all_nrms[:static_lo]),
         leaf_prim=jnp.asarray(all_prims[:static_lo]),
         root_min=jnp.asarray(root_min),
         root_max=jnp.asarray(root_max),
@@ -550,6 +570,7 @@ class RTScene:
     nodes: jax.Array       # f32[*, 12]: [blas | anim | instance | tlas...] rows
     codes: jax.Array       # i32[*, 2]: child codes / [root, self id] per row
     leaf_rows: jax.Array   # f32[*, 120]: [static | anim] leaf pos+uv rows
+    leaf_nrm: jax.Array    # f32[*, 72]: object-space vertex normals per leaf
     leaf_prim: jax.Array   # i32[*, K]: tagged prim ids per leaf
     fwd_rows: jax.Array    # f32[N, 12] forward matrices (resolve)
     tri_attr: jax.Array    # f32[Ta, 16] obj normals(9) + uv(6) + slot(1)
@@ -598,6 +619,9 @@ def assemble_scene(
     na_prim = (jnp.asarray(meta.anim_leaf_prim)
                if meta.anim_leaf_prim is not None and len(meta.anim_leaf_prim)
                else jnp.zeros((anim_leaves.shape[0], K), jnp.int32))
+    na_nrm = (jnp.asarray(meta.anim_leaf_nrm)
+              if meta.anim_leaf_nrm is not None and len(meta.anim_leaf_nrm)
+              else jnp.zeros((anim_leaves.shape[0], K * 9), jnp.float32))
     parts = [blasset.nodes, anim_nodes]
     code_parts = [blasset.codes, na_codes]
     mats = None
@@ -621,10 +645,11 @@ def assemble_scene(
     codes = jnp.concatenate(
         code_parts + [inst_codes] + tlas_code_parts, axis=0)
     leaf_rows = jnp.concatenate([blasset.leaf_rows, anim_leaves], axis=0)
+    leaf_nrm = jnp.concatenate([blasset.leaf_nrm, na_nrm], axis=0)
     leaf_prim = jnp.concatenate([blasset.leaf_prim, na_prim], axis=0)
     fwd = mats.reshape(-1, 12)
     return RTScene(nodes=nodes, codes=codes, leaf_rows=leaf_rows,
-                   leaf_prim=leaf_prim, fwd_rows=fwd,
+                   leaf_nrm=leaf_nrm, leaf_prim=leaf_prim, fwd_rows=fwd,
                    tri_attr=tri_attr), root_codes
 
 
@@ -935,6 +960,46 @@ class SceneTracer:
             root_code=self.root_code, stack_size=self.stack_size,
             any_hit=any_hit, active=active, alpha_test=alpha,
         )
+
+    def trace_resolve(self, o, d, t_max, *, active=None, use_alpha=False):
+        """Closest hit + attribute resolve in one step -> SurfaceHits.
+
+        On TPU, the fused Pallas kernel interpolates uv/normal and looks up
+        the material AT HIT TIME from SMEM — no per-ray attribute gathers
+        (which cost ~30 ns/row x 2 rows x rays in ``resolve``)."""
+        alpha_needed = use_alpha and self.leaf_cutout
+        if self.use_pallas and not alpha_needed:
+            from .trace_kernel import (
+                _STACK, pallas_resolve_ok, trace_resolve_scene_pallas,
+            )
+
+            if (self.stack_size <= _STACK
+                    and pallas_resolve_ok(self.scene, o.shape[0],
+                                          self.slot_materials)):
+                from .trace import SurfaceHits
+
+                out = trace_resolve_scene_pallas(
+                    self.scene, self.slot_materials, o, d, t_max,
+                    root_code=self.root_code, stack_size=self.stack_size,
+                    active=active,
+                )
+                hit = out["prim"] >= 0
+                t = jnp.where(hit, out["t"], 0.0)
+                n = out["normal"]
+                n = n / jnp.maximum(
+                    jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+                facing = jnp.sum(n * d, axis=-1) < 0.0
+                n = jnp.where(facing[:, None], n, -n)
+                return SurfaceHits(
+                    world_pos=o + t[:, None] * d,
+                    normal=n,
+                    uv=out["uv"],
+                    material=jnp.where(hit, out["material"], 0),
+                    valid=hit,
+                    t=out["t"],
+                )
+        rec = self.trace(o, d, t_max, active=active, use_alpha=use_alpha)
+        return self.resolve(rec, o, d)
 
     def resolve(self, rec: HitRecord2, ray_o, ray_d):
         """Interpolate hit attributes (hitcommon.glsl getHitInfo analogue):

@@ -94,7 +94,18 @@ def pack_attr_coef(batch: TriangleBatch, coeffs: jax.Array) -> jax.Array:
     )
 
 
-def _make_kernel(n_tx: int):
+def _make_kernel(n_tx: int, lane_layout: bool = False):
+    """Depth-key raster step.
+
+    Default layout: cf block (C, 16) from a [P*GROUP, 16] HBM array, with
+    triangles on the SUBLANE axis — fastest measured at normal capacities
+    (T(8,128) tiling lane-pads that array 8x, which is acceptable HBM waste
+    up to a few GB).
+
+    ``lane_layout``: cf block (1, 16, C) from [n_steps, 16, C] planes with
+    triangles on LANES — exact tiling, zero padding. ~10-25% slower per step
+    (lane-axis min reduction), used only when the padded default layout
+    would not fit HBM (multi-million-pair scenes, BASELINE config 5)."""
     def kernel(wt_ref, cf_ref, kin_ref, tin_ref, key_ref, tid_ref):
         j = pl.program_id(0)
         t = wt_ref[j]
@@ -112,19 +123,27 @@ def _make_kernel(n_tx: int):
         def _body():
             ty = t // n_tx
             tx = t % n_tx
+            if lane_layout:
+                shape = (TILE_H, TILE_W, C)
+                y_dim, x_dim, lane_dim = 0, 1, 2
+            else:
+                shape = (C, TILE_H, TILE_W)
+                y_dim, x_dim, lane_dim = 1, 2, 0
             ys = jax.lax.broadcasted_iota(
-                jnp.int32, (1, TILE_H, TILE_W), 1
-            ).astype(jnp.float32)
+                jnp.int32, shape, y_dim).astype(jnp.float32)
             xs = jax.lax.broadcasted_iota(
-                jnp.int32, (1, TILE_H, TILE_W), 2
-            ).astype(jnp.float32)
+                jnp.int32, shape, x_dim).astype(jnp.float32)
             px = xs + (tx * TILE_W).astype(jnp.float32) + 0.5
             py = ys + (ty * TILE_H).astype(jnp.float32) + 0.5
 
-            def col(i):
-                return cf_ref[:, i:i + 1].reshape(C, 1, 1)
+            if lane_layout:
+                def col(i):
+                    return cf_ref[0, i, :].reshape(1, 1, C)
+            else:
+                def col(i):
+                    return cf_ref[:, i:i + 1].reshape(C, 1, 1)
 
-            e0 = col(0) * px + col(1) * py + col(2)       # [C, H, W]
+            e0 = col(0) * px + col(1) * py + col(2)
             e1 = col(3) * px + col(4) * py + col(5)
             e2 = col(6) * px + col(7) * py + col(8)
             zn = col(9) * px + col(10) * py + col(11)
@@ -135,13 +154,13 @@ def _make_kernel(n_tx: int):
             # NDC z), low bits zeroed for the lane id
             bits = pltpu.bitcast(z, jnp.int32)
             srt = bits ^ ((bits >> 31) & jnp.int32(0x7FFFFFFF))
-            lane = jax.lax.broadcasted_iota(jnp.int32, z.shape, 0)
+            lane = jax.lax.broadcasted_iota(jnp.int32, z.shape, lane_dim)
             keyv = jnp.where(
                 inside,
                 (srt & jnp.int32(_KEY_MASK)) | lane,
                 jnp.int32(SENTINEL),
             )
-            kmin = jnp.min(keyv, axis=0)                  # [H, W] i32
+            kmin = jnp.min(keyv, axis=lane_dim)           # [H, W] i32
 
             key_old = key_ref[:, :]
             win = kmin < key_old
@@ -149,8 +168,11 @@ def _make_kernel(n_tx: int):
             # row's own global id, f32-exact). Keeps the resolve gather on
             # the compact [T, 32] table — pair-space tables proved
             # gather-hostile (134MB table: ~9 -> ~58 ns/row per pixel).
-            onehot = lane == (kmin & jnp.int32(_LANE_MASK))[None, :, :]
-            gsel = jnp.sum(jnp.where(onehot, col(15), 0.0), axis=0)
+            if lane_layout:
+                onehot = lane == (kmin & jnp.int32(_LANE_MASK))[:, :, None]
+            else:
+                onehot = lane == (kmin & jnp.int32(_LANE_MASK))[None, :, :]
+            gsel = jnp.sum(jnp.where(onehot, col(15), 0.0), axis=lane_dim)
             key_ref[:, :] = jnp.where(win, kmin, key_old)
             tid_ref[:, :] = jnp.where(
                 win, gsel.astype(jnp.int32), tid_ref[:, :])
@@ -236,6 +258,12 @@ def rasterize_exact(
     dead = dead.at[0, 2::16].set(-1.0)
     gt = jnp.concatenate([gt, dead], axis=0)                 # [NG+1, 128]
 
+    # SMEM holds the whole scalar-prefetch work list; one page is capped at
+    # PAGE_STEPS steps (192 KiB) and large scenes loop pages, with tile state
+    # flowing between page invocations through the aliased key/tid buffers
+    # (same contract as rasterize_tiles_binned's PAGE loop).
+    PAGE_STEPS = 49152
+
     def run(p_cap: int):
         """Pair expansion + tile sort + kernel at one static capacity."""
         n_steps = p_cap // BP
@@ -288,10 +316,34 @@ def rasterize_exact(
                                 padded_tile, -1)
         wt = padded_tile[::BP]                               # [n_steps]
 
-        # pre-gather pair coefficient rows (ONE row gather)
+        # pre-gather pair coefficient rows (ONE row gather). The fast
+        # sublane layout's [P*GROUP, 16] array is lane-padded 8x by T(8,128)
+        # tiling; switch to exact-tiling lane planes when that padding would
+        # blow HBM (config-5 scale).
+        lane_layout = p_cap * GROUP * 128 * 4 > (3 << 30)
         pg2 = jnp.where(padded_group >= 0, padded_group, ng)
         gathered = gt[pg2]                                   # [P, 128]
-        cf_pairs = gathered.reshape(p_cap * GROUP, 16)
+        if lane_layout:
+            # strided per-plane slices — a reshape/transpose through a 4D
+            # view with 8/16-wide minor dims materializes T(8,128)-padded
+            # intermediates (8-16x memory) and OOMs at this scale
+            cf_pairs = jnp.stack(
+                [gathered[:, i::16].reshape(n_steps, C) for i in range(16)],
+                axis=1,
+            )                                                # [n_steps, 16, C]
+        else:
+            cf_pairs = gathered.reshape(p_cap * GROUP, 16)
+
+        n_pages = max(1, -(-n_steps // PAGE_STEPS))
+        page_steps = n_steps if n_pages == 1 else PAGE_STEPS
+        if n_pages > 1:
+            pad_steps = n_pages * PAGE_STEPS - n_steps
+            wt = jnp.pad(wt, (0, pad_steps), constant_values=-1)
+            if lane_layout:
+                cf_pairs = jnp.pad(
+                    cf_pairs, ((0, pad_steps), (0, 0), (0, 0)))
+            else:
+                cf_pairs = jnp.pad(cf_pairs, ((0, pad_steps * C), (0, 0)))
 
         tile_spec = pl.BlockSpec(
             (TILE_H, TILE_W),
@@ -299,36 +351,47 @@ def rasterize_exact(
                            jnp.maximum(wt[j], 0) % n_tx),
             memory_space=pltpu.VMEM,
         )
+        if lane_layout:
+            cf_spec = pl.BlockSpec((1, 16, C), lambda j, wt: (j, 0, 0),
+                                   memory_space=pltpu.VMEM)
+            cf_rows = page_steps
+        else:
+            cf_spec = pl.BlockSpec((C, 16), lambda j, wt: (j, 0),
+                                   memory_space=pltpu.VMEM)
+            cf_rows = page_steps * C
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(n_steps,),
-            in_specs=[
-                pl.BlockSpec((C, 16), lambda j, wt: (j, 0),
-                             memory_space=pltpu.VMEM),
-                tile_spec, tile_spec,
-            ],
+            grid=(page_steps,),
+            in_specs=[cf_spec, tile_spec, tile_spec],
             out_specs=[tile_spec, tile_spec],
         )
-        key0 = jnp.full((height, width), SENTINEL, jnp.int32)
-        tid0 = jnp.full((height, width), SENTINEL, jnp.int32)
+        key = jnp.full((height, width), SENTINEL, jnp.int32)
+        tid = jnp.full((height, width), SENTINEL, jnp.int32)
         wt2, cf2 = jax.lax.optimization_barrier((wt, cf_pairs))
-        key, tid = pl.pallas_call(
-            _make_kernel(n_tx),
-            grid_spec=grid_spec,
-            out_shape=[
-                jax.ShapeDtypeStruct((height, width), jnp.int32),
-                jax.ShapeDtypeStruct((height, width), jnp.int32),
-            ],
-            # arg order incl. scalar prefetch: wt=0, cf=1, kin=2, tin=3
-            input_output_aliases={2: 0, 3: 1},
-            interpret=INTERPRET,
-        )(wt2, cf2, key0, tid0)
+        for page in range(n_pages):
+            wt_p = jax.lax.slice_in_dim(
+                wt2, page * page_steps, (page + 1) * page_steps)
+            cf_p = jax.lax.slice_in_dim(
+                cf2, page * cf_rows, (page + 1) * cf_rows)
+            key, tid = pl.pallas_call(
+                _make_kernel(n_tx, lane_layout),
+                grid_spec=grid_spec,
+                out_shape=[
+                    jax.ShapeDtypeStruct((height, width), jnp.int32),
+                    jax.ShapeDtypeStruct((height, width), jnp.int32),
+                ],
+                # arg order incl. scalar prefetch: wt=0, cf=1, kin=2, tin=3
+                input_output_aliases={2: 0, 3: 1},
+                interpret=INTERPRET,
+            )(wt_p, cf_p, key, tid)
         return key, tid, required
 
     key, tid, required = run(p_cap0)
-    if overflow_cond:
-        # per-frame no-silent-drop guard: re-bin + re-raster at 4x capacity
-        # on device only when this camera's demand exceeded capacity
+    # XLA allocates BOTH lax.cond branches, so the in-graph 4x fallback is
+    # only carried while its buffers are cheap; at multi-million-pair scale
+    # (where even one extra capacity would not fit HBM) the per-frame guard
+    # degrades to the host-side persistent growth off ``required``.
+    if overflow_cond and p_cap0 * GROUP * 128 * 4 <= (3 << 30) // 4:
         key, tid = jax.lax.cond(
             required > p_cap0,
             lambda _: run(_round_up(4 * p_cap0, BP))[:2],

@@ -227,6 +227,10 @@ class BatchTracer:
     def resolve(self, rec: HitRecord, o, d) -> SurfaceHits:
         return resolve_hits(self.batch, rec, o, d)
 
+    def trace_resolve(self, o, d, t_max, *, active=None, use_alpha=False):
+        rec = self.trace(o, d, t_max, active=active, use_alpha=use_alpha)
+        return self.resolve(rec, o, d)
+
 
 def shadow_visibility(
     surf: SurfaceHits,
@@ -388,9 +392,9 @@ def reflections(
         pert_n = _cosine_sample(surf.normal, tx, ty, max_angle, r1, r2)
         rdir = -v + 2.0 * jnp.sum(pert_n * v, axis=-1, keepdims=True) * pert_n
         o = surf.world_pos + surf.normal * 1e-3
-        rec = ctx.trace(o, rdir, jnp.full((r,), 1000.0),
-                        active=surf.valid, use_alpha=params.leaf_cutout)
-        hit2 = ctx.resolve(rec, o, rdir)
+        hit2 = ctx.trace_resolve(o, rdir, jnp.full((r,), 1000.0),
+                                 active=surf.valid,
+                                 use_alpha=params.leaf_cutout)
 
         svis = shadow_visibility(
             surf=hit2, ctx=ctx, lights=lights,
@@ -432,9 +436,8 @@ def trace_frame(
         full_width=full_width, full_height=full_height, origin=origin,
     )
     r = o.shape[0]
-    rec = ctx.trace(o, d, jnp.full((r,), 1000.0),
-                    use_alpha=params.leaf_cutout)
-    surf = ctx.resolve(rec, o, d)
+    surf = ctx.trace_resolve(o, d, jnp.full((r,), 1000.0),
+                             use_alpha=params.leaf_cutout)
 
     svis = shadow_visibility(surf, ctx, lights, key, max(1, params.shadow_samples))
     ao = ambient_occlusion(
