@@ -18,40 +18,44 @@ import jax.numpy as jnp
 # Hill ACES fit matrices (BufferCopy.frag:66-89). The GLSL idiom
 # `pixel * mat3(a,b,c, ...)` computes out_j = dot(j-th written triple, pixel),
 # i.e. out = M @ pixel with M's rows as written below — matching the standard
-# HLSL Hill fit. With row-major rows stored here, that's `rgb @ M.T`.
-_ACES_INPUT = jnp.asarray(
-    [
-        [0.59719, 0.35458, 0.04823],
-        [0.07600, 0.90834, 0.01566],
-        [0.02840, 0.13383, 0.83777],
-    ],
-    jnp.float32,
+# HLSL Hill fit. Rows are applied by _mat3 (unrolled elementwise): a
+# per-pixel [.., 3] @ [3, 3] MXU matmul pads 3 -> 128 on both operands
+# (~40x wasted work, 6x more at highest precision — measured ~11 ms of a
+# 1080p tonemap); the unrolled form fuses into the elementwise chain.
+_ACES_INPUT = (
+    (0.59719, 0.35458, 0.04823),
+    (0.07600, 0.90834, 0.01566),
+    (0.02840, 0.13383, 0.83777),
 )
-_ACES_OUTPUT = jnp.asarray(
-    [
-        [1.60475, -0.53108, -0.07367],
-        [-0.10208, 1.10813, -0.00605],
-        [-0.00327, -0.07276, 1.07602],
-    ],
-    jnp.float32,
+_ACES_OUTPUT = (
+    (1.60475, -0.53108, -0.07367),
+    (-0.10208, 1.10813, -0.00605),
+    (-0.00327, -0.07276, 1.07602),
 )
 
-_LIN_2_LMS = jnp.asarray(
-    [
-        [3.90405e-1, 5.49941e-1, 8.92632e-3],
-        [7.08416e-2, 9.63172e-1, 1.35775e-3],
-        [2.31082e-2, 1.28021e-1, 9.36245e-1],
-    ],
-    jnp.float32,
+_LIN_2_LMS = (
+    (3.90405e-1, 5.49941e-1, 8.92632e-3),
+    (7.08416e-2, 9.63172e-1, 1.35775e-3),
+    (2.31082e-2, 1.28021e-1, 9.36245e-1),
 )
-_LMS_2_LIN = jnp.asarray(
-    [
-        [2.85847e0, -1.62879e0, -2.48910e-2],
-        [-2.10182e-1, 1.15820e0, 3.24281e-4],
-        [-4.18120e-2, -1.18169e-1, 1.06867e0],
-    ],
-    jnp.float32,
+_LMS_2_LIN = (
+    (2.85847e0, -1.62879e0, -2.48910e-2),
+    (-2.10182e-1, 1.15820e0, 3.24281e-4),
+    (-4.18120e-2, -1.18169e-1, 1.06867e0),
 )
+
+
+def _mat3(rgb: jax.Array, m) -> jax.Array:
+    """out = rgb @ m.T with python-constant rows, unrolled elementwise."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    return jnp.stack(
+        [
+            m[0][0] * r + m[0][1] * g + m[0][2] * b,
+            m[1][0] * r + m[1][1] * g + m[1][2] * b,
+            m[2][0] * r + m[2][1] * g + m[2][2] * b,
+        ],
+        axis=-1,
+    )
 
 
 @jax.tree_util.register_dataclass
@@ -98,18 +102,18 @@ def white_balance(rgb: jax.Array, temperature: jax.Array, tint: jax.Array) -> ja
     s = 0.0030 * big_x + 0.0136 * big_y + 0.9834 * big_z
     w1 = jnp.asarray([0.949237, 1.03542, 1.08728], jnp.float32)
     balance = w1 / jnp.stack([l, m, s])
-    lms = rgb @ _LIN_2_LMS.T
+    lms = _mat3(rgb, _LIN_2_LMS)
     lms = lms * balance
-    return lms @ _LMS_2_LIN.T
+    return _mat3(lms, _LMS_2_LIN)
 
 
 def hill_aces(rgb: jax.Array) -> jax.Array:
     """Hill ACES fit (BufferCopy.frag:66-89)."""
-    c = rgb @ _ACES_INPUT.T
+    c = _mat3(rgb, _ACES_INPUT)
     a = c * (c + 0.0245786) - 0.000090537
     b = c * (0.983729 * c + 0.4329510) + 0.238081
     c = a / b
-    c = c @ _ACES_OUTPUT.T
+    c = _mat3(c, _ACES_OUTPUT)
     return jnp.clip(c, 0.0, 1.0)
 
 

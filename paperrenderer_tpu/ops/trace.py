@@ -310,8 +310,9 @@ def ambient_occlusion(
         rec = ctx.trace(o, d, jnp.full((r,), radius), active=surf.valid,
                         use_alpha=True)
         occ += jnp.where(rec.hit, 1.0 - jnp.minimum(rec.t, radius) / radius, 0.0)
-    rough = materials.roughness[surf.material]
-    metal = materials.metallic[surf.material]
+    from .shading import lookup_material_params
+
+    _, _, rough, metal = lookup_material_params(materials, surf.material)
     influence = (1.0 - metal) + rough * metal
     ao = jnp.clip(1.0 - occ / samples, 0.0, 1.0) * influence
     return jnp.where(surf.valid, ao, 1.0)
@@ -328,10 +329,10 @@ def shade_surfaces(
 ) -> jax.Array:
     """Direct lighting + ambient + emissive at hit points (rchit:48-122,
     :173-226 minus reflections). Returns f32[R, 3]; invalid rays -> 0."""
-    albedo = materials.albedo[surf.material]
-    emissive = materials.emissive[surf.material]
-    roughness = materials.roughness[surf.material]
-    metallic = materials.metallic[surf.material]
+    from .shading import lookup_material_params
+
+    albedo, emissive, roughness, metallic = lookup_material_params(
+        materials, surf.material)
     if textures is not None:
         from ..core.texture import sample_bilinear
 
@@ -375,9 +376,9 @@ def reflections(
     if params.reflection_samples <= 0:
         return jnp.zeros((r, 3), jnp.float32)
 
-    albedo = materials.albedo[surf.material]
-    rough = materials.roughness[surf.material]
-    metal = materials.metallic[surf.material]
+    from .shading import lookup_material_params
+
+    albedo, _, rough, metal = lookup_material_params(materials, surf.material)
 
     v = cam_pos - surf.world_pos
     v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-9)

@@ -135,6 +135,11 @@ def sharded_render_frame_static(
     mapping_specs = StaticMapping(
         tri_instance=P_(ax), tri_lod=P_(ax), tri_slot=P_(ax),
         v_obj=P_(ax), n_obj=P_(ax), uv=P_(ax), valid=P_(ax),
+        # run metadata is replicated (run starts can land on any shard; the
+        # sharded path uses the per-triangle gather route, use_runs=False)
+        run_starts=P_(), run_inst=P_(), run_lod=P_(), run_slot=P_(),
+        run_id=P_(ax), start_mask=P_(ax),
+        max_run=mapping.max_run,
     )
 
     @partial(
@@ -149,7 +154,7 @@ def sharded_render_frame_static(
         ci = jax.lax.axis_index(ax[1])
         local_batch, _vis = expand_static(
             local_mapping, instances, tables, camera, slot_materials,
-            instance_visible, do_culling=do_culling,
+            instance_visible, do_culling=do_culling, use_runs=False,
         )
         # assemble the full batch on every device (dp -> replicated)
         batch = jax.tree.map(
