@@ -94,7 +94,7 @@ def pack_attr_coef(batch: TriangleBatch, coeffs: jax.Array) -> jax.Array:
     )
 
 
-def _make_kernel(n_tx: int, lane_layout: bool = False):
+def _make_kernel(n_tx: int, lane_layout: bool = False, peel: bool = False):
     """Depth-key raster step.
 
     Default layout: cf block (C, 16) from a [P*GROUP, 16] HBM array, with
@@ -105,8 +105,16 @@ def _make_kernel(n_tx: int, lane_layout: bool = False):
     ``lane_layout``: cf block (1, 16, C) from [n_steps, 16, C] planes with
     triangles on LANES — exact tiling, zero padding. ~10-25% slower per step
     (lane-axis min reduction), used only when the padded default layout
-    would not fit HBM (multi-million-pair scenes, BASELINE config 5)."""
-    def kernel(wt_ref, cf_ref, kin_ref, tin_ref, key_ref, tid_ref):
+    would not fit HBM (multi-million-pair scenes, BASELINE config 5).
+
+    ``peel``: two extra per-tile i32 inputs (floor/ceil depth keys) window
+    the accepted fragments — depth-peeling layers for sorted translucency
+    find the nearest fragment strictly inside (floor, ceil)."""
+    def kernel(wt_ref, cf_ref, *refs):
+        if peel:
+            floor_ref, ceil_ref, kin_ref, tin_ref, key_ref, tid_ref = refs
+        else:
+            kin_ref, tin_ref, key_ref, tid_ref = refs
         j = pl.program_id(0)
         t = wt_ref[j]
         prev_t = wt_ref[jnp.maximum(j - 1, 0)]
@@ -155,8 +163,18 @@ def _make_kernel(n_tx: int, lane_layout: bool = False):
             bits = pltpu.bitcast(z, jnp.int32)
             srt = bits ^ ((bits >> 31) & jnp.int32(0x7FFFFFFF))
             lane = jax.lax.broadcasted_iota(jnp.int32, z.shape, lane_dim)
+            accept = inside
+            if peel:
+                dk = srt & jnp.int32(_KEY_MASK)
+                if lane_layout:
+                    fl = floor_ref[:, :][:, :, None]
+                    ce = ceil_ref[:, :][:, :, None]
+                else:
+                    fl = floor_ref[:, :][None, :, :]
+                    ce = ceil_ref[:, :][None, :, :]
+                accept = accept & (dk > fl) & (dk < ce)
             keyv = jnp.where(
-                inside,
+                accept,
                 (srt & jnp.int32(_KEY_MASK)) | lane,
                 jnp.int32(SENTINEL),
             )
@@ -180,6 +198,14 @@ def _make_kernel(n_tx: int, lane_layout: bool = False):
     return kernel
 
 
+def depth_to_key(z: jax.Array) -> jax.Array:
+    """f32 depth -> masked sortable depth key (the kernel's encoding);
+    used to chain depth-peeling windows."""
+    bits = jax.lax.bitcast_convert_type(z.astype(jnp.float32), jnp.int32)
+    srt = bits ^ ((bits >> 31) & jnp.int32(0x7FFFFFFF))
+    return srt & jnp.int32(_KEY_MASK)
+
+
 def _unpack_depth(key: jax.Array, covered: jax.Array) -> jax.Array:
     """Invert the int32-sortable float map (lane bits quantized away)."""
     k = key & jnp.int32(_KEY_MASK)
@@ -199,6 +225,7 @@ def rasterize_exact(
     *,
     pair_capacity: Optional[int] = None,
     overflow_cond: bool = True,
+    depth_window=None,   # (floor_key i32[H,W], ceil_key i32[H,W]) peel mode
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Exact-binned raster. Returns (depth f32[H,W], tid i32[H,W] global
     triangle ids, attr_table f32[T_pad, 32], required i32 scalar).
@@ -359,31 +386,38 @@ def rasterize_exact(
             cf_spec = pl.BlockSpec((C, 16), lambda j, wt: (j, 0),
                                    memory_space=pltpu.VMEM)
             cf_rows = page_steps * C
+        peel = depth_window is not None
+        window_specs = [tile_spec, tile_spec] if peel else []
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(page_steps,),
-            in_specs=[cf_spec, tile_spec, tile_spec],
+            in_specs=[cf_spec] + window_specs + [tile_spec, tile_spec],
             out_specs=[tile_spec, tile_spec],
         )
         key = jnp.full((height, width), SENTINEL, jnp.int32)
         tid = jnp.full((height, width), SENTINEL, jnp.int32)
         wt2, cf2 = jax.lax.optimization_barrier((wt, cf_pairs))
+        # aliased kin/tin follow wt, cf (+ the optional window planes)
+        alias_base = 4 if peel else 2
         for page in range(n_pages):
             wt_p = jax.lax.slice_in_dim(
                 wt2, page * page_steps, (page + 1) * page_steps)
             cf_p = jax.lax.slice_in_dim(
                 cf2, page * cf_rows, (page + 1) * cf_rows)
+            args = [wt_p, cf_p]
+            if peel:
+                args += [depth_window[0], depth_window[1]]
+            args += [key, tid]
             key, tid = pl.pallas_call(
-                _make_kernel(n_tx, lane_layout),
+                _make_kernel(n_tx, lane_layout, peel),
                 grid_spec=grid_spec,
                 out_shape=[
                     jax.ShapeDtypeStruct((height, width), jnp.int32),
                     jax.ShapeDtypeStruct((height, width), jnp.int32),
                 ],
-                # arg order incl. scalar prefetch: wt=0, cf=1, kin=2, tin=3
-                input_output_aliases={2: 0, 3: 1},
+                input_output_aliases={alias_base: 0, alias_base + 1: 1},
                 interpret=INTERPRET,
-            )(wt_p, cf_p, key, tid)
+            )(*args)
         return key, tid, required
 
     key, tid, required = run(p_cap0)

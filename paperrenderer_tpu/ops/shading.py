@@ -206,13 +206,12 @@ def shade_gbuffer(
         materials, gbuf.material)
 
     if textures is not None:
-        from ..core.texture import sample_bilinear, uv_screen_lod
+        from ..core.texture import sample_bilinear, select_rows, uv_screen_lod
 
-        base_tex = materials.base_tex[gbuf.material]
-        emis_tex = materials.emissive_tex[gbuf.material]
-        t = textures.count
-        oh = jax.nn.one_hot(jnp.clip(base_tex, 0, t - 1), t, dtype=jnp.float32)
-        wh = oh @ textures.rects[:, 0, 2:4]     # mip-0 extents, one-hot lookup
+        base_tex = select_rows(materials.base_tex, gbuf.material)
+        emis_tex = select_rows(materials.emissive_tex, gbuf.material)
+        wh = select_rows(textures.rects[:, 0, 2:4],
+                         jnp.clip(base_tex, 0, textures.count - 1))
         lod = uv_screen_lod(gbuf.uv, wh[..., 0], wh[..., 1])
         albedo = albedo * sample_bilinear(textures, base_tex, gbuf.uv, lod)[..., :3]
         emissive = emissive + jnp.where(

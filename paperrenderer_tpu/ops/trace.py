@@ -334,10 +334,10 @@ def shade_surfaces(
     albedo, emissive, roughness, metallic = lookup_material_params(
         materials, surf.material)
     if textures is not None:
-        from ..core.texture import sample_bilinear
+        from ..core.texture import sample_bilinear, select_rows
 
-        base_tex = materials.base_tex[surf.material]
-        emis_tex = materials.emissive_tex[surf.material]
+        base_tex = select_rows(materials.base_tex, surf.material)
+        emis_tex = select_rows(materials.emissive_tex, surf.material)
         albedo = albedo * sample_bilinear(textures, base_tex, surf.uv)[..., :3]
         emissive = emissive + jnp.where(
             (emis_tex >= 0)[..., None],

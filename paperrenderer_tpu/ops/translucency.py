@@ -114,9 +114,16 @@ def composite_translucency(
     camera: CameraMatrices,
     *,
     layers: int = 4,
+    use_exact: bool = False,
+    pair_capacity: int = 0,
+    textures=None,
 ) -> jax.Array:
     """Depth-peel the translucent triangles and blend back-to-front over the
-    opaque HDR image (the sorted-instance path, RenderPass.cpp:560-709)."""
+    opaque HDR image (the sorted-instance path, RenderPass.cpp:560-709).
+
+    ``use_exact`` peels with the binned Pallas depth-key kernel (each layer
+    windows fragments to (previous layer, opaque depth) keys); otherwise the
+    pure-XLA rasterizer peels with explicit depth clamps."""
     h, w = opaque_depth.shape
     translucent = non_opaque_mask(materials, batch.material)
     tbatch = TriangleBatch(
@@ -129,28 +136,41 @@ def composite_translucency(
     )
 
     # collect up to `layers` nearest fragments per pixel (front-to-back)
-    z_floor = jnp.full((h, w), -jnp.inf, jnp.float32)
     peels = []
-    for _ in range(layers):
-        depth, tid, bary = _rasterize_peel(tbatch, w, h, z_floor, opaque_depth)
-        peels.append((depth, tid, bary))
-        z_floor = jnp.where(jnp.isfinite(depth), depth, z_floor)
+    if use_exact:
+        from .raster_exact import (
+            depth_to_key, rasterize_exact, resolve_gbuffer_pairs,
+        )
+
+        floor = jnp.full((h, w), jnp.iinfo(jnp.int32).min + 1, jnp.int32)
+        ceil = depth_to_key(opaque_depth)
+        for _ in range(layers):
+            depth, tid, attr_pairs, _req = rasterize_exact(
+                tbatch, w, h, pair_capacity=pair_capacity or None,
+                overflow_cond=False, depth_window=(floor, ceil),
+            )
+            peels.append(resolve_gbuffer_pairs(attr_pairs, depth, tid, camera))
+            floor = depth_to_key(depth)
+    else:
+        z_floor = jnp.full((h, w), -jnp.inf, jnp.float32)
+        for _ in range(layers):
+            depth, tid, bary = _rasterize_peel(
+                tbatch, w, h, z_floor, opaque_depth)
+            peels.append(
+                resolve_gbuffer_unproject(tbatch, depth, tid, bary, camera))
+            z_floor = jnp.where(jnp.isfinite(depth), depth, z_floor)
 
     # shade each layer, then blend BACK-to-front: dst = src*a + dst*(1-a)
+    from ..core.texture import select_rows
+
     out = opaque_hdr
-    for depth, tid, bary in reversed(peels):
-        gbuf = resolve_gbuffer_unproject(tbatch, depth, tid, bary, camera)
-        color = shade_gbuffer(gbuf, materials, lights, camera.cam_pos)
-        m = materials.albedo.shape[0]
-        if m <= 128:
-            onehot = jax.nn.one_hot(gbuf.material, m, dtype=jnp.float32)
-            alpha = onehot @ materials.alpha
-            sm = onehot @ materials.shading_model.astype(jnp.float32)
-        else:
-            alpha = materials.alpha[gbuf.material]
-            sm = materials.shading_model[gbuf.material].astype(jnp.float32)
+    for gbuf in reversed(peels):
+        color = shade_gbuffer(gbuf, materials, lights, camera.cam_pos,
+                              textures=textures)
+        alpha = select_rows(materials.alpha, gbuf.material)
+        sm = select_rows(materials.shading_model, gbuf.material)
         # leaf cutout: binary alpha from the procedural pattern at the hit UV
-        is_leaf = jnp.abs(sm - SHADE_LEAF) < 0.5
+        is_leaf = sm == SHADE_LEAF
         alpha = jnp.where(is_leaf, leaf_alpha(gbuf.uv), alpha)
         a = jnp.where(gbuf.coverage, alpha, 0.0)[..., None]
         out = color * a + out * (1.0 - a)

@@ -172,6 +172,8 @@ def render_frame_static(
         hdr = composite_translucency(
             hdr, depth, full_batch, materials, lights, camera,
             layers=translucent_layers,
+            use_exact=use_pallas, pair_capacity=work_capacity,
+            textures=textures,
         )
     ldr = tonemap(hdr, tonemap_params)
     aux = {

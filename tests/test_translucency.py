@@ -94,3 +94,62 @@ def test_translucent_behind_opaque_hidden():
     c = np.asarray(ldr)[8, 8]
     # the red translucent panel is behind the opaque white one: no red tint
     assert abs(float(c[0]) - float(c[1])) < 1e-3
+
+
+def test_exact_peel_matches_xla_peel(monkeypatch):
+    """The binned-kernel depth-peel path (use_exact, interpret mode) must
+    produce the same image as the pure-XLA peel."""
+    import jax.numpy as jnp
+
+    from paperrenderer_tpu.ops import raster_exact as RE
+    from paperrenderer_tpu.ops import static_batch as SB
+    from paperrenderer_tpu.ops.raster import rasterize, resolve_gbuffer_packed, pack_attributes
+    from paperrenderer_tpu.ops.shading import shade_gbuffer
+    from paperrenderer_tpu.ops.translucency import composite_translucency, non_opaque_mask
+
+    monkeypatch.setattr(RE, "INTERPRET", True)
+
+    scene, registry, panel = _scene()
+    rp = RenderPass(scene, registry, width=128, height=32, translucent_layers=2)
+    white = Material("white", albedo=(1.0, 1.0, 1.0), roughness=1.0,
+                     emissive=(0.5, 0.5, 0.5))
+    red_glass = Material(
+        "red-glass", albedo=(0.0, 0.0, 0.0), emissive=(1.0, 0.0, 0.0),
+        alpha=0.5, shading_model=SHADE_TRANSLUCENT,
+    )
+    green_glass = Material(
+        "green-glass", albedo=(0.0, 0.0, 0.0), emissive=(0.0, 1.0, 0.0),
+        alpha=0.5, shading_model=SHADE_TRANSLUCENT,
+    )
+    base = ModelInstance(panel)
+    rp.add_instance(base, {0: white.instance()})
+    g1 = ModelInstance(panel)
+    g1.set_transform(pos=(0.0, 0.0, 1.0))
+    rp.add_instance(g1, {0: green_glass.instance()})
+    g2 = ModelInstance(panel)
+    g2.set_transform(pos=(0.3, 0.0, 2.0))
+    rp.add_instance(g2, {0: red_glass.instance()})
+    cam = _cam()
+
+    instances = scene.flush()
+    slots, visible, table = rp._device_inputs(instances.capacity)
+    mapping = rp._current_mapping()
+    batch, _ = SB.expand_static(
+        mapping, instances, scene.tables(), cam.matrices, slots, visible)
+    opaque = ~non_opaque_mask(table, batch.material)
+    import dataclasses as _dc
+
+    obatch = _dc.replace(batch, valid=batch.valid & opaque)
+    depth, tid, bary = rasterize(obatch, 128, 32)
+    gbuf = resolve_gbuffer_packed(
+        pack_attributes(obatch), depth, tid, bary, cam.matrices)
+    hdr = shade_gbuffer(gbuf, table, rp.lights, cam.matrices.cam_pos)
+
+    out_xla = composite_translucency(
+        hdr, depth, batch, table, rp.lights, cam.matrices, layers=2,
+        use_exact=False)
+    out_exact = composite_translucency(
+        hdr, depth, batch, table, rp.lights, cam.matrices, layers=2,
+        use_exact=True)
+    np.testing.assert_allclose(
+        np.asarray(out_exact), np.asarray(out_xla), atol=2e-3)
