@@ -44,6 +44,8 @@ class MaterialTable:
     shading_model: jax.Array  # i32[M]
     base_tex: jax.Array      # i32[M] — atlas texture id, -1 = untextured
     emissive_tex: jax.Array  # i32[M]
+    mr_tex: jax.Array        # i32[M] — metallicRoughness (linear; g=rough, b=metal)
+    occ_tex: jax.Array       # i32[M] — occlusion (linear; r channel)
 
 
 class Material:
@@ -61,6 +63,8 @@ class Material:
         shading_model: int = SHADE_PBR,
         base_texture=None,       # u8/f32 [H, W, C] image (sRGB) or None
         emissive_texture=None,
+        mr_texture=None,         # linear metallicRoughness (glTF: g=rough, b=metal)
+        occlusion_texture=None,  # linear occlusion (glTF: r channel)
     ):
         self.name = name
         self.albedo = tuple(albedo)
@@ -71,6 +75,8 @@ class Material:
         self.shading_model = int(shading_model)
         self.base_texture = base_texture
         self.emissive_texture = emissive_texture
+        self.mr_texture = mr_texture
+        self.occlusion_texture = occlusion_texture
 
     def instance(self, **overrides) -> "MaterialInstance":
         return MaterialInstance(self, **overrides)
@@ -93,6 +99,8 @@ class MaterialInstance:
             shading_model=self.base.shading_model,
             base_texture=self.base.base_texture,
             emissive_texture=self.base.emissive_texture,
+            mr_texture=self.base.mr_texture,
+            occlusion_texture=self.base.occlusion_texture,
         )
         vals.update(self.overrides)
         return vals
@@ -122,12 +130,12 @@ class MaterialRegistry:
         self.default = Material("default")
         self.register(self.default)
 
-    def _texture_id(self, img) -> int:
+    def _texture_id(self, img, srgb: bool = True) -> int:
         if img is None:
             return -1
-        key = id(img)
+        key = (id(img), srgb)
         if key not in self._tex_ids:
-            self._tex_ids[key] = self.textures.add(img)
+            self._tex_ids[key] = self.textures.add(img, srgb=srgb)
             self._tex_refs.append(img)
         return self._tex_ids[key]
 
@@ -178,6 +186,8 @@ class MaterialRegistry:
         shading = np.zeros((n,), np.int32)
         base_tex = np.full((n,), -1, np.int32)
         emissive_tex = np.full((n,), -1, np.int32)
+        mr_tex = np.full((n,), -1, np.int32)
+        occ_tex = np.full((n,), -1, np.int32)
         for i, vals in enumerate(self._rows):
             albedo[i] = vals["albedo"]
             emissive[i] = vals["emissive"]
@@ -187,6 +197,9 @@ class MaterialRegistry:
             shading[i] = vals["shading_model"]
             base_tex[i] = self._texture_id(vals.get("base_texture"))
             emissive_tex[i] = self._texture_id(vals.get("emissive_texture"))
+            mr_tex[i] = self._texture_id(vals.get("mr_texture"), srgb=False)
+            occ_tex[i] = self._texture_id(
+                vals.get("occlusion_texture"), srgb=False)
         return MaterialTable(
             albedo=jnp.asarray(albedo),
             emissive=jnp.asarray(emissive),
@@ -196,4 +209,6 @@ class MaterialRegistry:
             shading_model=jnp.asarray(shading),
             base_tex=jnp.asarray(base_tex),
             emissive_tex=jnp.asarray(emissive_tex),
+            mr_tex=jnp.asarray(mr_tex),
+            occ_tex=jnp.asarray(occ_tex),
         )

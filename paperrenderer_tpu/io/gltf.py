@@ -185,6 +185,10 @@ def load_gltf(path: str, arena: GeometryArena) -> GltfScene:
                                   pbr.get("baseColorTexture"))
         emis_img = _texture_image(gltf, buffers, base_dir, img_cache,
                                   mat.get("emissiveTexture"))
+        mr_img = _texture_image(gltf, buffers, base_dir, img_cache,
+                                pbr.get("metallicRoughnessTexture"))
+        occ_img = _texture_image(gltf, buffers, base_dir, img_cache,
+                                 mat.get("occlusionTexture"))
         out.materials.append(
             Material(
                 mat.get("name", f"material{mi}"),
@@ -196,6 +200,8 @@ def load_gltf(path: str, arena: GeometryArena) -> GltfScene:
                 shading_model=SHADE_TRANSLUCENT if blend else SHADE_PBR,
                 base_texture=base_img,
                 emissive_texture=emis_img,
+                mr_texture=mr_img,
+                occlusion_texture=occ_img,
             )
         )
     default_mat = Material("gltf-default")

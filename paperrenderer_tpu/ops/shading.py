@@ -205,11 +205,14 @@ def shade_gbuffer(
     albedo, emissive, roughness, metallic = lookup_material_params(
         materials, gbuf.material)
 
+    tex_occ = None
     if textures is not None:
         from ..core.texture import sample_bilinear, select_rows, uv_screen_lod
 
         base_tex = select_rows(materials.base_tex, gbuf.material)
         emis_tex = select_rows(materials.emissive_tex, gbuf.material)
+        mr_tex = select_rows(materials.mr_tex, gbuf.material)
+        occ_tex = select_rows(materials.occ_tex, gbuf.material)
         wh = select_rows(textures.rects[:, 0, 2:4],
                          jnp.clip(base_tex, 0, textures.count - 1))
         lod = uv_screen_lod(gbuf.uv, wh[..., 0], wh[..., 1])
@@ -219,6 +222,14 @@ def shade_gbuffer(
             sample_bilinear(textures, emis_tex, gbuf.uv, lod)[..., :3],
             0.0,
         )
+        # glTF metallicRoughness: g = roughness factor, b = metallic factor
+        mr = sample_bilinear(textures, mr_tex, gbuf.uv, lod)
+        roughness = roughness * jnp.where(mr_tex >= 0, mr[..., 1], 1.0)
+        metallic = metallic * jnp.where(mr_tex >= 0, mr[..., 2], 1.0)
+        # glTF occlusion: r channel scales ambient/indirect light
+        tex_occ = jnp.where(
+            occ_tex >= 0,
+            sample_bilinear(textures, occ_tex, gbuf.uv, lod)[..., 0], 1.0)
 
     view_dir = cam_pos - gbuf.world_pos
     view_dir = view_dir / jnp.maximum(
@@ -237,6 +248,8 @@ def shade_gbuffer(
         total = total + contrib
 
     ao = 1.0 if ambient_occlusion is None else ambient_occlusion[..., None]
+    if tex_occ is not None:
+        ao = ao * tex_occ[..., None]
     ambient = lights.ambient[:3] * lights.ambient[3] * albedo * ao
     total = total + ambient + emissive
 

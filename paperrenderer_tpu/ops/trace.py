@@ -333,15 +333,24 @@ def shade_surfaces(
 
     albedo, emissive, roughness, metallic = lookup_material_params(
         materials, surf.material)
+    tex_occ = None
     if textures is not None:
         from ..core.texture import sample_bilinear, select_rows
 
         base_tex = select_rows(materials.base_tex, surf.material)
         emis_tex = select_rows(materials.emissive_tex, surf.material)
+        mr_tex = select_rows(materials.mr_tex, surf.material)
+        occ_tex = select_rows(materials.occ_tex, surf.material)
         albedo = albedo * sample_bilinear(textures, base_tex, surf.uv)[..., :3]
         emissive = emissive + jnp.where(
             (emis_tex >= 0)[..., None],
             sample_bilinear(textures, emis_tex, surf.uv)[..., :3], 0.0)
+        mr = sample_bilinear(textures, mr_tex, surf.uv)
+        roughness = roughness * jnp.where(mr_tex >= 0, mr[..., 1], 1.0)
+        metallic = metallic * jnp.where(mr_tex >= 0, mr[..., 2], 1.0)
+        tex_occ = jnp.where(
+            occ_tex >= 0,
+            sample_bilinear(textures, occ_tex, surf.uv)[..., 0], 1.0)
 
     view_dir = cam_or_prev_pos - surf.world_pos
     view_dir = view_dir / jnp.maximum(jnp.linalg.norm(view_dir, axis=-1, keepdims=True), 1e-9)
@@ -354,7 +363,8 @@ def shade_surfaces(
             lights.position[li], lights.color[li], lights.bounds[li],
         )
         total = total + contrib * shadow_vis[li][:, None]
-    total = total + lights.ambient[:3] * lights.ambient[3] * albedo * ao[:, None]
+    ao_full = ao if tex_occ is None else ao * tex_occ
+    total = total + lights.ambient[:3] * lights.ambient[3] * albedo * ao_full[:, None]
     total = total + emissive
     return jnp.where(surf.valid[:, None], total, 0.0)
 

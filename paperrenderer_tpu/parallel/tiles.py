@@ -49,6 +49,7 @@ def sharded_render_frame(
     slot_materials: jax.Array,
     instance_visible: jax.Array,
     tonemap_params: TonemapParams,
+    textures=None,
     *,
     width: int,
     height: int,
@@ -57,7 +58,8 @@ def sharded_render_frame(
     do_culling: bool = True,
 ):
     """Raster frame sharded over screen tiles. Returns ldr f32[H, W, 3]
-    (device-sharded over (rows, cols))."""
+    (device-sharded over (rows, cols)). ``textures`` (a TextureArrays) is
+    replicated — the atlas is read-only sampled on every device."""
     rows, cols = mesh.devices.shape
     assert height % rows == 0 and width % cols == 0, "image must tile evenly"
     tile_h, tile_w = height // rows, width // cols
@@ -66,11 +68,13 @@ def sharded_render_frame(
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P_(),) * 9,
+        in_specs=(P_(),) * 9 + ((P_(),) if textures is not None else ()),
         out_specs=P_(ax_r, ax_c, None),
     )
     def frame(instances, tables, geo, materials, lights, camera,
-              slot_materials, instance_visible, tonemap_params):
+              slot_materials, instance_visible, tonemap_params,
+              *maybe_tex):
+        textures = maybe_tex[0] if maybe_tex else None
         ri = jax.lax.axis_index(ax_r)
         ci = jax.lax.axis_index(ax_c)
         pre = P.preprocess_instances(
@@ -87,13 +91,15 @@ def sharded_render_frame(
             origin=(ci * tile_w, ri * tile_h),
         )
         gbuf = R.resolve_gbuffer(batch, depth, tid, bary)
-        hdr = shade_gbuffer(gbuf, materials, lights, camera.cam_pos)
+        hdr = shade_gbuffer(gbuf, materials, lights, camera.cam_pos,
+                            textures=textures)
         return tonemap(hdr, tonemap_params)
 
-    return frame(
-        instances, tables, geo, materials, lights, camera,
-        slot_materials, instance_visible, tonemap_params,
-    )
+    args = (instances, tables, geo, materials, lights, camera,
+            slot_materials, instance_visible, tonemap_params)
+    if textures is not None:
+        args = args + (textures,)
+    return frame(*args)
 
 
 def sharded_render_frame_static(
@@ -107,6 +113,7 @@ def sharded_render_frame_static(
     slot_materials: jax.Array,
     instance_visible: jax.Array,
     tonemap_params: TonemapParams,
+    textures=None,
     *,
     width: int,
     height: int,
@@ -145,11 +152,13 @@ def sharded_render_frame_static(
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(mapping_specs,) + (P_(),) * 8,
+        in_specs=(mapping_specs,) + (P_(),) * 8
+        + ((P_(),) if textures is not None else ()),
         out_specs=P_(ax[0], ax[1], None),
     )
     def frame(local_mapping, instances, tables, materials, lights, camera,
-              slot_materials, instance_visible, tonemap_params):
+              slot_materials, instance_visible, tonemap_params, *maybe_tex):
+        textures = maybe_tex[0] if maybe_tex else None
         ri = jax.lax.axis_index(ax[0])
         ci = jax.lax.axis_index(ax[1])
         local_batch, _vis = expand_static(
@@ -170,13 +179,15 @@ def sharded_render_frame_static(
             full_width=width, full_height=height,
             origin=(ci * tile_w, ri * tile_h),
         )
-        hdr = shade_gbuffer(gbuf, materials, lights, camera.cam_pos)
+        hdr = shade_gbuffer(gbuf, materials, lights, camera.cam_pos,
+                            textures=textures)
         return tonemap(hdr, tonemap_params)
 
-    return frame(
-        mapping, instances, tables, materials, lights, camera,
-        slot_materials, instance_visible, tonemap_params,
-    )
+    args = (mapping, instances, tables, materials, lights, camera,
+            slot_materials, instance_visible, tonemap_params)
+    if textures is not None:
+        args = args + (textures,)
+    return frame(*args)
 
 
 def sharded_rt_frame(

@@ -49,3 +49,42 @@ def test_triangle_sharded_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(sharded), np.asarray(single), atol=1e-4
     )
+
+
+def test_sharded_textures_match_single_device():
+    """Textured materials sample identically on the sharded path (atlas
+    replicated across devices)."""
+    scene = Scene()
+    registry = MaterialRegistry()
+    ground = Model.from_mesh(scene.arena, *make_plane(size=8.0))
+    img = np.zeros((8, 8, 3), np.uint8)
+    img[:, :4] = (255, 0, 0)
+    img[:, 4:] = (0, 255, 0)
+    tex = Material("tex", albedo=(1, 1, 1), roughness=1.0, base_texture=img)
+    rp = RenderPass(scene, registry, width=64, height=64)
+    rp.add_instance(ModelInstance(ground), {0: tex.instance()})
+    cam = Camera(yfov_deg=50.0, aspect=1.0, near=0.1, far=100.0)
+    cam.look_at((0.0, 0.0, 6.0), (0.0, 0.0, 0.0), up=(0, 1, 0))
+
+    mesh = make_tile_mesh()
+    arrays = scene.flush()
+    slots, visible, table = rp._device_inputs(arrays.capacity)
+    textures = registry.texture_arrays()
+    assert textures is not None
+    mapping = build_static_mapping(scene)
+    tables = scene.tables()
+
+    single, _ = render_frame_static(
+        mapping, arrays, tables, table, rp.lights, cam.matrices,
+        slots, visible, rp.tonemap_params, textures,
+        width=64, height=64, use_pallas=False,
+    )
+    sharded = sharded_render_frame_static(
+        mesh, mapping, arrays, tables, table, rp.lights, cam.matrices,
+        slots, visible, rp.tonemap_params, textures,
+        width=64, height=64,
+    )
+    out = np.asarray(sharded)
+    np.testing.assert_allclose(out, np.asarray(single), atol=1e-4)
+    # the checker halves actually differ (texture really sampled)
+    assert abs(out[32, 16, 0] - out[32, 48, 0]) > 0.2

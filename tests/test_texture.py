@@ -259,3 +259,47 @@ def test_textured_glb_loads_and_renders(tmp_path):
     a, b = img_out[8, 8], img_out[8, 24]
     assert abs(float(a[0]) - float(b[0])) > 0.2
     assert abs(float(a[1]) - float(b[1])) > 0.2
+
+
+def test_metallic_roughness_occlusion_textures():
+    """glTF metallicRoughness (g=rough, b=metal) and occlusion (r) maps
+    modulate the parameter factors; linear (non-sRGB) sampling."""
+    # mr map: left half rough (g=255, b=0), right half smooth metal (g=0, b=255)
+    mr = np.zeros((8, 8, 3), np.uint8)
+    mr[:, :4, 1] = 255
+    mr[:, 4:, 2] = 255
+    # occlusion: left dark (0), right lit (255)
+    occ = np.zeros((8, 8, 3), np.uint8)
+    occ[:, 4:] = 255
+
+    scene = Scene()
+    registry = MaterialRegistry()
+    plane = Model.from_mesh(scene.arena, *make_plane(size=2.0), name="plane")
+    mat = Material("mr", albedo=(1, 1, 1), roughness=1.0, metallic=1.0,
+                   mr_texture=mr, occlusion_texture=occ)
+    rp = RenderPass(scene, registry, width=32, height=32,
+                    lights=Lights.make([], ambient=(1, 1, 1, 1.0)))
+    rp.add_instance(ModelInstance(plane), {0: mat.instance()})
+    cam = Camera(yfov_deg=45.0, aspect=1.0, near=0.1, far=50.0)
+    cam.look_at((0.0, 0.0, 2.5), (0.0, 0.0, 0.0), up=(0, 1, 0))
+    ldr, aux = rp.render(cam)
+    img = np.asarray(ldr)
+    left, right = img[16, 8], img[16, 24]
+    # left: non-metal (ambient * albedo scaled by occ=0) -> dark
+    # right: metallic (ambient reduced by metal kd, occ=1) but some ambient
+    assert float(left.max()) < float(right.max())
+    # occlusion really zeroed the left ambient
+    assert float(left.max()) < 0.08
+
+
+def test_textured_material_table_ids():
+    """mr/occlusion textures get distinct linear atlas entries."""
+    img = np.zeros((4, 4, 3), np.uint8)
+    registry = MaterialRegistry()
+    m = Material("x", base_texture=img, mr_texture=img)
+    registry.register(m)
+    table = registry.table()
+    row = registry._ids[id(m)]
+    # same image registered twice: once sRGB (base), once linear (mr)
+    assert int(np.asarray(table.base_tex)[row]) != int(np.asarray(table.mr_tex)[row])
+    assert registry.textures.count == 2
