@@ -294,7 +294,9 @@ def rasterize(
         e = vals[..., :3]
         z_num = vals[..., 3]
         w_num = vals[..., 4]
-        inside = jnp.all(e >= 0.0, axis=-1) & (w_num > 1e-12)
+        # z_num >= 0 clips fragments in front of the near plane (Vulkan
+        # clip-volume semantics: 0 <= z <= w)
+        inside = jnp.all(e >= 0.0, axis=-1) & (w_num > 1e-12) & (z_num >= 0.0)
         z = jnp.where(inside, z_num / jnp.where(inside, w_num, 1.0), jnp.inf)
         best = jnp.argmin(z, axis=-1)                            # [P]
         best_z = jnp.take_along_axis(z, best[:, None], axis=1)[:, 0]

@@ -53,9 +53,9 @@ BP = 16            # groups (= bin entries) per kernel step -> 128 tris/step
 C = GROUP * BP     # triangles evaluated per kernel step
 ROW = 32           # packed per-triangle row: 15 coef + pad + 9 n + 6 uv + 1 mat
 # python ints (weak-typed scalars): jnp constants would be captured by the
-# kernel tracer, which pallas_call rejects. Keys are INT32-sortable floats
-# (bits ^ ((bits >> 31) & 0x7FFFFFFF)) because Mosaic has no unsigned
-# reductions; SENTINEL = int32 max never loses a min.
+# kernel tracer, which pallas_call rejects. Depth keys are the raw f32 bits
+# of the (clipped nonnegative) depth — nonnegative floats sort directly as
+# int32, so no sign-fold is needed; SENTINEL = int32 max never loses a min.
 SENTINEL = 0x7FFFFFFF
 _LANE_MASK = C - 1                      # low bits carrying the lane id
 _KEY_MASK = ~(C - 1)
@@ -156,12 +156,13 @@ def _make_kernel(n_tx: int, lane_layout: bool = False, peel: bool = False):
             e2 = col(6) * px + col(7) * py + col(8)
             zn = col(9) * px + col(10) * py + col(11)
             wn = col(12) * px + col(13) * py + col(14)
-            inside = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & (wn > 1e-12)
+            # zn >= 0 clips fragments in front of the near plane (Vulkan
+            # clip-volume semantics) AND makes accepted depths nonnegative,
+            # so their f32 bits sort directly as int32 — no sign-fold ops
+            inside = ((e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
+                      & (wn > 1e-12) & (zn >= 0.0))
             z = zn / jnp.where(inside, wn, 1.0)
-            # sortable-u32 depth key: monotone map of f32 (handles negative
-            # NDC z), low bits zeroed for the lane id
-            bits = pltpu.bitcast(z, jnp.int32)
-            srt = bits ^ ((bits >> 31) & jnp.int32(0x7FFFFFFF))
+            srt = pltpu.bitcast(z, jnp.int32)
             lane = jax.lax.broadcasted_iota(jnp.int32, z.shape, lane_dim)
             accept = inside
             if peel:
@@ -199,18 +200,17 @@ def _make_kernel(n_tx: int, lane_layout: bool = False, peel: bool = False):
 
 
 def depth_to_key(z: jax.Array) -> jax.Array:
-    """f32 depth -> masked sortable depth key (the kernel's encoding);
+    """f32 depth -> masked sortable depth key (the kernel's encoding: depths
+    are clipped nonnegative, so the f32 bits sort directly as int32);
     used to chain depth-peeling windows."""
     bits = jax.lax.bitcast_convert_type(z.astype(jnp.float32), jnp.int32)
-    srt = bits ^ ((bits >> 31) & jnp.int32(0x7FFFFFFF))
-    return srt & jnp.int32(_KEY_MASK)
+    return bits & jnp.int32(_KEY_MASK)
 
 
 def _unpack_depth(key: jax.Array, covered: jax.Array) -> jax.Array:
-    """Invert the int32-sortable float map (lane bits quantized away)."""
-    k = key & jnp.int32(_KEY_MASK)
-    bits = k ^ ((k >> 31) & jnp.int32(0x7FFFFFFF))
-    z = jax.lax.bitcast_convert_type(bits, jnp.float32)
+    """Invert the depth key (lane bits quantized away)."""
+    z = jax.lax.bitcast_convert_type(
+        key & jnp.int32(_KEY_MASK), jnp.float32)
     return jnp.where(covered, z, jnp.inf)
 
 

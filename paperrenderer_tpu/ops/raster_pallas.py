@@ -88,7 +88,8 @@ def _kernel(aabb_ref, coef_ref, depth_ref, tid_ref, bary_ref, state_ref):
             e2 = px * coef_ref[6, c] + py * coef_ref[7, c] + coef_ref[8, c]
             zn = px * coef_ref[9, c] + py * coef_ref[10, c] + coef_ref[11, c]
             wn = px * coef_ref[12, c] + py * coef_ref[13, c] + coef_ref[14, c]
-            inside = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & (wn > 1e-12)
+            inside = ((e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
+                      & (wn > 1e-12) & (zn >= 0.0))
             z = zn / jnp.where(inside, wn, 1.0)
             win = inside & (z < depth)
             esum = jnp.maximum(e0 + e1 + e2, 1e-30)
@@ -270,7 +271,8 @@ def _make_wq_kernel(n_tx: int):
             e2 = col(6) * px + col(7) * py + col(8)
             zn = col(9) * px + col(10) * py + col(11)
             wn = col(12) * px + col(13) * py + col(14)
-            inside = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & (wn > 1e-12)
+            inside = ((e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
+                      & (wn > 1e-12) & (zn >= 0.0))
             z = jnp.where(inside, zn / jnp.where(inside, wn, 1.0), jnp.inf)
 
             best_c = jnp.argmin(z, axis=0)               # [H, W]

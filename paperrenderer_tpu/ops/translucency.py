@@ -84,7 +84,7 @@ def _rasterize_peel(
         e = vals[..., :3]
         zn = vals[..., 3]
         wn = vals[..., 4]
-        inside = jnp.all(e >= 0.0, axis=-1) & (wn > 1e-12)
+        inside = jnp.all(e >= 0.0, axis=-1) & (wn > 1e-12) & (zn >= 0.0)
         z = jnp.where(inside, zn / jnp.where(inside, wn, 1.0), jnp.inf)
         # peeling window: strictly behind the previous layer, in front of opaque
         zok = (z > zf[:, None]) & (z < zc[:, None])
