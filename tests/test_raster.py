@@ -127,3 +127,31 @@ def test_renderpass_visibility_flag():
     rp.set_instance_visibility(inst, False)
     ldr2, aux2 = rp.render(cam)
     assert float(aux2["coverage"]) == 0.0
+
+
+def test_near_plane_clip():
+    """Geometry entirely between the eye and the near plane must not
+    rasterize (Vulkan clip-volume parity: z < 0 fragments are clipped)."""
+    import jax.numpy as jnp
+
+    from paperrenderer_tpu.core import Camera, Model, ModelInstance, Scene
+    from paperrenderer_tpu.core.geometry import make_plane
+    from paperrenderer_tpu.core import MaterialRegistry
+    from paperrenderer_tpu.render import RenderPass
+
+    scene = Scene()
+    registry = MaterialRegistry()
+    panel = Model.from_mesh(scene.arena, *make_plane(size=4.0), name="panel")
+    rp = RenderPass(scene, registry, width=32, height=32)
+    inst = ModelInstance(panel)
+    rp.add_instance(inst)
+    cam = Camera(yfov_deg=60.0, aspect=1.0, near=1.0, far=100.0)
+    # camera at z=+2 looking down -z; panel at z=1.5 is INSIDE the near gap
+    cam.look_at((0.0, 0.0, 2.0), (0.0, 0.0, 0.0), up=(0, 1, 0))
+    inst.set_transform(pos=(0.0, 0.0, 1.5))
+    ldr, aux = rp.render(cam)
+    assert float(aux["coverage"]) == 0.0
+    # move it past the near plane: it must render
+    inst.set_transform(pos=(0.0, 0.0, 0.0))
+    ldr, aux = rp.render(cam)
+    assert float(aux["coverage"]) > 0.5
