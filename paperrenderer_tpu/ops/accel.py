@@ -968,7 +968,7 @@ class SceneTracer:
         the material AT HIT TIME from SMEM — no per-ray attribute gathers
         (which cost ~30 ns/row x 2 rows x rays in ``resolve``)."""
         alpha_needed = use_alpha and self.leaf_cutout
-        if self.use_pallas and not alpha_needed:
+        if self.use_pallas:
             from .trace_kernel import (
                 _STACK, pallas_resolve_ok, trace_resolve_scene_pallas,
             )
@@ -982,6 +982,8 @@ class SceneTracer:
                     self.scene, self.slot_materials, o, d, t_max,
                     root_code=self.root_code, stack_size=self.stack_size,
                     active=active,
+                    shading_model=(self.materials.shading_model
+                                   if alpha_needed else None),
                 )
                 hit = out["prim"] >= 0
                 t = jnp.where(hit, out["t"], 0.0)

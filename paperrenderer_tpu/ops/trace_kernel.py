@@ -41,6 +41,7 @@ from .accel import (
 PACKET = 1024            # rays per packet: one (8, 128) tile per plane
 _SMEM_BUDGET = 700 * 1024  # bytes of SMEM we allow the scene to occupy
 _STACK = 128             # kernel stack lanes (one (1, 128) i32 tile)
+_SHADE_LEAF = 1          # == core.material.SHADE_LEAF (kernel constant)
 
 
 def pallas_traversal_ok(scene: RTScene, n_rays: int) -> bool:
@@ -291,7 +292,8 @@ def _make_kernel(root_code: int, max_steps: int, any_hit: bool,
 
 
 def _make_resolve_kernel(root_code: int, max_steps: int, n_slots: int,
-                         n_inst: int):
+                         n_inst: int, alpha_test: bool = False,
+                         n_mats: int = 1):
     """Fused trace+resolve packet kernel.
 
     Identical traversal to _make_kernel, but hit attributes are interpolated
@@ -301,15 +303,23 @@ def _make_resolve_kernel(root_code: int, max_steps: int, n_slots: int,
     the current instance's inverse (already in SMEM from the instance
     switch), and the material id is a scalar slot_materials load. This
     removes the per-ray attribute row gathers that dominated the XLA resolve
-    (~30 ns/row x 2 rows x rays — 135 ms of a 1080p frame)."""
+    (~30 ns/row x 2 rows x rays — 135 ms of a 1080p frame).
+
+    ``alpha_test`` adds the leaf-cutout any-hit gate (reference leaf.rahit):
+    hits on SHADE_LEAF materials are rejected where the procedural leaf
+    alpha at the hit uv is below 0.5 — evaluated in-kernel from the uv the
+    resolve path already interpolates."""
     S = _STACK
 
     def kernel(boxes_ref, codes_ref, lpos_ref, lprim_ref,
-               luv_ref, lnrm_ref, smat_ref,
-               o_ref, d_ref, tmax_ref,
-               t_out, prim_out, inst_out, uvx_out, uvy_out,
-               nx_out, ny_out, nz_out, mat_out,
-               obj_ref, best_ref, flag_ref, minv_ref):
+               luv_ref, lnrm_ref, smat_ref, *rest):
+        if alpha_test:
+            smodel_ref = rest[0]
+            rest = rest[1:]
+        (o_ref, d_ref, tmax_ref,
+         t_out, prim_out, inst_out, uvx_out, uvy_out,
+         nx_out, ny_out, nz_out, mat_out,
+         obj_ref, best_ref, flag_ref, minv_ref) = rest
         wox, woy, woz = o_ref[0, 0], o_ref[0, 1], o_ref[0, 2]
         wdx, wdy, wdz = d_ref[0, 0], d_ref[0, 1], d_ref[0, 2]
 
@@ -480,6 +490,15 @@ def _make_resolve_kernel(root_code: int, max_steps: int, n_slots: int,
                     midx = (jnp.clip(cur_inst, 0, n_inst - 1) * n_slots
                             + jnp.clip(slot_k, 0, n_slots - 1))
                     mat_k = smat_ref[midx]
+                    if alpha_test:
+                        # leaf cutout (leaf.glsl getAlpha): lens around
+                        # v=0.5 with parabolic half-width in u
+                        is_leaf = (
+                            smodel_ref[jnp.clip(mat_k, 0, n_mats - 1)]
+                            == _SHADE_LEAF)
+                        curve = (1.0 - (1.0 - 2.0 * uvx) ** 2) * 0.2
+                        leaf_ok = jnp.abs(uvy - 0.5) < curve
+                        hit = hit & (jnp.logical_not(is_leaf) | leaf_ok)
                     best_prim = jnp.where(hit, ptag & 0x00FFFFFF, best_prim)
                     best_inst = jnp.where(hit, cur_inst, best_inst)
                     best_uvx = jnp.where(hit, uvx, best_uvx)
@@ -548,10 +567,12 @@ def trace_resolve_scene_pallas(
     root_code: int,
     stack_size: int,
     active: Optional[jax.Array] = None,
+    shading_model: Optional[jax.Array] = None,  # i32[M]: enables leaf cutout
 ):
     """Fused closest-hit + attribute resolve. Returns a dict of flat arrays:
     t, prim, inst, uv f32[R, 2], normal f32[R, 3] (unnormalized world),
-    material i32[R]."""
+    material i32[R]. ``shading_model`` enables the in-kernel leaf-cutout
+    any-hit gate."""
     r = ray_o.shape[0]
     r_pad = -(-r // PACKET) * PACKET
     t_cap = jnp.asarray(t_max, jnp.float32) + ray_o[:, 0] * 0.0
@@ -581,7 +602,10 @@ def trace_resolve_scene_pallas(
     max_steps = nn + nl + 64
     assert stack_size <= _STACK, "scene too deep for the packet kernel"
 
-    kernel = _make_resolve_kernel(root_code, max_steps, n_slots, n_inst)
+    alpha_test = shading_model is not None
+    n_mats = shading_model.shape[0] if alpha_test else 1
+    kernel = _make_resolve_kernel(root_code, max_steps, n_slots, n_inst,
+                                  alpha_test=alpha_test, n_mats=n_mats)
 
     smem = lambda n: pl.BlockSpec(
         (n,), lambda i: (0,), memory_space=pltpu.SMEM)
@@ -593,6 +617,9 @@ def trace_resolve_scene_pallas(
                             memory_space=pltpu.VMEM)
 
     f32 = jnp.float32
+    model_specs = [smem(n_mats)] if alpha_test else []
+    model_args = (
+        [shading_model.astype(jnp.int32).reshape(-1)] if alpha_test else [])
     outs = pl.pallas_call(
         kernel,
         grid=(g,),
@@ -600,6 +627,7 @@ def trace_resolve_scene_pallas(
             smem(boxes.shape[0]), smem(codes.shape[0]),
             smem(lpos.shape[0]), smem(lprim.shape[0]),
             smem(luv.shape[0]), smem(lnrm.shape[0]), smem(smat.shape[0]),
+        ] + model_specs + [
             plane3, plane3, plane1,
         ],
         out_specs=[out_spec] * 9,
@@ -620,7 +648,8 @@ def trace_resolve_scene_pallas(
             pltpu.SMEM((8,), jnp.int32),            # cross-branch scalars
             pltpu.SMEM((12,), jnp.float32),         # current instance inverse
         ],
-    )(boxes, codes, lpos, lprim, luv, lnrm, smat, o_pk, d_pk, t_pk)
+    )(boxes, codes, lpos, lprim, luv, lnrm, smat,
+      *model_args, o_pk, d_pk, t_pk)
 
     flat = [x.reshape(r_pad)[:r] for x in outs]
     t_f, prim_f, inst_f, uvx, uvy, nx, ny, nz, mat = flat
