@@ -307,12 +307,17 @@ def ambient_occlusion(
         r1, r2 = jax.random.uniform(k, (2, r))
         d = _cosine_sample(surf.normal, tx, ty, jnp.ones((r,)), r1, r2)
         o = surf.world_pos + surf.normal * 1e-3  # OffsetRay analogue
-        # trace_resolve so SceneTracer's packet kernel handles the leaf
-        # any-hit cutout in-kernel (only .valid/.t are consumed)
-        s2 = ctx.trace_resolve(o, d, jnp.full((r,), radius),
-                               active=surf.valid, use_alpha=True)
-        occ += jnp.where(s2.valid,
-                         1.0 - jnp.minimum(s2.t, radius) / radius, 0.0)
+        if getattr(ctx, "leaf_cutout", False):
+            # trace_resolve so SceneTracer's packet kernel handles the leaf
+            # any-hit cutout in-kernel (only .valid/.t are consumed)
+            s2 = ctx.trace_resolve(o, d, jnp.full((r,), radius),
+                                   active=surf.valid, use_alpha=True)
+            hit2, t2 = s2.valid, s2.t
+        else:
+            rec = ctx.trace(o, d, jnp.full((r,), radius), active=surf.valid)
+            hit2, t2 = rec.hit, rec.t
+        occ += jnp.where(hit2,
+                         1.0 - jnp.minimum(t2, radius) / radius, 0.0)
     from .shading import lookup_material_params
 
     _, _, rough, metal = lookup_material_params(materials, surf.material)
