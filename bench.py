@@ -11,10 +11,14 @@ whole matrix of record (BASELINE.md:27-33):
   config4_hybrid_ms_1080p       hybrid raster G-buffer + RT passes, 1080p
   config5_raster_ms_100k_1080p  100k animated instances, raster, 1080p
 
-The reference publishes no numbers (BASELINE.md), so the baseline of record
-is self-generated: BASELINE_FPS below is the first measured value of config 1
-on one TPU v5e chip (round 1, brute-force rasterizer). vs_baseline therefore
-tracks speedup across rounds on identical hardware/workload.
+The reference publishes no numbers (BASELINE.md), and building it headless
+under software Vulkan failed in this environment (no lavapipe/SwiftShader ICD
+— see BASELINE.md "reference measurement attempt"). The baseline of record is
+therefore self-generated: BASELINE_FPS below is the first measured value of
+config 1 on one TPU v5e chip (round 1, brute-force rasterizer).
+**vs_baseline is honestly a speedup-over-round-1 number**, NOT a comparison
+against the Vulkan reference; image parity with the reference is pinned by
+the golden-image tests (tests/test_golden_images.py) instead.
 
 Each config is guarded: a failure records an "error:..." string for that
 metric instead of killing the bench.
@@ -113,6 +117,17 @@ def bench_config3():
     return r / dt / 1e6, refit_ms
 
 
+def bench_rt_full_frame():
+    """Full RT frame @1080p: primary + 2-sample soft shadows + RTAO +
+    1-bounce reflections (the PERF.md headline row; not a BASELINE config but
+    the metric the reflection-optimization work is judged by)."""
+    from examples.render_rt import build_rt_scene
+
+    eng, rt, cam = build_rt_scene(1920, 1080)
+    dt = _time(lambda: rt.render(cam)[0], iters=3, warmup=1)
+    return dt * 1e3
+
+
 def bench_config4():
     from examples.render_hybrid import build_hybrid_scene
 
@@ -149,6 +164,7 @@ def main():
 
     run("config3_primary_mrays_1080p", c3)
     run("config4_hybrid_ms_1080p", lambda: round(bench_config4(), 1))
+    run("rt_full_frame_ms_1080p", lambda: round(bench_rt_full_frame(), 1))
     run("config5_raster_ms_100k_1080p", lambda: round(bench_config5(), 1))
 
     fps = metrics.get("config1_raster_fps_512")

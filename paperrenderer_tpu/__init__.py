@@ -20,6 +20,14 @@ import jax as _jax
 # lower precision opt in locally via precision= / preferred_element_type.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compile cache: frame-graph compiles over the TPU tunnel run
+# 10s-minutes; cache them across processes (tests/bench/examples all pay
+# the same traces). Only set when the embedding app hasn't configured one.
+if not _jax.config.jax_compilation_cache_dir:
+    _jax.config.update(
+        "jax_compilation_cache_dir", "/tmp/paperrenderer_jax_cache")
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 from .core import (
     Camera,
     CameraMatrices,

@@ -178,11 +178,16 @@ def _decode_rgba(word: jax.Array) -> jax.Array:
     ) * (1.0 / 255.0)
 
 
-def select_rows(table, ids: jax.Array) -> jax.Array:
+def select_rows(table, ids: jax.Array, *, exact: bool = False) -> jax.Array:
     """table[ids] without per-element gathers: unrolled select accumulation
-    for small tables (fully fused VPU work), one-hot matmul at DEFAULT
-    precision beyond (a tiny-dim matmul at the package's highest-precision
-    default measured 34 ms per 1080p lookup; element gathers ~30 ns each)."""
+    for small tables (fully fused VPU work), one-hot matmul beyond (a
+    tiny-dim matmul at the package's highest-precision default measured
+    34 ms per 1080p lookup; element gathers ~30 ns each).
+
+    ``exact=True`` runs the matmul fallback at HIGHEST precision: the
+    DEFAULT path truncates f32 to bf16 on TPU, so address-like table values
+    (atlas rect offsets, table indices > 256) would round to the wrong
+    integer. Use it for any table whose values must survive exactly."""
     n = table.shape[0]
     if n <= 64:
         out = jnp.zeros(ids.shape + table.shape[1:], table.dtype)
@@ -191,21 +196,33 @@ def select_rows(table, ids: jax.Array) -> jax.Array:
             out = jnp.where(sel, table[i], out)
         return out
     onehot = jax.nn.one_hot(jnp.clip(ids, 0, n - 1), n, dtype=jnp.float32)
+    precision = (jax.lax.Precision.HIGHEST if exact
+                 else jax.lax.Precision.DEFAULT)
     return jnp.matmul(
         onehot, table.astype(jnp.float32),
-        precision=jax.lax.Precision.DEFAULT).astype(table.dtype)
+        precision=precision).astype(table.dtype)
 
 
 def _rect_lookup(tex: TextureArrays, tex_id: jax.Array, lod: jax.Array):
-    """(x, y, w, h) of each sample's (texture, mip) via select_rows."""
+    """(x, y, w, h) of each sample's (texture, mip).
+
+    Nested selects keep each select table at T rows (not T*MAX_MIPS, which
+    crossed the 64-row matmul threshold at >8 textures and — at DEFAULT
+    precision — rounded atlas offsets > 256 to the wrong texel): select the
+    texture's whole [MAX_MIPS, 4] block by id (exact, offsets are addresses),
+    then unroll the 8-way mip select."""
     t = tex.rects.shape[0]
     tid = jnp.clip(tex_id, 0, t - 1)
     mips = select_rows(
         tex.mip_counts.astype(jnp.float32)[:, None], tid)[..., 0]
     lvl = jnp.clip(lod.astype(jnp.int32), 0, mips.astype(jnp.int32) - 1)
-    flat = tex.rects.reshape(t * MAX_MIPS, 4)
-    key = tid * MAX_MIPS + lvl
-    return select_rows(flat, key)
+    blocks = select_rows(
+        tex.rects.reshape(t, MAX_MIPS * 4), tid, exact=True)
+    rect = blocks[..., 0:4]
+    for m in range(1, MAX_MIPS):
+        rect = jnp.where((lvl == m)[..., None],
+                         blocks[..., 4 * m : 4 * m + 4], rect)
+    return rect
 
 
 def sample_bilinear(

@@ -273,6 +273,18 @@ def build_blas_set(scene):
         n0s, n1s, n2s = [], [], []
         for mm in model.lods[0].meshes:
             h = mm.handle
+            # tagged prim id = (slot << 24) | arena tri id in one i32: slots
+            # >= 128 or tri ids >= 2^24 would flip the sign bit and the
+            # triangle would be silently dropped as dead padding
+            if not (0 <= mm.material_slot < 128):
+                raise ValueError(
+                    f"material slot {mm.material_slot} out of the tagged-prim "
+                    "range [0, 128) (widen the tag to a second i32 plane to "
+                    "lift this)")
+            if h.tri_offset + h.tri_count >= (1 << 24):
+                raise ValueError(
+                    "geometry arena exceeds 2^24 triangles — tagged prim ids "
+                    "cannot address it")
             idx = arena._idx[h.tri_offset : h.tri_offset + h.tri_count]
             tri_ids = np.arange(h.tri_offset, h.tri_offset + h.tri_count)
             v0s.append(arena._pos[idx[:, 0]])
@@ -572,7 +584,9 @@ class RTScene:
     leaf_rows: jax.Array   # f32[*, 120]: [static | anim] leaf pos+uv rows
     leaf_nrm: jax.Array    # f32[*, 72]: object-space vertex normals per leaf
     leaf_prim: jax.Array   # i32[*, K]: tagged prim ids per leaf
-    fwd_rows: jax.Array    # f32[N, 12] forward matrices (resolve)
+    fwd_rows: jax.Array    # f32[N, 12] forward matrices (resolve positions)
+    inv_rows: jax.Array    # f32[N, 12] inverse matrices (resolve normals:
+    #                        world n = (M^-1)^T n_obj, hitcommon.glsl:128)
     tri_attr: jax.Array    # f32[Ta, 16] obj normals(9) + uv(6) + slot(1)
 
 
@@ -650,7 +664,7 @@ def assemble_scene(
     fwd = mats.reshape(-1, 12)
     return RTScene(nodes=nodes, codes=codes, leaf_rows=leaf_rows,
                    leaf_nrm=leaf_nrm, leaf_prim=leaf_prim, fwd_rows=fwd,
-                   tri_attr=tri_attr), root_codes
+                   inv_rows=inst_rows, tri_attr=tri_attr), root_codes
 
 
 def build_tri_attr(scene) -> jax.Array:
@@ -941,6 +955,11 @@ class SceneTracer:
 
         return test
 
+    def _step_bound(self) -> int:
+        from .trace_kernel import traversal_step_bound
+
+        return traversal_step_bound(self.scene, self.slot_materials.shape[0])
+
     def trace(self, o, d, t_max, *, any_hit=False, active=None, use_alpha=False):
         alpha = self._alpha_test() if use_alpha else None
         if self.use_pallas and alpha is None:
@@ -954,6 +973,7 @@ class SceneTracer:
                     self.scene, o, d, t_max,
                     root_code=self.root_code, stack_size=self.stack_size,
                     any_hit=any_hit, active=active,
+                    max_steps=self._step_bound(),
                 )
         return trace_scene(
             self.scene, o, d, t_max,
@@ -981,7 +1001,7 @@ class SceneTracer:
                 out = trace_resolve_scene_pallas(
                     self.scene, self.slot_materials, o, d, t_max,
                     root_code=self.root_code, stack_size=self.stack_size,
-                    active=active,
+                    active=active, max_steps=self._step_bound(),
                     shading_model=(self.materials.shading_model
                                    if alpha_needed else None),
                 )
@@ -1017,7 +1037,7 @@ class SceneTracer:
         w0 = 1.0 - u - v
 
         attr = scene.tri_attr[pid]                            # [R, 16]
-        fwd = scene.fwd_rows[iid]                             # [R, 12]
+        inv = scene.inv_rows[iid]                             # [R, 12]
 
         t = jnp.where(rec.hit, rec.t, 0.0)
         world = ray_o + t[:, None] * ray_d
@@ -1027,9 +1047,12 @@ class SceneTracer:
             + u[:, None] * attr[:, 3:6]
             + v[:, None] * attr[:, 6:9]
         )
+        # world normal = (M^-1)^T n_obj (reference hitcommon.glsl:128
+        # localNormal * gl_WorldToObjectEXT) — matches the fused Pallas
+        # resolve kernel; the forward matrix is wrong under non-uniform scale
         n_w = jnp.stack(
-            [fwd[:, 4 * i] * n_obj[:, 0] + fwd[:, 4 * i + 1] * n_obj[:, 1]
-             + fwd[:, 4 * i + 2] * n_obj[:, 2]
+            [inv[:, i] * n_obj[:, 0] + inv[:, i + 4] * n_obj[:, 1]
+             + inv[:, i + 8] * n_obj[:, 2]
              for i in range(3)], axis=-1)
         n_w = n_w / jnp.maximum(
             jnp.linalg.norm(n_w, axis=-1, keepdims=True), 1e-12)

@@ -39,9 +39,26 @@ from .accel import (
 )
 
 PACKET = 1024            # rays per packet: one (8, 128) tile per plane
+# test hook: run the packet kernels in the Pallas interpreter (CPU tests
+# monkeypatch this — mirrors raster_exact.INTERPRET)
+INTERPRET = False
 _SMEM_BUDGET = 700 * 1024  # bytes of SMEM we allow the scene to occupy
 _STACK = 128             # kernel stack lanes (one (1, 128) i32 tile)
 _SHADE_LEAF = 1          # == core.material.SHADE_LEAF (kernel constant)
+
+
+def traversal_step_bound(scene: RTScene, n_instances: int) -> int:
+    """Safe while-loop bound for the packet traversal.
+
+    The naive ``nodes + leaves`` bound undercounts: a BLAS shared by M
+    instances is re-traversed up to M times per packet (every instance leaf
+    pop pushes its BLAS root). Each pop of a BLAS with L leaves costs at most
+    2L-1 steps, so total steps <= TLAS pops (2N) + N * 2 * (total leaf rows)
+    — a loose but sound ceiling. The loop exits on an empty stack long
+    before this in practice; the bound only guards against corrupted codes."""
+    nn = scene.nodes.shape[0]
+    nl = scene.leaf_rows.shape[0]
+    return min(2**31 - 2, 2 * n_instances * (nl + 2) + nn + 64)
 
 
 def pallas_traversal_ok(scene: RTScene, n_rays: int) -> bool:
@@ -555,7 +572,7 @@ def _make_resolve_kernel(root_code: int, max_steps: int, n_slots: int,
 
 @partial(
     jax.jit,
-    static_argnames=("root_code", "stack_size"),
+    static_argnames=("root_code", "stack_size", "max_steps"),
 )
 def trace_resolve_scene_pallas(
     scene: RTScene,
@@ -566,6 +583,7 @@ def trace_resolve_scene_pallas(
     *,
     root_code: int,
     stack_size: int,
+    max_steps: Optional[int] = None,
     active: Optional[jax.Array] = None,
     shading_model: Optional[jax.Array] = None,  # i32[M]: enables leaf cutout
 ):
@@ -597,9 +615,8 @@ def trace_resolve_scene_pallas(
     lnrm = scene.leaf_nrm.reshape(-1)
     smat = slot_materials.astype(jnp.int32).reshape(-1)
     n_inst, n_slots = slot_materials.shape
-    nn = scene.nodes.shape[0]
-    nl = scene.leaf_rows.shape[0]
-    max_steps = nn + nl + 64
+    if max_steps is None:
+        max_steps = traversal_step_bound(scene, n_inst)
     assert stack_size <= _STACK, "scene too deep for the packet kernel"
 
     alpha_test = shading_model is not None
@@ -648,6 +665,7 @@ def trace_resolve_scene_pallas(
             pltpu.SMEM((8,), jnp.int32),            # cross-branch scalars
             pltpu.SMEM((12,), jnp.float32),         # current instance inverse
         ],
+        interpret=INTERPRET,
     )(boxes, codes, lpos, lprim, luv, lnrm, smat,
       *model_args, o_pk, d_pk, t_pk)
 
@@ -676,7 +694,8 @@ def trace_resolve_scene_pallas(
 
 @partial(
     jax.jit,
-    static_argnames=("root_code", "stack_size", "any_hit", "debug_steps"),
+    static_argnames=("root_code", "stack_size", "any_hit", "debug_steps",
+                     "max_steps"),
 )
 def trace_scene_pallas(
     scene: RTScene,
@@ -687,6 +706,7 @@ def trace_scene_pallas(
     root_code: int,
     stack_size: int,
     any_hit: bool = False,
+    max_steps: Optional[int] = None,
     active: Optional[jax.Array] = None,
     debug_steps: bool = False,
 ) -> HitRecord2:
@@ -713,9 +733,10 @@ def trace_scene_pallas(
         g, 1, 8, 128)
 
     boxes, codes, lpos, lprim = _split_scene(scene)
-    nn = scene.nodes.shape[0]
-    nl = scene.leaf_rows.shape[0]
-    max_steps = nn + nl + 64
+    if max_steps is None:
+        # conservative single-visit bound; callers with shared BLASes pass
+        # traversal_step_bound(scene, n_instances) (see SceneTracer)
+        max_steps = scene.nodes.shape[0] + scene.leaf_rows.shape[0] + 64
     assert stack_size <= _STACK, "scene too deep for the packet kernel"
 
     kernel = _make_kernel(root_code, max_steps, any_hit,
@@ -751,6 +772,7 @@ def trace_scene_pallas(
             pltpu.VMEM((5, 8, 128), jnp.float32),   # best-hit planes
             pltpu.SMEM((8,), jnp.int32),            # cross-branch scalars
         ],
+        interpret=INTERPRET,
     )(boxes, codes, lpos, lprim, o_pk, d_pk, t_pk)
 
     t_f = t_r.reshape(r_pad)[:r]

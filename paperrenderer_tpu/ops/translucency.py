@@ -117,13 +117,18 @@ def composite_translucency(
     use_exact: bool = False,
     pair_capacity: int = 0,
     textures=None,
-) -> jax.Array:
+) -> Tuple[jax.Array, jax.Array]:
     """Depth-peel the translucent triangles and blend back-to-front over the
     opaque HDR image (the sorted-instance path, RenderPass.cpp:560-709).
 
     ``use_exact`` peels with the binned Pallas depth-key kernel (each layer
     windows fragments to (previous layer, opaque depth) keys); otherwise the
-    pure-XLA rasterizer peels with explicit depth clamps."""
+    pure-XLA rasterizer peels with explicit depth clamps.
+
+    Returns (hdr f32[H, W, 3], required i32 scalar): ``required`` is the max
+    pair-slot demand across peel layers (0 on the XLA path), so callers fold
+    it into the same overflow-growth protocol as the opaque pass —
+    translucent-heavy scenes must grow work capacity too."""
     h, w = opaque_depth.shape
     translucent = non_opaque_mask(materials, batch.material)
     tbatch = TriangleBatch(
@@ -137,6 +142,7 @@ def composite_translucency(
 
     # collect up to `layers` nearest fragments per pixel (front-to-back)
     peels = []
+    required = jnp.int32(0)
     if use_exact:
         from .raster_exact import (
             depth_to_key, rasterize_exact, resolve_gbuffer_pairs,
@@ -144,11 +150,15 @@ def composite_translucency(
 
         floor = jnp.full((h, w), jnp.iinfo(jnp.int32).min + 1, jnp.int32)
         ceil = depth_to_key(opaque_depth)
-        for _ in range(layers):
-            depth, tid, attr_pairs, _req = rasterize_exact(
+        for li in range(layers):
+            # the first layer carries the in-graph overflow fallback (all
+            # layers bin the same translucent set, so one guarded layer
+            # bounds them all); every layer's demand feeds `required`
+            depth, tid, attr_pairs, req = rasterize_exact(
                 tbatch, w, h, pair_capacity=pair_capacity or None,
-                overflow_cond=False, depth_window=(floor, ceil),
+                overflow_cond=(li == 0), depth_window=(floor, ceil),
             )
+            required = jnp.maximum(required, req)
             peels.append(resolve_gbuffer_pairs(attr_pairs, depth, tid, camera))
             floor = depth_to_key(depth)
     else:
@@ -174,4 +184,4 @@ def composite_translucency(
         alpha = jnp.where(is_leaf, leaf_alpha(gbuf.uv), alpha)
         a = jnp.where(gbuf.coverage, alpha, 0.0)[..., None]
         out = color * a + out * (1.0 - a)
-    return out
+    return out, required

@@ -169,12 +169,15 @@ def render_frame_static(
     if translucent_layers > 0:
         from ..ops.translucency import composite_translucency
 
-        hdr = composite_translucency(
+        hdr, peel_required = composite_translucency(
             hdr, depth, full_batch, materials, lights, camera,
             layers=translucent_layers,
             use_exact=use_pallas, pair_capacity=work_capacity,
             textures=textures,
         )
+        # translucent-heavy scenes can out-demand the opaque pass; the
+        # overflow-growth protocol keys off the max of both
+        required = jnp.maximum(required, peel_required)
     ldr = tonemap(hdr, tonemap_params)
     aux = {
         "visible_count": jnp.sum(inst_visible.astype(jnp.int32)),

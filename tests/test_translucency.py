@@ -145,11 +145,13 @@ def test_exact_peel_matches_xla_peel(monkeypatch):
         pack_attributes(obatch), depth, tid, bary, cam.matrices)
     hdr = shade_gbuffer(gbuf, table, rp.lights, cam.matrices.cam_pos)
 
-    out_xla = composite_translucency(
+    out_xla, _ = composite_translucency(
         hdr, depth, batch, table, rp.lights, cam.matrices, layers=2,
         use_exact=False)
-    out_exact = composite_translucency(
+    out_exact, req = composite_translucency(
         hdr, depth, batch, table, rp.lights, cam.matrices, layers=2,
         use_exact=True)
     np.testing.assert_allclose(
         np.asarray(out_exact), np.asarray(out_xla), atol=2e-3)
+    # the peel passes report their pair demand (overflow-growth input)
+    assert int(req) > 0
