@@ -109,8 +109,13 @@ def _make_kernel(n_tx: int, lane_layout: bool = False, peel: bool = False):
 
     ``peel``: two extra per-tile i32 inputs (floor/ceil depth keys) window
     the accepted fragments — depth-peeling layers for sorted translucency
-    find the nearest fragment strictly inside (floor, ceil)."""
-    def kernel(wt_ref, cf_ref, *refs):
+    find the nearest fragment strictly inside (floor, ceil).
+
+    The first scalar-prefetch arg is the window origin (x0, y0) in FULL-
+    viewport pixels: coefficients stay in full-viewport space (bitwise
+    identical edge tests to the single-device run), the kernel offsets its
+    pixel coordinates — screen-tile sharding renders a window per device."""
+    def kernel(org_ref, wt_ref, cf_ref, *refs):
         if peel:
             floor_ref, ceil_ref, kin_ref, tin_ref, key_ref, tid_ref = refs
         else:
@@ -141,8 +146,8 @@ def _make_kernel(n_tx: int, lane_layout: bool = False, peel: bool = False):
                 jnp.int32, shape, y_dim).astype(jnp.float32)
             xs = jax.lax.broadcasted_iota(
                 jnp.int32, shape, x_dim).astype(jnp.float32)
-            px = xs + (tx * TILE_W).astype(jnp.float32) + 0.5
-            py = ys + (ty * TILE_H).astype(jnp.float32) + 0.5
+            px = xs + (tx * TILE_W + org_ref[0]).astype(jnp.float32) + 0.5
+            py = ys + (ty * TILE_H + org_ref[1]).astype(jnp.float32) + 0.5
 
             if lane_layout:
                 def col(i):
@@ -226,6 +231,9 @@ def rasterize_exact(
     pair_capacity: Optional[int] = None,
     overflow_cond: bool = True,
     depth_window=None,   # (floor_key i32[H,W], ceil_key i32[H,W]) peel mode
+    full_width: Optional[int] = None,
+    full_height: Optional[int] = None,
+    origin=(0, 0),
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Exact-binned raster. Returns (depth f32[H,W], tid i32[H,W] global
     triangle ids, attr_table f32[T_pad, 32], required i32 scalar).
@@ -238,15 +246,25 @@ def rasterize_exact(
     re-rasterizes at 4x capacity IN-GRAPH, so no frame ships with dropped
     triangles up to a 4x demand jump in one frame; callers also grow the
     persistent capacity off the returned scalar so the fallback stops being
-    taken (and >4x teleports are covered from the next frame on)."""
+    taken (and >4x teleports are covered from the next frame on).
+
+    Screen-tile sharding: render a (width x height) window of a
+    (full_width x full_height) viewport at pixel offset ``origin`` (may be
+    traced, e.g. axis_index-derived under shard_map). Coefficients stay in
+    full-viewport pixel space, so edge tests are bitwise identical to the
+    single-device run; binning and the kernel work in window space."""
     assert width % TILE_W == 0 and height % TILE_H == 0
-    coeffs, ok, (lo, hi) = triangle_coefficients(batch, width, height)
+    fw = full_width or width
+    fh = full_height or height
+    coeffs, ok, (lo, hi) = triangle_coefficients(batch, fw, fh)
     t = batch.capacity
     t_pad = _round_up(t, GROUP)
     ng = t_pad // GROUP
     n_tx = width // TILE_W
     n_ty = height // TILE_H
     n_tiles = n_tx * n_ty
+    org = jnp.asarray(origin, jnp.int32).reshape(2)
+    org_f = org.astype(jnp.float32)
 
     p_cap0 = pair_capacity or default_pair_capacity(width, height, t)
     p_cap0 = _round_up(p_cap0, BP)
@@ -259,8 +277,11 @@ def rasterize_exact(
     glo = lo_m.reshape(ng, GROUP, 2).min(axis=1)
     ghi = hi_m.reshape(ng, GROUP, 2).max(axis=1)
     alive = jnp.isfinite(glo[:, 0])
-    fglo = jnp.nan_to_num(glo, posinf=0.0)
-    fghi = jnp.nan_to_num(ghi, neginf=0.0)
+    fglo = jnp.nan_to_num(glo, posinf=0.0) - org_f[None, :]   # window space
+    fghi = jnp.nan_to_num(ghi, neginf=0.0) - org_f[None, :]
+    # cull groups whose AABB misses this window entirely
+    alive &= (fghi[:, 0] >= 0.0) & (fglo[:, 0] <= width) \
+        & (fghi[:, 1] >= 0.0) & (fglo[:, 1] <= height)
     gx0 = jnp.clip(jnp.floor(fglo[:, 0] / TILE_W).astype(jnp.int32), 0, n_tx - 1)
     gx1 = jnp.clip(jnp.floor(fghi[:, 0] / TILE_W).astype(jnp.int32), 0, n_tx - 1)
     gy0 = jnp.clip(jnp.floor(fglo[:, 1] / TILE_H).astype(jnp.int32), 0, n_ty - 1)
@@ -374,22 +395,22 @@ def rasterize_exact(
 
         tile_spec = pl.BlockSpec(
             (TILE_H, TILE_W),
-            lambda j, wt: (jnp.maximum(wt[j], 0) // n_tx,
-                           jnp.maximum(wt[j], 0) % n_tx),
+            lambda j, org, wt: (jnp.maximum(wt[j], 0) // n_tx,
+                                jnp.maximum(wt[j], 0) % n_tx),
             memory_space=pltpu.VMEM,
         )
         if lane_layout:
-            cf_spec = pl.BlockSpec((1, 16, C), lambda j, wt: (j, 0, 0),
+            cf_spec = pl.BlockSpec((1, 16, C), lambda j, org, wt: (j, 0, 0),
                                    memory_space=pltpu.VMEM)
             cf_rows = page_steps
         else:
-            cf_spec = pl.BlockSpec((C, 16), lambda j, wt: (j, 0),
+            cf_spec = pl.BlockSpec((C, 16), lambda j, org, wt: (j, 0),
                                    memory_space=pltpu.VMEM)
             cf_rows = page_steps * C
         peel = depth_window is not None
         window_specs = [tile_spec, tile_spec] if peel else []
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(page_steps,),
             in_specs=[cf_spec] + window_specs + [tile_spec, tile_spec],
             out_specs=[tile_spec, tile_spec],
@@ -397,14 +418,14 @@ def rasterize_exact(
         key = jnp.full((height, width), SENTINEL, jnp.int32)
         tid = jnp.full((height, width), SENTINEL, jnp.int32)
         wt2, cf2 = jax.lax.optimization_barrier((wt, cf_pairs))
-        # aliased kin/tin follow wt, cf (+ the optional window planes)
-        alias_base = 4 if peel else 2
+        # aliased kin/tin follow org, wt, cf (+ the optional window planes)
+        alias_base = 5 if peel else 3
         for page in range(n_pages):
             wt_p = jax.lax.slice_in_dim(
                 wt2, page * page_steps, (page + 1) * page_steps)
             cf_p = jax.lax.slice_in_dim(
                 cf2, page * cf_rows, (page + 1) * cf_rows)
-            args = [wt_p, cf_p]
+            args = [org, wt_p, cf_p]
             if peel:
                 args += [depth_window[0], depth_window[1]]
             args += [key, tid]

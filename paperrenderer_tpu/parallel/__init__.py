@@ -1,5 +1,6 @@
 from .mesh import make_tile_mesh
 from .tiles import (
+    make_sharded_rt_frame,
     sharded_render_frame,
     sharded_render_frame_static,
     sharded_rt_frame,
@@ -7,6 +8,7 @@ from .tiles import (
 
 __all__ = [
     "make_tile_mesh",
+    "make_sharded_rt_frame",
     "sharded_render_frame",
     "sharded_render_frame_static",
     "sharded_rt_frame",

@@ -118,6 +118,9 @@ def sharded_render_frame_static(
     width: int,
     height: int,
     do_culling: bool = True,
+    use_pallas: bool = False,
+    work_capacity: int = 0,
+    return_required: bool = False,
 ):
     """Two-axis decomposition of the static fast path:
 
@@ -126,9 +129,15 @@ def sharded_render_frame_static(
         ``all_gather`` over ICI assembles the full clip-space batch (~50 B per
         triangle — bandwidth-trivial vs. the pixel work it feeds);
       * rasterization + shading stay screen-tile sharded as in
-        sharded_render_frame.
+        sharded_render_frame. ``use_pallas=True`` rasterizes each device's
+        window with the exact-binned Pallas kernel (ops/raster_exact) —
+        the round-2 fast path — using full-viewport coefficients + window
+        origin, so edge tests are bitwise identical to a single-device run.
 
-    Returns ldr f32[H, W, 3] sharded over (rows, cols).
+    Returns ldr f32[H, W, 3] sharded over (rows, cols); with
+    ``return_required=True`` also the replicated global pair-demand scalar
+    (max over devices — feed it to the overflow-growth protocol exactly like
+    render_frame_static's ``required_work``).
     """
     rows, cols = mesh.devices.shape
     assert height % rows == 0 and width % cols == 0
@@ -154,13 +163,17 @@ def sharded_render_frame_static(
         mesh=mesh,
         in_specs=(mapping_specs,) + (P_(),) * 8
         + ((P_(),) if textures is not None else ()),
-        out_specs=P_(ax[0], ax[1], None),
+        out_specs=(P_(ax[0], ax[1], None), P_()),
+        # pallas_call inside shard_map has no vma annotations on its
+        # out_shapes; skip the varying-mesh-axes check
+        check_vma=False,
     )
     def frame(local_mapping, instances, tables, materials, lights, camera,
               slot_materials, instance_visible, tonemap_params, *maybe_tex):
         textures = maybe_tex[0] if maybe_tex else None
         ri = jax.lax.axis_index(ax[0])
         ci = jax.lax.axis_index(ax[1])
+        origin = (ci * tile_w, ri * tile_h)
         local_batch, _vis = expand_static(
             local_mapping, instances, tables, camera, slot_materials,
             instance_visible, do_culling=do_culling, use_runs=False,
@@ -169,25 +182,42 @@ def sharded_render_frame_static(
         batch = jax.tree.map(
             lambda x: jax.lax.all_gather(x, ax, axis=0, tiled=True), local_batch
         )
-        depth, tid, bary = R.rasterize(
-            batch, tile_w, tile_h,
-            full_width=width, full_height=height,
-            origin=(ci * tile_w, ri * tile_h),
-        )
-        gbuf = R.resolve_gbuffer_packed(
-            R.pack_attributes(batch), depth, tid, bary, camera,
-            full_width=width, full_height=height,
-            origin=(ci * tile_w, ri * tile_h),
-        )
+        if use_pallas:
+            from ..ops.raster_exact import (
+                rasterize_exact, resolve_gbuffer_pairs,
+            )
+
+            depth, tid, attr_pairs, required = rasterize_exact(
+                batch, tile_w, tile_h,
+                pair_capacity=work_capacity or None,
+                full_width=width, full_height=height, origin=origin,
+            )
+            gbuf = resolve_gbuffer_pairs(
+                attr_pairs, depth, tid, camera,
+                full_width=width, full_height=height, origin=origin,
+            )
+            # replicated global demand drives the host growth protocol
+            required = jax.lax.pmax(jax.lax.pmax(required, ax[0]), ax[1])
+        else:
+            depth, tid, bary = R.rasterize(
+                batch, tile_w, tile_h,
+                full_width=width, full_height=height, origin=origin,
+            )
+            gbuf = R.resolve_gbuffer_packed(
+                R.pack_attributes(batch), depth, tid, bary, camera,
+                full_width=width, full_height=height, origin=origin,
+            )
+            required = jnp.int32(0)
         hdr = shade_gbuffer(gbuf, materials, lights, camera.cam_pos,
                             textures=textures)
-        return tonemap(hdr, tonemap_params)
+        return tonemap(hdr, tonemap_params), required
 
     args = (mapping, instances, tables, materials, lights, camera,
             slot_materials, instance_visible, tonemap_params)
     if textures is not None:
         args = args + (textures,)
-    return frame(*args)
+    ldr, required = frame(*args)
+    return (ldr, required) if return_required else ldr
 
 
 def sharded_rt_frame(
@@ -208,7 +238,10 @@ def sharded_rt_frame(
     tri_capacity: int,
     params: RTParams,
 ):
-    """Ray-traced frame sharded over screen tiles (ray-batch sharding)."""
+    """LEGACY ray-traced frame sharded over screen tiles (round-1 design:
+    per-frame world BVH over all transformed triangles). Kept as the
+    validation reference; the fast path is ``make_sharded_rt_frame`` (two-
+    level BLAS/TLAS + SceneTracer per tile)."""
     rows, cols = mesh.devices.shape
     assert height % rows == 0 and width % cols == 0
     tile_h, tile_w = height // rows, width // cols
@@ -252,3 +285,114 @@ def sharded_rt_frame(
         instances, tables, geo, materials, lights, camera,
         slot_materials, tonemap_params, key,
     )
+
+
+def make_sharded_rt_frame(
+    mesh: Mesh,
+    meta,                         # ops.accel.BLASSetMeta (host-side)
+    animate=None,
+    *,
+    use_pallas: bool = False,
+):
+    """Screen-tile sharded two-level RT frame (the round-2 fast path under
+    shard_map — replaces the legacy per-frame world BVH of sharded_rt_frame).
+
+    The acceleration structure is assembled ONCE per frame outside shard_map
+    (BLAS rows persistent, TLAS refit is O(N) + one sort — replicated compute,
+    cheap vs. pixels); each device then traces only its screen tile against
+    the replicated RTScene with the SceneTracer (packet kernel on TPU when
+    ``use_pallas``, XLA lockstep elsewhere — e.g. the virtual CPU mesh).
+
+    Mirrors render/raytrace.make_rt_frame; reference: per-pixel
+    vkCmdTraceRaysKHR parallelism (RayTrace.cpp:34-95) scaled across chips.
+    """
+    from ..ops import accel as ACC
+    from ..ops.trace import trace_frame
+
+    @partial(
+        jax.jit,
+        static_argnames=(
+            "width", "height", "stack_size", "shadow_samples",
+            "reflection_samples", "ao_samples", "ao_radius", "leaf_cutout",
+            "tlas_index",
+        ),
+    )
+    def rt_frame_sharded(
+        blasset,
+        anim_rest,
+        anim_nodes,
+        instances: InstanceArrays,
+        inst_blas: jax.Array,
+        masks,                      # tuple of bool[N], one per TLAS
+        tri_attr: jax.Array,
+        materials: MaterialTable,
+        lights: Lights,
+        camera: CameraMatrices,
+        slot_materials: jax.Array,
+        tonemap_params: TonemapParams,
+        key: jax.Array,
+        time: jax.Array,
+        textures=None,
+        *,
+        width: int,
+        height: int,
+        stack_size: int,
+        shadow_samples: int,
+        reflection_samples: int,
+        ao_samples: int,
+        ao_radius: float,
+        leaf_cutout: bool,
+        tlas_index: int = 0,
+    ):
+        rows, cols = mesh.devices.shape
+        assert height % rows == 0 and width % cols == 0
+        tile_h, tile_w = height // rows, width // cols
+        ax_r, ax_c = mesh.axis_names
+
+        rt_scene, roots = ACC.assemble_scene(
+            blasset, meta, anim_rest, anim_nodes, instances, inst_blas,
+            list(masks), tri_attr, time=time, animate=animate,
+        )
+        params = RTParams(
+            shadow_samples=shadow_samples,
+            reflection_samples=reflection_samples,
+            ao_samples=ao_samples,
+            ao_radius=ao_radius,
+            leaf_cutout=leaf_cutout,
+        )
+
+        n_in = 7 if textures is not None else 6
+
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P_(),) * n_in,
+            out_specs=P_(ax_r, ax_c, None),
+            check_vma=False,     # pallas packet kernel may run inside
+        )
+        def tile(rt_scene, materials, lights, camera, slot_materials, key,
+                 *maybe_tex):
+            textures = maybe_tex[0] if maybe_tex else None
+            ri = jax.lax.axis_index(ax_r)
+            ci = jax.lax.axis_index(ax_c)
+            ctx = ACC.SceneTracer(
+                rt_scene, slot_materials, materials,
+                root_code=roots[tlas_index], stack_size=stack_size,
+                leaf_cutout=leaf_cutout, use_pallas=use_pallas,
+                textures=textures,
+            )
+            tile_key = jax.random.fold_in(key, ri * cols + ci)
+            hdr = trace_frame(
+                ctx, materials, lights, camera, tile_key,
+                width=tile_w, height=tile_h, params=params,
+                full_width=width, full_height=height,
+                origin=(ci * tile_w, ri * tile_h),
+            )
+            return tonemap(hdr, tonemap_params)
+
+        args = (rt_scene, materials, lights, camera, slot_materials, key)
+        if textures is not None:
+            args = args + (textures,)
+        return tile(*args)
+
+    return rt_frame_sharded

@@ -51,6 +51,55 @@ def test_triangle_sharded_matches_single_device():
     )
 
 
+def test_sharded_exact_kernel_matches_single_device(monkeypatch):
+    """The round-2 exact-binned Pallas raster under shard_map (interpret
+    mode on the CPU mesh) == the single-device exact kernel, bitwise-stable
+    edge tests included (full-viewport coefficients + window origin)."""
+    from paperrenderer_tpu.ops import raster_exact as RE
+
+    monkeypatch.setattr(RE, "INTERPRET", True)
+
+    scene = Scene()
+    registry = MaterialRegistry()
+    ground = Model.from_mesh(scene.arena, *make_plane(size=20.0))
+    cube = Model.from_mesh(scene.arena, *make_cube(size=1.0))
+    red = Material("red", albedo=(0.9, 0.1, 0.1), roughness=0.5)
+    # per-device window must tile the kernel's (8, 128) tiles: the 8-device
+    # CPU mesh factors (2, 4), so 512x32 gives 128x16 windows
+    w, h = 512, 32
+    rp = RenderPass(scene, registry, width=w, height=h)
+    rp.add_instance(ModelInstance(ground))
+    c = ModelInstance(cube)
+    c.set_transform(pos=(0.0, 0.0, 0.5))
+    rp.add_instance(c, {0: red.instance()})
+    cam = Camera(yfov_deg=60.0, aspect=w / h, near=0.1, far=100.0)
+    cam.look_at((0.0, -5.0, 3.0), (0.0, 0.0, 0.5), up=(0, 0, 1))
+
+    mesh = make_tile_mesh()
+    arrays = scene.flush()
+    slots, visible, table = rp._device_inputs(arrays.capacity)
+    mapping = build_static_mapping(scene)
+    tables = scene.tables()
+
+    single, aux = render_frame_static(
+        mapping, arrays, tables, table, rp.lights, cam.matrices,
+        slots, visible, rp.tonemap_params,
+        width=w, height=h, use_pallas=True,
+    )
+    sharded, required = sharded_render_frame_static(
+        mesh, mapping, arrays, tables, table, rp.lights, cam.matrices,
+        slots, visible, rp.tonemap_params,
+        width=w, height=h, use_pallas=True, return_required=True,
+    )
+    # sharded expansion + all_gather fuses differently -> last-bits deltas
+    # in clip coords; edge decisions stay identical (same coefficients)
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(single), atol=5e-4
+    )
+    # the replicated pair-demand scalar is live (overflow-growth input)
+    assert int(required) > 0
+
+
 def test_sharded_textures_match_single_device():
     """Textured materials sample identically on the sharded path (atlas
     replicated across devices)."""
