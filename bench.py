@@ -128,6 +128,19 @@ def bench_rt_full_frame():
     return dt * 1e3
 
 
+def bench_rt_crowd_10k():
+    """10k-instance traced scene (chunked-TLAS paging): primary Mrays/s at
+    1024x1024 + full-frame ms (1 hard shadow). Round-2 dropped such scenes
+    to the XLA lockstep path (~0.5 Mrays/s); the paged packet kernel keeps
+    them on the fast path (VERDICT r3 item 2)."""
+    from examples.render_crowd import build_crowd_scene
+
+    scene, registry, rt, cam = build_crowd_scene(10000, 1024, 1024)
+    dt = _time(lambda: rt.render(cam)[0], iters=3, warmup=1)
+    rays = 1024 * 1024 * 2  # primary + 1 shadow wavefront
+    return rays / dt / 1e6, dt * 1e3
+
+
 def bench_config4():
     from examples.render_hybrid import build_hybrid_scene
 
@@ -165,6 +178,13 @@ def main():
     run("config3_primary_mrays_1080p", c3)
     run("config4_hybrid_ms_1080p", lambda: round(bench_config4(), 1))
     run("rt_full_frame_ms_1080p", lambda: round(bench_rt_full_frame(), 1))
+
+    def crowd():
+        mrays, ms = bench_rt_crowd_10k()
+        metrics["rt_crowd_10k_frame_ms_1024"] = round(ms, 1)
+        return round(mrays, 2)
+
+    run("rt_crowd_10k_mrays_1024", crowd)
     run("config5_raster_ms_100k_1080p", lambda: round(bench_config5(), 1))
 
     fps = metrics.get("config1_raster_fps_512")

@@ -49,6 +49,11 @@ class RTParams:
     ao_samples: int = 1
     ao_radius: float = 2.0
     leaf_cutout: bool = False  # any-hit alpha cutout for SHADE_LEAF materials
+    # trace reflections for every other column and reconstruct by neighbor
+    # averaging — a TPU perf option (reflections are ~70% of the RT frame;
+    # secondary packets are incoherent), NOT reference parity. Off = the
+    # reference's full-rate depth-1 recursion.
+    reflection_half_rate: bool = False
 
     # static dataclass (python ints) — used as jit static argument
 
@@ -66,6 +71,26 @@ class SurfaceHits:
     t: jax.Array          # f32[R]
 
 
+def pick_tile(width: int, height: int):
+    """Ray-packet pixel tile (th * tw == kernel PACKET): the most square
+    tile that divides the image. None -> row-major order."""
+    for th, tw in ((32, 32), (16, 64), (8, 128), (4, 256)):
+        if height % th == 0 and width % tw == 0:
+            return th, tw
+    return None
+
+
+def untile_image(flat: jax.Array, width: int, height: int, tile) -> jax.Array:
+    """Invert raygen(tile_order)'s pixel order -> [H, W, ...] image.
+    Pure reshape/transpose (vectorized relayout, no per-pixel gathers)."""
+    th, tw = tile
+    nty, ntx = height // th, width // tw
+    x = flat.reshape((nty, ntx, th, tw) + flat.shape[1:])
+    return x.transpose(
+        (0, 2, 1, 3) + tuple(range(4, x.ndim))
+    ).reshape((height, width) + flat.shape[1:])
+
+
 def raygen(
     camera: CameraMatrices,
     width: int,
@@ -74,19 +99,41 @@ def raygen(
     full_width: int | None = None,
     full_height: int | None = None,
     origin=(0, 0),
+    tile_order=None,   # (th, tw) from pick_tile, or None for row-major
 ):
     """Primary camera rays, matching raytrace.rgen:16-22: NDC -> unproject ->
     world. Returns (origins f32[P,3], dirs f32[P,3]) with P = H*W, row-major
     y-down (row 0 = image top = camera up, same as the rasterizer).
 
-    ``origin``/``full_*`` generate rays for a screen-tile window (sharding)."""
+    ``origin``/``full_*`` generate rays for a screen-tile window (sharding).
+
+    ``tile_order=(th, tw)`` (see ``pick_tile``) emits rays in pixel-tile-
+    major order so each 1024-ray packet is one compact screen tile instead
+    of a full-width row strip. Dense many-instance scenes traverse the shared-stack kernels at
+    the UNION of a packet's footprint — tile packets cut that footprint
+    (measured 5.8x on a 10k-instance scene, scripts/validate_paged.py).
+    Pixel coords come from index arithmetic (iota) — no gathers, and no
+    transpose feeding the kernel (the round-2 9x layout trap). Un-tile
+    per-pixel outputs with ``untile_image``."""
     fw = full_width or width
     fh = full_height or height
     x0, y0 = origin
-    xs = (jnp.arange(width, dtype=jnp.float32) + 0.5 + x0) / fw * 2.0 - 1.0
-    ys = 1.0 - (jnp.arange(height, dtype=jnp.float32) + 0.5 + y0) / fh * 2.0
-    dx = jnp.broadcast_to(xs[None, :], (height, width)).reshape(-1)
-    dy = jnp.broadcast_to(ys[:, None], (height, width)).reshape(-1)
+    if tile_order:
+        th, tw = tile_order
+        assert width % tw == 0 and height % th == 0
+        ntx = width // tw
+        idx = jnp.arange(width * height, dtype=jnp.int32)
+        tile_id = idx // (th * tw)
+        within = idx % (th * tw)
+        yy = (tile_id // ntx) * th + within // tw
+        xx = (tile_id % ntx) * tw + within % tw
+        dx = (xx.astype(jnp.float32) + 0.5 + x0) / fw * 2.0 - 1.0
+        dy = 1.0 - (yy.astype(jnp.float32) + 0.5 + y0) / fh * 2.0
+    else:
+        xs = (jnp.arange(width, dtype=jnp.float32) + 0.5 + x0) / fw * 2.0 - 1.0
+        ys = 1.0 - (jnp.arange(height, dtype=jnp.float32) + 0.5 + y0) / fh * 2.0
+        dx = jnp.broadcast_to(xs[None, :], (height, width)).reshape(-1)
+        dy = jnp.broadcast_to(ys[:, None], (height, width)).reshape(-1)
 
     inv_proj = jnp.linalg.inv(camera.projection)
     ndc = jnp.stack([dx, dy, jnp.ones_like(dx), jnp.ones_like(dx)], axis=-1)
@@ -432,6 +479,41 @@ def reflections(
     return refl * influence * tint
 
 
+def reflections_half_rate(
+    surf: SurfaceHits,
+    ctx,
+    materials: MaterialTable,
+    lights: Lights,
+    cam_pos: jax.Array,
+    key: jax.Array,
+    params: RTParams,
+    **_unused,
+) -> jax.Array:
+    """Reflections traced for every other PIXEL (flat stride 2 = x-parity in
+    both row-major and tile order), reconstructed by averaging the two traced
+    horizontal neighbors. Strided slices only — no gathers — and it halves
+    every reflection-side cost: the bounce trace AND its secondary shadow/AO
+    wavefronts. Reflections are low-frequency away from silhouette edges, so
+    the 1-px reconstruction error sits below the cosine-cone noise the
+    reference's own glossy sampling already carries (rchit:124-167)."""
+    r = surf.world_pos.shape[0]
+    assert r % 2 == 0, "half-rate reflections need an even ray count"
+
+    def half(x):
+        return x[0::2]
+
+    surf_h = SurfaceHits(
+        world_pos=half(surf.world_pos), normal=half(surf.normal),
+        uv=half(surf.uv), material=half(surf.material),
+        valid=half(surf.valid), t=half(surf.t),
+    )
+    refl_h = reflections(
+        surf_h, ctx, materials, lights, cam_pos, key, params)
+    right = jnp.concatenate([refl_h[1:], refl_h[-1:]], axis=0)
+    odd = 0.5 * (refl_h + right)
+    return jnp.stack([refl_h, odd], axis=1).reshape(r, 3)
+
+
 def trace_frame(
     ctx,
     materials: MaterialTable,
@@ -450,9 +532,15 @@ def trace_frame(
     rgen/rchit/rmiss pipeline as one wavefront graph). ``ctx`` is a tracer
     context (BatchTracer or accel.SceneTracer). ``origin``/``full_*`` trace a
     screen-tile window for multi-chip sharding."""
+    # tile-order packets: every downstream wavefront (shadows, AO,
+    # reflections) is per-ray elementwise, so only the final image needs
+    # un-tiling. (Half-rate reflections use flat stride 2 = x-parity in
+    # either order.)
+    tiled = pick_tile(width, height)
     o, d = raygen(
         camera, width, height,
         full_width=full_width, full_height=full_height, origin=origin,
+        tile_order=tiled,
     )
     r = o.shape[0]
     surf = ctx.trace_resolve(o, d, jnp.full((r,), 1000.0),
@@ -464,9 +552,18 @@ def trace_frame(
     )
     color = shade_surfaces(surf, materials, lights, camera.cam_pos, svis, ao,
                            getattr(ctx, "textures", None))
-    color = color + reflections(
-        surf, ctx, materials, lights, camera.cam_pos,
-        jax.random.fold_in(key, 7), params,
-    )
+    if params.reflection_half_rate and width % 2 == 0:
+        refl = reflections_half_rate(
+            surf, ctx, materials, lights, camera.cam_pos,
+            jax.random.fold_in(key, 7), params, width=width, height=height,
+        )
+    else:
+        refl = reflections(
+            surf, ctx, materials, lights, camera.cam_pos,
+            jax.random.fold_in(key, 7), params,
+        )
+    color = color + refl
     color = jnp.where(surf.valid[:, None], color, BACKGROUND)
+    if tiled:
+        return untile_image(color, width, height, tiled)
     return color.reshape(height, width, 3)

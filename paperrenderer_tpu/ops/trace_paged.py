@@ -1,0 +1,801 @@
+"""Paged packet traversal: chunked TLAS streamed HBM->SMEM in-kernel.
+
+The resident packet kernels (ops/trace_kernel.py) keep the whole scene in
+SMEM, capping traced scenes at ~700 KiB (~3k instances). These variants keep
+only the BLAS rows + the root BVH over chunk AABBs resident; the TLAS lives
+in HBM as CHUNK-instance blocks (ops/accel.assemble_scene_paged) that the
+kernel DMAs into SMEM scratch when traversal pops a TYPE_CHUNK code.
+
+Correctness rests on the stack's LIFO nesting: everything pushed after a
+chunk pop (its interior boxes, instance rows, and the BLAS subtrees they
+open) is popped before anything pushed before it, so ONE scratch block
+suffices — the chunk block stays valid for exactly its subtree, the same
+invariant the instance->object-space switch already relies on.
+
+DMA cost: ~28 KiB per chunk VISIT at ~0.1-0.3 us chained (v5e, measured in
+scripts/probe_smem_dma2.py); a packet visits a handful of chunks, so paging
+costs microseconds per packet against the ~100 Mrays/s budget.
+
+Replaces: the reference's arbitrarily-sized driver TLAS
+(src/PaperRenderer/AccelerationStructure.cpp:479-616) — scenes become
+HBM-bound, not SMEM-bound, matching its scaling envelope on TPU terms.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .accel import (
+    _PAYLOAD_MASK_P, _POS, _TYPE_SHIFT, _UV, BROWS, CHUNK, K, LOCAL_FLAG,
+    TYPE_BOX, TYPE_CHUNK, TYPE_INST, TYPE_LEAF,
+    HitRecord2, PagedScene, smat_block,
+)
+
+PACKET = 1024
+_STACK = 128
+_SHADE_LEAF = 1
+_BF = BROWS * 12            # f32 per chunk box block (6144)
+_CI = BROWS * 2             # i32 per chunk code block (1024)
+_LOCAL_ROOT = (TYPE_BOX << _TYPE_SHIFT) | LOCAL_FLAG  # chunk-local row 0
+
+# SMEM budget for the RESIDENT part (BLAS/root nodes + leaves); the TLAS no
+# longer counts against it. Leaves room for the ~40 KiB of chunk scratch.
+_SMEM_BUDGET = 620 * 1024
+
+# test hook: run in the Pallas interpreter (CPU tests)
+INTERPRET = False
+
+
+def paged_traversal_ok(scene: PagedScene, n_rays: int) -> bool:
+    ns = scene.static_nodes.shape[0]
+    nl = scene.leaf_rows.shape[0]
+    resident = ns * 12 * 4 + ns * 2 * 4 + nl * 72 * 4 + nl * K * 4
+    return (
+        jax.default_backend() == "tpu"
+        and resident <= _SMEM_BUDGET
+        and n_rays >= PACKET
+    )
+
+
+def paged_resolve_ok(scene: PagedScene, n_rays: int) -> bool:
+    ns = scene.static_nodes.shape[0]
+    nl = scene.leaf_rows.shape[0]
+    resident = (ns * 12 * 4 + ns * 2 * 4 + nl * 72 * 4 + nl * K * 4
+                + nl * (48 + 72) * 4)
+    return (
+        jax.default_backend() == "tpu"
+        and resident <= _SMEM_BUDGET
+        and n_rays >= PACKET
+    )
+
+
+def _split_static(scene: PagedScene):
+    sb = scene.static_nodes.reshape(-1)
+    sc = scene.static_codes.reshape(-1)
+    lpos = scene.leaf_rows[:, _POS:_UV].reshape(-1)
+    lprim = scene.leaf_prim.reshape(-1)
+    return sb, sc, lpos, lprim
+
+
+def _make_kernel_paged(root_code: int, max_steps: int, any_hit: bool):
+    """Paged closest/any-hit packet kernel (mirror of trace_kernel._make_kernel
+    with the chunk-DMA branch and dual-space row loads)."""
+    S = _STACK
+
+    def kernel(sb_ref, sc_ref, lpos_ref, lprim_ref,
+               cbox_hbm, ccode_hbm,
+               o_ref, d_ref, tmax_ref,
+               t_out, prim_out, inst_out, u_out, v_out,
+               obj_ref, best_ref, flag_ref, cb, cc, sems):
+        wox, woy, woz = o_ref[0, 0], o_ref[0, 1], o_ref[0, 2]
+        wdx, wdy, wdz = d_ref[0, 0], d_ref[0, 1], d_ref[0, 2]
+
+        def safe_inv(x):
+            return 1.0 / jnp.where(jnp.abs(x) < 1e-12, 1e-12, x)
+
+        wix, wiy, wiz = safe_inv(wdx), safe_inv(wdy), safe_inv(wdz)
+
+        neg1 = pltpu.bitcast(jnp.full((8, 128), -1, jnp.int32), jnp.float32)
+        best_ref[0] = tmax_ref[0, 0]
+        best_ref[1] = neg1
+        best_ref[2] = neg1
+        best_ref[3] = jnp.zeros((8, 128), jnp.float32)
+        best_ref[4] = jnp.zeros((8, 128), jnp.float32)
+        for i, v in enumerate((wox, woy, woz, wdx, wdy, wdz, wix, wiy, wiz)):
+            obj_ref[i] = v
+        flag_ref[3] = jnp.int32(0)    # cur_inst
+        flag_ref[4] = jnp.int32(0)    # all-hit (any_hit early exit)
+
+        ns = sb_ref.shape[0] // 12
+        scols = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+        stack0 = jnp.where(scols == 0, jnp.int32(root_code), 0)
+
+        def cond(st):
+            step, sp, stack, done = st
+            return (sp > 0) & (step < max_steps) & (done == 0)
+
+        def body(st):
+            step, sp, stack, done = st
+            sp = sp - 1
+            code = jnp.sum(jnp.where(scols == sp, stack, 0))
+            typ = (code >> _TYPE_SHIFT) & 3
+            local = ((code >> 27) & 1) == 1
+            payload = code & _PAYLOAD_MASK_P
+            obj = ((code >> 30) & 1) == 1
+            is_box = typ == TYPE_BOX
+            is_leaf = typ == TYPE_LEAF
+            is_inst = typ == TYPE_INST
+            is_chunk = typ == TYPE_CHUNK
+
+            gp = jnp.clip(payload, 0, ns - 1)
+            lp = jnp.clip(payload, 0, BROWS - 1)
+            c0 = jnp.where(local, cc[lp * 2], sc_ref[gp * 2])
+            c1 = jnp.where(local, cc[lp * 2 + 1], sc_ref[gp * 2 + 1])
+
+            @pl.when(is_chunk)
+            def _chunk():
+                cpay = jnp.clip(payload, 0,
+                                cbox_hbm.shape[0] // _BF - 1)
+                d0 = pltpu.make_async_copy(
+                    cbox_hbm.at[pl.ds(cpay * _BF, _BF)], cb, sems.at[0])
+                d1 = pltpu.make_async_copy(
+                    ccode_hbm.at[pl.ds(cpay * _CI, _CI)], cc, sems.at[1])
+                d0.start()
+                d1.start()
+                d0.wait()
+                d1.wait()
+
+            @pl.when(is_box)
+            def _box():
+                best_t = best_ref[0]
+                obj_f = jnp.where(obj, 1.0, 0.0)
+                px = obj_f * obj_ref[0] + (1.0 - obj_f) * wox
+                py = obj_f * obj_ref[1] + (1.0 - obj_f) * woy
+                pz = obj_f * obj_ref[2] + (1.0 - obj_f) * woz
+                ix = obj_f * obj_ref[6] + (1.0 - obj_f) * wix
+                iy = obj_f * obj_ref[7] + (1.0 - obj_f) * wiy
+                iz = obj_f * obj_ref[8] + (1.0 - obj_f) * wiz
+
+                gb = gp * 12
+                lb = lp * 12
+                loc = local
+
+                def ld(o):
+                    return jnp.where(loc, cb[lb + o], sb_ref[gb + o])
+
+                def slab(o6):
+                    lx, ly, lz = ld(o6), ld(o6 + 1), ld(o6 + 2)
+                    hx, hy, hz = ld(o6 + 3), ld(o6 + 4), ld(o6 + 5)
+                    tx0 = (lx - px) * ix
+                    tx1 = (hx - px) * ix
+                    ty0 = (ly - py) * iy
+                    ty1 = (hy - py) * iy
+                    tz0 = (lz - pz) * iz
+                    tz1 = (hz - pz) * iz
+                    tn = jnp.maximum(
+                        jnp.maximum(jnp.minimum(tx0, tx1),
+                                    jnp.minimum(ty0, ty1)),
+                        jnp.minimum(tz0, tz1))
+                    tf = jnp.minimum(
+                        jnp.minimum(jnp.maximum(tx0, tx1),
+                                    jnp.maximum(ty0, ty1)),
+                        jnp.maximum(tz0, tz1))
+                    hit = ((tf >= jnp.maximum(tn, 0.0)) & (tn <= best_t)
+                           & (lx <= hx))
+                    return hit, tn
+
+                h0, tn0 = slab(0)
+                h1, tn1 = slab(6)
+                inf = jnp.float32(3e38)
+                t0m = jnp.min(jnp.where(h0, tn0, inf))
+                t1m = jnp.min(jnp.where(h1, tn1, inf))
+                flag_ref[0] = jnp.any(h0).astype(jnp.int32)
+                flag_ref[1] = jnp.any(h1).astype(jnp.int32)
+                flag_ref[2] = (t0m <= t1m).astype(jnp.int32)
+
+            @pl.when(is_inst)
+            def _inst():
+                # instance rows live ONLY in chunk blocks (always local)
+                b = lp * 12
+                m = [cb[b + k] for k in range(12)]
+                oox = m[0] * wox + m[1] * woy + m[2] * woz + m[3]
+                ooy = m[4] * wox + m[5] * woy + m[6] * woz + m[7]
+                ooz = m[8] * wox + m[9] * woy + m[10] * woz + m[11]
+                odx = m[0] * wdx + m[1] * wdy + m[2] * wdz
+                ody = m[4] * wdx + m[5] * wdy + m[6] * wdz
+                odz = m[8] * wdx + m[9] * wdy + m[10] * wdz
+                obj_ref[0] = oox
+                obj_ref[1] = ooy
+                obj_ref[2] = ooz
+                obj_ref[3] = odx
+                obj_ref[4] = ody
+                obj_ref[5] = odz
+                obj_ref[6] = safe_inv(odx)
+                obj_ref[7] = safe_inv(ody)
+                obj_ref[8] = safe_inv(odz)
+                flag_ref[3] = c1    # global instance slot id
+
+            @pl.when(is_leaf)
+            def _leaf():
+                b = payload * 72
+                pb = payload * K
+                oox, ooy, ooz = obj_ref[0], obj_ref[1], obj_ref[2]
+                odx, ody, odz = obj_ref[3], obj_ref[4], obj_ref[5]
+                best_t = best_ref[0]
+                best_prim = pltpu.bitcast(best_ref[1], jnp.int32)
+                best_u = best_ref[3]
+                best_v = best_ref[4]
+                best_inst = pltpu.bitcast(best_ref[2], jnp.int32)
+                cur_inst = flag_ref[3]
+                for k in range(K):
+                    tb = b + k * 9
+                    ax, ay, az = (lpos_ref[tb], lpos_ref[tb + 1],
+                                  lpos_ref[tb + 2])
+                    bx, by, bz = (lpos_ref[tb + 3], lpos_ref[tb + 4],
+                                  lpos_ref[tb + 5])
+                    cx, cy, cz = (lpos_ref[tb + 6], lpos_ref[tb + 7],
+                                  lpos_ref[tb + 8])
+                    ptag = lprim_ref[pb + k]
+                    e1x, e1y, e1z = bx - ax, by - ay, bz - az
+                    e2x, e2y, e2z = cx - ax, cy - ay, cz - az
+                    px_ = ody * e2z - odz * e2y
+                    py_ = odz * e2x - odx * e2z
+                    pz_ = odx * e2y - ody * e2x
+                    det = e1x * px_ + e1y * py_ + e1z * pz_
+                    ok = jnp.abs(det) > 1e-12
+                    inv = 1.0 / jnp.where(ok, det, 1.0)
+                    sx, sy, sz = oox - ax, ooy - ay, ooz - az
+                    u = (sx * px_ + sy * py_ + sz * pz_) * inv
+                    qx = sy * e1z - sz * e1y
+                    qy = sz * e1x - sx * e1z
+                    qz = sx * e1y - sy * e1x
+                    v = (odx * qx + ody * qy + odz * qz) * inv
+                    t = (e2x * qx + e2y * qy + e2z * qz) * inv
+                    hit = (
+                        ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                        & (t > 1e-3) & (t < best_t) & (ptag >= 0)
+                    )
+                    best_prim = jnp.where(hit, ptag & 0x00FFFFFF, best_prim)
+                    best_inst = jnp.where(hit, cur_inst, best_inst)
+                    best_u = jnp.where(hit, u, best_u)
+                    best_v = jnp.where(hit, v, best_v)
+                    best_t = jnp.where(hit, t, best_t)
+                best_ref[0] = best_t
+                best_ref[1] = pltpu.bitcast(best_prim, jnp.float32)
+                best_ref[2] = pltpu.bitcast(best_inst, jnp.float32)
+                best_ref[3] = best_u
+                best_ref[4] = best_v
+                if any_hit:
+                    flag_ref[4] = jnp.all(best_prim >= 0).astype(jnp.int32)
+
+            box_i = is_box.astype(jnp.int32)
+            any0 = flag_ref[0] * box_i
+            any1 = flag_ref[1] * box_i
+            first0 = flag_ref[2]
+            near_c = jnp.where(first0 == 1, c0, c1)
+            far_c = jnp.where(first0 == 1, c1, c0)
+            near_ok = jnp.where(first0 == 1, any0, any1)
+            far_ok = jnp.where(first0 == 1, any1, any0)
+            # instance pushes its BLAS root (c0); chunk pushes the chunk-
+            # local root; box pushes far then near
+            p1 = jnp.where(is_inst | is_chunk, 1, far_ok)
+            p1_val = jnp.where(is_chunk, jnp.int32(_LOCAL_ROOT),
+                               jnp.where(is_inst, c0, far_c))
+            stack = jnp.where((scols == sp) & (p1 == 1), p1_val, stack)
+            sp = sp + p1
+            stack = jnp.where((scols == sp) & (near_ok == 1), near_c, stack)
+            sp = sp + near_ok
+            done = flag_ref[4] if any_hit else jnp.int32(0)
+            return step + 1, sp, stack, done
+
+        jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.int32(1), stack0, jnp.int32(0)))
+
+        best_t = best_ref[0]
+        best_prim = pltpu.bitcast(best_ref[1], jnp.int32)
+        best_inst = pltpu.bitcast(best_ref[2], jnp.int32)
+        miss = best_prim < 0
+        t_out[0] = jnp.where(miss, jnp.float32(jnp.inf), best_t)
+        prim_out[0] = best_prim
+        inst_out[0] = jnp.where(miss, -1, best_inst)
+        u_out[0] = best_ref[3]
+        v_out[0] = best_ref[4]
+
+    return kernel
+
+
+def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
+                               alpha_test: bool = False, n_mats: int = 1):
+    """Paged fused trace+resolve kernel (mirror of
+    trace_kernel._make_resolve_kernel). Hit attributes interpolate at hit
+    time from SMEM leaf tables; the material id comes from the CURRENT
+    CHUNK's slot table (DMA'd with the block), so slot_materials never
+    needs global SMEM residency."""
+    S = _STACK
+    sblk = smat_block(n_slots)
+
+    def kernel(sb_ref, sc_ref, lpos_ref, lprim_ref, luv_ref, lnrm_ref,
+               cbox_hbm, ccode_hbm, csmat_hbm, *rest):
+        if alpha_test:
+            smodel_ref = rest[0]
+            rest = rest[1:]
+        (o_ref, d_ref, tmax_ref,
+         t_out, prim_out, inst_out, uvx_out, uvy_out,
+         nx_out, ny_out, nz_out, mat_out,
+         obj_ref, best_ref, flag_ref, minv_ref, cb, cc, cs, sems) = rest
+        wox, woy, woz = o_ref[0, 0], o_ref[0, 1], o_ref[0, 2]
+        wdx, wdy, wdz = d_ref[0, 0], d_ref[0, 1], d_ref[0, 2]
+
+        def safe_inv(x):
+            return 1.0 / jnp.where(jnp.abs(x) < 1e-12, 1e-12, x)
+
+        wix, wiy, wiz = safe_inv(wdx), safe_inv(wdy), safe_inv(wdz)
+
+        neg1 = pltpu.bitcast(jnp.full((8, 128), -1, jnp.int32), jnp.float32)
+        best_ref[0] = tmax_ref[0, 0]
+        best_ref[1] = neg1
+        best_ref[2] = neg1
+        for i in range(3, 8):
+            best_ref[i] = jnp.zeros((8, 128), jnp.float32)
+        best_ref[8] = pltpu.bitcast(
+            jnp.zeros((8, 128), jnp.int32), jnp.float32)
+        for i, v in enumerate((wox, woy, woz, wdx, wdy, wdz, wix, wiy, wiz)):
+            obj_ref[i] = v
+        flag_ref[3] = jnp.int32(0)    # cur_inst (global slot)
+        flag_ref[5] = jnp.int32(0)    # cur chunk-local instance k
+        for i in range(12):
+            minv_ref[i] = jnp.float32(1.0 if i in (0, 5, 10) else 0.0)
+
+        ns = sb_ref.shape[0] // 12
+        scols = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+        stack0 = jnp.where(scols == 0, jnp.int32(root_code), 0)
+
+        def cond(st):
+            step, sp, stack = st
+            return (sp > 0) & (step < max_steps)
+
+        def body(st):
+            step, sp, stack = st
+            sp = sp - 1
+            code = jnp.sum(jnp.where(scols == sp, stack, 0))
+            typ = (code >> _TYPE_SHIFT) & 3
+            local = ((code >> 27) & 1) == 1
+            payload = code & _PAYLOAD_MASK_P
+            obj = ((code >> 30) & 1) == 1
+            is_box = typ == TYPE_BOX
+            is_leaf = typ == TYPE_LEAF
+            is_inst = typ == TYPE_INST
+            is_chunk = typ == TYPE_CHUNK
+
+            gp = jnp.clip(payload, 0, ns - 1)
+            lp = jnp.clip(payload, 0, BROWS - 1)
+            c0 = jnp.where(local, cc[lp * 2], sc_ref[gp * 2])
+            c1 = jnp.where(local, cc[lp * 2 + 1], sc_ref[gp * 2 + 1])
+
+            @pl.when(is_chunk)
+            def _chunk():
+                cpay = jnp.clip(payload, 0, cbox_hbm.shape[0] // _BF - 1)
+                d0 = pltpu.make_async_copy(
+                    cbox_hbm.at[pl.ds(cpay * _BF, _BF)], cb, sems.at[0])
+                d1 = pltpu.make_async_copy(
+                    ccode_hbm.at[pl.ds(cpay * _CI, _CI)], cc, sems.at[1])
+                d2 = pltpu.make_async_copy(
+                    csmat_hbm.at[pl.ds(cpay * sblk, sblk)], cs, sems.at[2])
+                d0.start()
+                d1.start()
+                d2.start()
+                d0.wait()
+                d1.wait()
+                d2.wait()
+
+            @pl.when(is_box)
+            def _box():
+                best_t = best_ref[0]
+                obj_f = jnp.where(obj, 1.0, 0.0)
+                px = obj_f * obj_ref[0] + (1.0 - obj_f) * wox
+                py = obj_f * obj_ref[1] + (1.0 - obj_f) * woy
+                pz = obj_f * obj_ref[2] + (1.0 - obj_f) * woz
+                ix = obj_f * obj_ref[6] + (1.0 - obj_f) * wix
+                iy = obj_f * obj_ref[7] + (1.0 - obj_f) * wiy
+                iz = obj_f * obj_ref[8] + (1.0 - obj_f) * wiz
+
+                gb = gp * 12
+                lb = lp * 12
+                loc = local
+
+                def ld(o):
+                    return jnp.where(loc, cb[lb + o], sb_ref[gb + o])
+
+                def slab(o6):
+                    lx, ly, lz = ld(o6), ld(o6 + 1), ld(o6 + 2)
+                    hx, hy, hz = ld(o6 + 3), ld(o6 + 4), ld(o6 + 5)
+                    tx0 = (lx - px) * ix
+                    tx1 = (hx - px) * ix
+                    ty0 = (ly - py) * iy
+                    ty1 = (hy - py) * iy
+                    tz0 = (lz - pz) * iz
+                    tz1 = (hz - pz) * iz
+                    tn = jnp.maximum(
+                        jnp.maximum(jnp.minimum(tx0, tx1),
+                                    jnp.minimum(ty0, ty1)),
+                        jnp.minimum(tz0, tz1))
+                    tf = jnp.minimum(
+                        jnp.minimum(jnp.maximum(tx0, tx1),
+                                    jnp.maximum(ty0, ty1)),
+                        jnp.maximum(tz0, tz1))
+                    hit = ((tf >= jnp.maximum(tn, 0.0)) & (tn <= best_t)
+                           & (lx <= hx))
+                    return hit, tn
+
+                h0, tn0 = slab(0)
+                h1, tn1 = slab(6)
+                inf = jnp.float32(3e38)
+                t0m = jnp.min(jnp.where(h0, tn0, inf))
+                t1m = jnp.min(jnp.where(h1, tn1, inf))
+                flag_ref[0] = jnp.any(h0).astype(jnp.int32)
+                flag_ref[1] = jnp.any(h1).astype(jnp.int32)
+                flag_ref[2] = (t0m <= t1m).astype(jnp.int32)
+
+            @pl.when(is_inst)
+            def _inst():
+                b = lp * 12
+                m = [cb[b + k] for k in range(12)]
+                oox = m[0] * wox + m[1] * woy + m[2] * woz + m[3]
+                ooy = m[4] * wox + m[5] * woy + m[6] * woz + m[7]
+                ooz = m[8] * wox + m[9] * woy + m[10] * woz + m[11]
+                odx = m[0] * wdx + m[1] * wdy + m[2] * wdz
+                ody = m[4] * wdx + m[5] * wdy + m[6] * wdz
+                odz = m[8] * wdx + m[9] * wdy + m[10] * wdz
+                obj_ref[0] = oox
+                obj_ref[1] = ooy
+                obj_ref[2] = ooz
+                obj_ref[3] = odx
+                obj_ref[4] = ody
+                obj_ref[5] = odz
+                obj_ref[6] = safe_inv(odx)
+                obj_ref[7] = safe_inv(ody)
+                obj_ref[8] = safe_inv(odz)
+                flag_ref[3] = c1
+                flag_ref[5] = lp - (CHUNK - 1)
+                for k in range(12):
+                    minv_ref[k] = m[k]
+
+            @pl.when(is_leaf)
+            def _leaf():
+                b = payload * 72
+                ub = payload * 48
+                nb = payload * 72
+                pb = payload * K
+                oox, ooy, ooz = obj_ref[0], obj_ref[1], obj_ref[2]
+                odx, ody, odz = obj_ref[3], obj_ref[4], obj_ref[5]
+                best_t = best_ref[0]
+                best_prim = pltpu.bitcast(best_ref[1], jnp.int32)
+                best_inst = pltpu.bitcast(best_ref[2], jnp.int32)
+                best_uvx = best_ref[3]
+                best_uvy = best_ref[4]
+                best_nx = best_ref[5]
+                best_ny = best_ref[6]
+                best_nz = best_ref[7]
+                best_mat = pltpu.bitcast(best_ref[8], jnp.int32)
+                cur_inst = flag_ref[3]
+                cur_li = flag_ref[5]
+                m = [minv_ref[k] for k in range(12)]
+                for k in range(K):
+                    tb = b + k * 9
+                    ax, ay, az = (lpos_ref[tb], lpos_ref[tb + 1],
+                                  lpos_ref[tb + 2])
+                    bx, by, bz = (lpos_ref[tb + 3], lpos_ref[tb + 4],
+                                  lpos_ref[tb + 5])
+                    cx, cy, cz = (lpos_ref[tb + 6], lpos_ref[tb + 7],
+                                  lpos_ref[tb + 8])
+                    ptag = lprim_ref[pb + k]
+                    e1x, e1y, e1z = bx - ax, by - ay, bz - az
+                    e2x, e2y, e2z = cx - ax, cy - ay, cz - az
+                    px_ = ody * e2z - odz * e2y
+                    py_ = odz * e2x - odx * e2z
+                    pz_ = odx * e2y - ody * e2x
+                    det = e1x * px_ + e1y * py_ + e1z * pz_
+                    ok = jnp.abs(det) > 1e-12
+                    inv = 1.0 / jnp.where(ok, det, 1.0)
+                    sx, sy, sz = oox - ax, ooy - ay, ooz - az
+                    u = (sx * px_ + sy * py_ + sz * pz_) * inv
+                    qx = sy * e1z - sz * e1y
+                    qy = sz * e1x - sx * e1z
+                    qz = sx * e1y - sy * e1x
+                    v = (odx * qx + ody * qy + odz * qz) * inv
+                    t = (e2x * qx + e2y * qy + e2z * qz) * inv
+                    hit = (
+                        ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                        & (t > 1e-3) & (t < best_t) & (ptag >= 0)
+                    )
+                    w0 = 1.0 - u - v
+                    kb = ub + k * 6
+                    uvx = (w0 * luv_ref[kb] + u * luv_ref[kb + 2]
+                           + v * luv_ref[kb + 4])
+                    uvy = (w0 * luv_ref[kb + 1] + u * luv_ref[kb + 3]
+                           + v * luv_ref[kb + 5])
+                    kn = nb + k * 9
+                    n0x, n0y, n0z = (lnrm_ref[kn], lnrm_ref[kn + 1],
+                                     lnrm_ref[kn + 2])
+                    n1x, n1y, n1z = (lnrm_ref[kn + 3], lnrm_ref[kn + 4],
+                                     lnrm_ref[kn + 5])
+                    n2x, n2y, n2z = (lnrm_ref[kn + 6], lnrm_ref[kn + 7],
+                                     lnrm_ref[kn + 8])
+                    nox = w0 * n0x + u * n1x + v * n2x
+                    noy = w0 * n0y + u * n1y + v * n2y
+                    noz = w0 * n0z + u * n1z + v * n2z
+                    nwx = m[0] * nox + m[4] * noy + m[8] * noz
+                    nwy = m[1] * nox + m[5] * noy + m[9] * noz
+                    nwz = m[2] * nox + m[6] * noy + m[10] * noz
+                    slot_k = jnp.maximum(ptag, 0) >> 24
+                    midx = (jnp.clip(cur_li, 0, CHUNK - 1) * n_slots
+                            + jnp.clip(slot_k, 0, n_slots - 1))
+                    mat_k = cs[midx]
+                    if alpha_test:
+                        is_leaf_m = (
+                            smodel_ref[jnp.clip(mat_k, 0, n_mats - 1)]
+                            == _SHADE_LEAF)
+                        curve = (1.0 - (1.0 - 2.0 * uvx) ** 2) * 0.2
+                        leaf_ok = jnp.abs(uvy - 0.5) < curve
+                        hit = hit & (jnp.logical_not(is_leaf_m) | leaf_ok)
+                    best_prim = jnp.where(hit, ptag & 0x00FFFFFF, best_prim)
+                    best_inst = jnp.where(hit, cur_inst, best_inst)
+                    best_uvx = jnp.where(hit, uvx, best_uvx)
+                    best_uvy = jnp.where(hit, uvy, best_uvy)
+                    best_nx = jnp.where(hit, nwx, best_nx)
+                    best_ny = jnp.where(hit, nwy, best_ny)
+                    best_nz = jnp.where(hit, nwz, best_nz)
+                    best_mat = jnp.where(hit, mat_k, best_mat)
+                    best_t = jnp.where(hit, t, best_t)
+                best_ref[0] = best_t
+                best_ref[1] = pltpu.bitcast(best_prim, jnp.float32)
+                best_ref[2] = pltpu.bitcast(best_inst, jnp.float32)
+                best_ref[3] = best_uvx
+                best_ref[4] = best_uvy
+                best_ref[5] = best_nx
+                best_ref[6] = best_ny
+                best_ref[7] = best_nz
+                best_ref[8] = pltpu.bitcast(best_mat, jnp.float32)
+
+            box_i = is_box.astype(jnp.int32)
+            any0 = flag_ref[0] * box_i
+            any1 = flag_ref[1] * box_i
+            first0 = flag_ref[2]
+            near_c = jnp.where(first0 == 1, c0, c1)
+            far_c = jnp.where(first0 == 1, c1, c0)
+            near_ok = jnp.where(first0 == 1, any0, any1)
+            far_ok = jnp.where(first0 == 1, any1, any0)
+            p1 = jnp.where(is_inst | is_chunk, 1, far_ok)
+            p1_val = jnp.where(is_chunk, jnp.int32(_LOCAL_ROOT),
+                               jnp.where(is_inst, c0, far_c))
+            stack = jnp.where((scols == sp) & (p1 == 1), p1_val, stack)
+            sp = sp + p1
+            stack = jnp.where((scols == sp) & (near_ok == 1), near_c, stack)
+            sp = sp + near_ok
+            return step + 1, sp, stack
+
+        jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(1), stack0))
+
+        best_t = best_ref[0]
+        best_prim = pltpu.bitcast(best_ref[1], jnp.int32)
+        best_inst = pltpu.bitcast(best_ref[2], jnp.int32)
+        miss = best_prim < 0
+        t_out[0] = jnp.where(miss, jnp.float32(jnp.inf), best_t)
+        prim_out[0] = best_prim
+        inst_out[0] = jnp.where(miss, -1, best_inst)
+        uvx_out[0] = best_ref[3]
+        uvy_out[0] = best_ref[4]
+        nx_out[0] = best_ref[5]
+        ny_out[0] = best_ref[6]
+        nz_out[0] = best_ref[7]
+        mat_out[0] = jnp.where(miss, 0, pltpu.bitcast(best_ref[8], jnp.int32))
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=("root_code", "stack_size", "max_steps", "n_slots"),
+)
+def trace_resolve_scene_pallas_paged(
+    scene: PagedScene,
+    ray_o: jax.Array,
+    ray_d: jax.Array,
+    t_max: jax.Array,
+    *,
+    root_code: int,
+    stack_size: int,
+    max_steps: int,
+    n_slots: int = 1,
+    active: Optional[jax.Array] = None,
+    shading_model: Optional[jax.Array] = None,
+):
+    """Paged fused closest-hit + attribute resolve (mirror of
+    trace_resolve_scene_pallas). ``n_slots`` must match the slot_materials
+    width the scene was assembled with (chunk smat block layout)."""
+    r = ray_o.shape[0]
+    r_pad = -(-r // PACKET) * PACKET
+    t_cap = jnp.asarray(t_max, jnp.float32) + ray_o[:, 0] * 0.0
+    if active is not None:
+        t_cap = jnp.where(active, t_cap, -1.0)
+    g = r_pad // PACKET
+
+    def to_planes(x3, fill):
+        cols = []
+        for k in range(3):
+            c = jnp.pad(x3[:, k], (0, r_pad - r), constant_values=fill)
+            cols.append(c.reshape(g, 8, 128))
+        return jnp.stack(cols, axis=1)
+
+    o_pk = to_planes(ray_o, 0.0)
+    d_pk = to_planes(ray_d, 1.0)
+    t_pk = jnp.pad(t_cap, (0, r_pad - r), constant_values=-1.0).reshape(
+        g, 1, 8, 128)
+
+    sb, sc, lpos, lprim = _split_static(scene)
+    luv = scene.leaf_rows[:, _UV:].reshape(-1)
+    lnrm = scene.leaf_nrm.reshape(-1)
+    assert stack_size <= _STACK, "scene too deep for the packet kernel"
+
+    alpha_test = shading_model is not None
+    n_mats = shading_model.shape[0] if alpha_test else 1
+    kernel = _make_resolve_kernel_paged(
+        root_code, max_steps, n_slots, alpha_test=alpha_test, n_mats=n_mats)
+
+    smem = lambda n: pl.BlockSpec(
+        (n,), lambda i: (0,), memory_space=pltpu.SMEM)
+    anyspace = pl.BlockSpec(memory_space=pl.ANY)
+    plane3 = pl.BlockSpec((1, 3, 8, 128), lambda i: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    plane1 = pl.BlockSpec((1, 1, 8, 128), lambda i: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    f32 = jnp.float32
+    model_specs = [smem(n_mats)] if alpha_test else []
+    model_args = (
+        [shading_model.astype(jnp.int32).reshape(-1)] if alpha_test else [])
+    outs = pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[
+            smem(sb.shape[0]), smem(sc.shape[0]),
+            smem(lpos.shape[0]), smem(lprim.shape[0]),
+            smem(luv.shape[0]), smem(lnrm.shape[0]),
+            anyspace, anyspace, anyspace,
+        ] + model_specs + [
+            plane3, plane3, plane1,
+        ],
+        out_specs=[out_spec] * 9,
+        out_shape=[
+            jax.ShapeDtypeStruct((g, 8, 128), f32),        # t
+            jax.ShapeDtypeStruct((g, 8, 128), jnp.int32),  # prim
+            jax.ShapeDtypeStruct((g, 8, 128), jnp.int32),  # inst
+            jax.ShapeDtypeStruct((g, 8, 128), f32),        # uvx
+            jax.ShapeDtypeStruct((g, 8, 128), f32),        # uvy
+            jax.ShapeDtypeStruct((g, 8, 128), f32),        # nx
+            jax.ShapeDtypeStruct((g, 8, 128), f32),        # ny
+            jax.ShapeDtypeStruct((g, 8, 128), f32),        # nz
+            jax.ShapeDtypeStruct((g, 8, 128), jnp.int32),  # mat
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((9, 8, 128), jnp.float32),   # object-space ray planes
+            pltpu.VMEM((9, 8, 128), jnp.float32),   # best planes
+            pltpu.SMEM((8,), jnp.int32),            # cross-branch scalars
+            pltpu.SMEM((12,), jnp.float32),         # current instance inverse
+            pltpu.SMEM((_BF,), jnp.float32),        # chunk box scratch
+            pltpu.SMEM((_CI,), jnp.int32),          # chunk code scratch
+            pltpu.SMEM((smat_block(n_slots),), jnp.int32),  # chunk smat
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=INTERPRET,
+    )(sb, sc, lpos, lprim, luv, lnrm,
+      scene.chunk_boxes, scene.chunk_codes, scene.chunk_smat,
+      *model_args, o_pk, d_pk, t_pk)
+
+    flat = [x.reshape(r_pad)[:r] for x in outs]
+    t_f, prim_f, inst_f, uvx, uvy, nx, ny, nz, mat = flat
+    return {
+        "t": t_f, "prim": prim_f, "inst": inst_f,
+        "uv": jnp.stack([uvx, uvy], axis=-1),
+        "normal": jnp.stack([nx, ny, nz], axis=-1),
+        "material": mat,
+    }
+
+
+@partial(
+    jax.jit,
+    static_argnames=("root_code", "stack_size", "any_hit", "max_steps"),
+)
+def trace_scene_pallas_paged(
+    scene: PagedScene,
+    ray_o: jax.Array,
+    ray_d: jax.Array,
+    t_max: jax.Array,
+    *,
+    root_code: int,
+    stack_size: int,
+    max_steps: int,
+    any_hit: bool = False,
+    active: Optional[jax.Array] = None,
+) -> HitRecord2:
+    """Paged packet traversal front end (mirror of trace_scene_pallas)."""
+    r = ray_o.shape[0]
+    r_pad = -(-r // PACKET) * PACKET
+    t_cap = jnp.asarray(t_max, jnp.float32) + ray_o[:, 0] * 0.0
+    if active is not None:
+        t_cap = jnp.where(active, t_cap, -1.0)
+    g = r_pad // PACKET
+
+    def to_planes(x3, fill):
+        cols = []
+        for k in range(3):
+            c = jnp.pad(x3[:, k], (0, r_pad - r), constant_values=fill)
+            cols.append(c.reshape(g, 8, 128))
+        return jnp.stack(cols, axis=1)
+
+    o_pk = to_planes(ray_o, 0.0)
+    d_pk = to_planes(ray_d, 1.0)
+    t_pk = jnp.pad(t_cap, (0, r_pad - r), constant_values=-1.0).reshape(
+        g, 1, 8, 128)
+
+    sb, sc, lpos, lprim = _split_static(scene)
+    assert stack_size <= _STACK, "scene too deep for the packet kernel"
+
+    kernel = _make_kernel_paged(root_code, max_steps, any_hit)
+
+    smem = lambda n: pl.BlockSpec(
+        (n,), lambda i: (0,), memory_space=pltpu.SMEM)
+    anyspace = pl.BlockSpec(memory_space=pl.ANY)
+    plane3 = pl.BlockSpec((1, 3, 8, 128), lambda i: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    plane1 = pl.BlockSpec((1, 1, 8, 128), lambda i: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    t_r, prim_r, inst_r, u_r, v_r = pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[
+            smem(sb.shape[0]), smem(sc.shape[0]),
+            smem(lpos.shape[0]), smem(lprim.shape[0]),
+            anyspace, anyspace,
+            plane3, plane3, plane1,
+        ],
+        out_specs=[out_spec] * 5,
+        out_shape=[
+            jax.ShapeDtypeStruct((g, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((g, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((g, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((g, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((g, 8, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((9, 8, 128), jnp.float32),   # object-space ray planes
+            pltpu.VMEM((5, 8, 128), jnp.float32),   # best-hit planes
+            pltpu.SMEM((8,), jnp.int32),            # cross-branch scalars
+            pltpu.SMEM((_BF,), jnp.float32),        # chunk box scratch
+            pltpu.SMEM((_CI,), jnp.int32),          # chunk code scratch
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=INTERPRET,
+    )(sb, sc, lpos, lprim, scene.chunk_boxes, scene.chunk_codes,
+      o_pk, d_pk, t_pk)
+
+    t_f = t_r.reshape(r_pad)[:r]
+    prim_f = prim_r.reshape(r_pad)[:r]
+    inst_f = inst_r.reshape(r_pad)[:r]
+    u_f = u_r.reshape(r_pad)[:r]
+    v_f = v_r.reshape(r_pad)[:r]
+    return HitRecord2(
+        t=t_f, prim=prim_f, inst=inst_f,
+        bary=jnp.stack([u_f, v_f], axis=-1),
+    )

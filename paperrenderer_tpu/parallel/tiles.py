@@ -293,6 +293,7 @@ def make_sharded_rt_frame(
     animate=None,
     *,
     use_pallas: bool = False,
+    paged: bool = False,          # chunked-TLAS paging (accel.prefer_paged)
 ):
     """Screen-tile sharded two-level RT frame (the round-2 fast path under
     shard_map — replaces the legacy per-frame world BVH of sharded_rt_frame).
@@ -349,10 +350,18 @@ def make_sharded_rt_frame(
         tile_h, tile_w = height // rows, width // cols
         ax_r, ax_c = mesh.axis_names
 
-        rt_scene, roots = ACC.assemble_scene(
-            blasset, meta, anim_rest, anim_nodes, instances, inst_blas,
-            list(masks), tri_attr, time=time, animate=animate,
-        )
+        if paged:
+            rt_scene, root = ACC.assemble_scene_paged(
+                blasset, meta, anim_rest, anim_nodes, instances, inst_blas,
+                masks[tlas_index], slot_materials, tri_attr,
+                time=time, animate=animate,
+            )
+        else:
+            rt_scene, roots = ACC.assemble_scene(
+                blasset, meta, anim_rest, anim_nodes, instances, inst_blas,
+                list(masks), tri_attr, time=time, animate=animate,
+            )
+            root = roots[tlas_index]
         params = RTParams(
             shadow_samples=shadow_samples,
             reflection_samples=reflection_samples,
@@ -375,9 +384,10 @@ def make_sharded_rt_frame(
             textures = maybe_tex[0] if maybe_tex else None
             ri = jax.lax.axis_index(ax_r)
             ci = jax.lax.axis_index(ax_c)
-            ctx = ACC.SceneTracer(
+            tracer_cls = ACC.PagedSceneTracer if paged else ACC.SceneTracer
+            ctx = tracer_cls(
                 rt_scene, slot_materials, materials,
-                root_code=roots[tlas_index], stack_size=stack_size,
+                root_code=root, stack_size=stack_size,
                 leaf_cutout=leaf_cutout, use_pallas=use_pallas,
                 textures=textures,
             )

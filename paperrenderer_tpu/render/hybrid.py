@@ -35,8 +35,10 @@ from .renderpass import RenderPass
 
 
 def make_hybrid_frame(meta, animate: Optional[Callable],
-                      use_pallas_trace: bool = False):
-    """Jitted hybrid frame for one scene topology (meta closed over)."""
+                      use_pallas_trace: bool = False, paged: bool = False):
+    """Jitted hybrid frame for one scene topology (meta closed over).
+    ``paged`` selects the chunked-TLAS path for scenes past the resident
+    SMEM budget (accel.prefer_paged)."""
 
     @partial(
         jax.jit,
@@ -44,6 +46,7 @@ def make_hybrid_frame(meta, animate: Optional[Callable],
             "width", "height", "stack_size", "do_culling", "use_pallas",
             "work_capacity", "shadow_samples", "reflection_samples",
             "ao_samples", "ao_radius", "leaf_cutout",
+            "reflection_half_rate",
         ),
     )
     def hybrid_frame(
@@ -76,6 +79,7 @@ def make_hybrid_frame(meta, animate: Optional[Callable],
         ao_samples: int = 1,
         ao_radius: float = 2.0,
         leaf_cutout: bool = False,
+        reflection_half_rate: bool = False,
     ):
         """One hybrid frame. Returns (ldr, aux)."""
         from ..ops.static_batch import expand_static
@@ -100,15 +104,12 @@ def make_hybrid_frame(meta, animate: Optional[Callable],
 
         # --- two-level TLAS refit for the RT passes (whole scene, LOD 0) ---
         mask = (jnp.ones(instances.capacity, bool),)
-        rt_scene, roots = ACC.assemble_scene(
+        ctx = ACC.make_scene_tracer(
             blasset, meta, anim_rest, anim_nodes, instances, inst_blas,
-            list(mask), tri_attr, time=time, animate=animate,
-        )
-        ctx = ACC.SceneTracer(
-            rt_scene, slot_materials, materials,
-            root_code=roots[0], stack_size=stack_size,
+            mask, tri_attr, slot_materials, materials,
+            tlas_index=0, stack_size=stack_size,
             leaf_cutout=leaf_cutout, use_pallas=use_pallas_trace,
-            textures=textures,
+            paged=paged, textures=textures, time=time, animate=animate,
         )
 
         # --- RT passes at G-buffer surfaces --------------------------------
@@ -126,6 +127,7 @@ def make_hybrid_frame(meta, animate: Optional[Callable],
             ao_samples=ao_samples,
             ao_radius=ao_radius,
             leaf_cutout=leaf_cutout,
+            reflection_half_rate=reflection_half_rate,
         )
         svis = T.shadow_visibility(
             surf, ctx, lights, key, max(1, shadow_samples)
@@ -143,10 +145,17 @@ def make_hybrid_frame(meta, animate: Optional[Callable],
             textures=textures,
         )
         if reflection_samples > 0:
-            refl = T.reflections(
-                surf, ctx, materials, lights, camera.cam_pos,
-                jax.random.fold_in(key, 7), params,
-            ).reshape(height, width, 3)
+            if reflection_half_rate and width % 2 == 0:
+                refl = T.reflections_half_rate(
+                    surf, ctx, materials, lights, camera.cam_pos,
+                    jax.random.fold_in(key, 7), params,
+                    width=width, height=height,
+                ).reshape(height, width, 3)
+            else:
+                refl = T.reflections(
+                    surf, ctx, materials, lights, camera.cam_pos,
+                    jax.random.fold_in(key, 7), params,
+                ).reshape(height, width, 3)
             hdr = hdr + jnp.where(gbuf.coverage[..., None], refl, 0.0)
 
         ldr = tonemap(hdr, tonemap_params)
@@ -179,6 +188,7 @@ class HybridRender:
         seed: int = 0,
         use_pallas: Optional[bool] = None,
         animate: Optional[Callable] = None,
+        reflection_half_rate: bool = False,
     ):
         # reuse RenderPass for instance/material bookkeeping
         self._rp = RenderPass(
@@ -189,6 +199,7 @@ class HybridRender:
         self.materials = materials
         self.width = width
         self.height = height
+        self.reflection_half_rate = reflection_half_rate
         self.shadow_samples = shadow_samples
         self.reflection_samples = reflection_samples
         self.ao_samples = ao_samples
@@ -219,12 +230,16 @@ class HybridRender:
         rp = self._rp
         instances = self.scene.flush()
         blasset, meta, anim_rest, anim_nodes = self.accel.blas()
-        if self._frame_fn is None or self._frame_key != self.accel._blas_key:
+        use_pallas_trace = jax.default_backend() not in ("cpu",)
+        paged = use_pallas_trace and ACC.prefer_paged(
+            meta, instances.capacity, max(1, self.scene.max_slots))
+        key_sig = (self.accel._blas_key, paged)
+        if self._frame_fn is None or self._frame_key != key_sig:
             self._frame_fn = make_hybrid_frame(
                 meta, self.animate,
-                use_pallas_trace=jax.default_backend() not in ("cpu",),
+                use_pallas_trace=use_pallas_trace, paged=paged,
             )
-            self._frame_key = self.accel._blas_key
+            self._frame_key = key_sig
         slots, visible, table = rp._device_inputs(instances.capacity)
         mapping = rp._current_mapping()
         self._frame += 1
@@ -255,4 +270,5 @@ class HybridRender:
             ao_samples=self.ao_samples,
             ao_radius=self.ao_radius,
             leaf_cutout=self.materials.has_leaf,
+            reflection_half_rate=self.reflection_half_rate,
         )

@@ -195,19 +195,22 @@ class AccelCache:
 
 
 def make_rt_frame(meta, animate: Optional[Callable], n_tlas: int,
-                  use_pallas: bool = False):
+                  use_pallas: bool = False, paged: bool = False):
     """Build the jitted two-level RT frame for one scene topology.
 
     ``meta``/``animate`` are host-side (closed over; anim node codes become
     jit constants) — rebuilt when the AccelCache's BLAS signature changes,
-    the analogue of the reference's amortized buffer rebuilds."""
+    the analogue of the reference's amortized buffer rebuilds. ``paged``
+    selects the chunked-TLAS layout (ops/accel.assemble_scene_paged +
+    the HBM->SMEM-streaming packet kernels) for scenes past the resident
+    SMEM budget — see accel.prefer_paged."""
 
     @partial(
         jax.jit,
         static_argnames=(
             "width", "height", "stack_size", "shadow_samples",
             "reflection_samples", "ao_samples", "ao_radius", "leaf_cutout",
-            "tlas_index",
+            "tlas_index", "reflection_half_rate",
         ),
     )
     def rt_frame2(
@@ -236,16 +239,14 @@ def make_rt_frame(meta, animate: Optional[Callable], n_tlas: int,
         ao_radius: float,
         leaf_cutout: bool,
         tlas_index: int = 0,
+        reflection_half_rate: bool = False,
     ):
-        rt_scene, roots = ACC.assemble_scene(
+        ctx = ACC.make_scene_tracer(
             blasset, meta, anim_rest, anim_nodes, instances, inst_blas,
-            list(masks), tri_attr, time=time, animate=animate,
-        )
-        ctx = ACC.SceneTracer(
-            rt_scene, slot_materials, materials,
-            root_code=roots[tlas_index], stack_size=stack_size,
-            leaf_cutout=leaf_cutout, use_pallas=use_pallas,
-            textures=textures,
+            masks, tri_attr, slot_materials, materials,
+            tlas_index=tlas_index, stack_size=stack_size,
+            leaf_cutout=leaf_cutout, use_pallas=use_pallas, paged=paged,
+            textures=textures, time=time, animate=animate,
         )
         params = RTParams(
             shadow_samples=shadow_samples,
@@ -253,6 +254,7 @@ def make_rt_frame(meta, animate: Optional[Callable], n_tlas: int,
             ao_samples=ao_samples,
             ao_radius=ao_radius,
             leaf_cutout=leaf_cutout,
+            reflection_half_rate=reflection_half_rate,
         )
         hdr = trace_frame(
             ctx, materials, lights, camera, key,
@@ -289,6 +291,7 @@ class RayTraceRender:
         seed: int = 0,
         animate: Optional[Callable] = None,
         use_pallas: Optional[bool] = None,
+        reflection_half_rate: bool = False,
     ):
         self.scene = scene
         self.materials = materials
@@ -302,6 +305,7 @@ class RayTraceRender:
         self.reflection_samples = reflection_samples
         self.ao_samples = ao_samples
         self.ao_radius = ao_radius
+        self.reflection_half_rate = reflection_half_rate
         self.animate = animate
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
@@ -393,11 +397,13 @@ class RayTraceRender:
         cam = camera.matrices if isinstance(camera, Camera) else camera
         instances = self.scene.flush()
         blasset, meta, anim_rest, anim_nodes = self.accel.blas()
-        key_sig = (self.accel._blas_key, len(self._tlas_bindings))
+        paged = self.use_pallas and ACC.prefer_paged(
+            meta, instances.capacity, max(1, self.scene.max_slots))
+        key_sig = (self.accel._blas_key, len(self._tlas_bindings), paged)
         if self._frame_fn is None or self._frame_key != key_sig:
             self._frame_fn = make_rt_frame(
                 meta, self.animate, len(self._tlas_bindings),
-                use_pallas=self.use_pallas,
+                use_pallas=self.use_pallas, paged=paged,
             )
             self._frame_key = key_sig
         slots, masks, table = self._device_inputs(instances.capacity)
@@ -418,4 +424,5 @@ class RayTraceRender:
             ao_radius=self.ao_radius,
             leaf_cutout=self.materials.has_leaf,
             tlas_index=tlas,
+            reflection_half_rate=self.reflection_half_rate,
         )
