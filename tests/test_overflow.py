@@ -103,6 +103,43 @@ def test_overflow_without_cond_drops(interpret_kernel):
     assert (cov != cov_ref).mean() > 0.01
 
 
+def test_beyond_4x_spike_degrades_one_frame_and_recovers(interpret_kernel):
+    """Pin the contract past the in-graph fallback's reach: a single-frame
+    demand spike beyond 4x capacity (extreme camera teleport on a stale
+    capacity) ships THAT frame with dropped fragments — never a crash — and
+    the returned demand scalar grows the next frame back to complete
+    coverage (the reference's buffer-growth contract,
+    PaperRenderer.cpp:208-212, amortized across one frame)."""
+    scene = Scene(use_native=False)
+    model = Model.from_mesh(
+        scene.arena, *make_uv_sphere(radius=1.0, rings=10, sectors=14))
+    scene.add_instance(ModelInstance(model))
+    w = h = 128
+
+    batch_near = _batch(scene, _cam(1.35))
+    _, _, _, full = RE.rasterize_exact(batch_near, w, h)
+    # capacity so stale that demand > 4x: the cond fallback cannot cover it
+    tiny = RE.BP
+    assert int(full) > 4 * tiny
+
+    depth, tid, _, required = RE.rasterize_exact(
+        batch_near, w, h, pair_capacity=tiny)
+    _, tid_ref, _ = R.rasterize(batch_near, w, h)
+    cov = np.asarray(tid >= 0)
+    cov_ref = np.asarray(tid_ref >= 0)
+    # frame 1: degraded (dropped fragments), finite, and demand reported
+    assert (cov != cov_ref).mean() > 0.01
+    assert np.isfinite(np.asarray(depth)[cov]).all()
+    assert int(required) >= int(full) // 2
+
+    # frame 2: grow to the reported demand -> complete coverage again
+    grown = int(-(-int(required) * 5 // 4 // RE.BP) * RE.BP)
+    _, tid2, _, _ = RE.rasterize_exact(
+        batch_near, w, h, pair_capacity=grown)
+    cov2 = np.asarray(tid2 >= 0)
+    assert (cov2 != cov_ref).mean() < 0.002
+
+
 def test_required_reports_raw_pair_overflow(interpret_kernel):
     """When even the pair expansion overflows (n_pairs > capacity), the
     returned demand must still reflect it so callers grow correctly."""
