@@ -962,6 +962,7 @@ def make_scene_tracer(
     textures=None,
     time: Optional[jax.Array] = None,
     animate: Optional[Callable] = None,
+    image_shape=None,
 ):
     """Assemble this frame's acceleration structure and return a tracer.
 
@@ -978,7 +979,7 @@ def make_scene_tracer(
             scene, slot_materials, materials,
             root_code=root, stack_size=stack_size,
             leaf_cutout=leaf_cutout, use_pallas=use_pallas,
-            textures=textures,
+            textures=textures, image_shape=image_shape,
         )
     rt_scene, roots = assemble_scene(
         blasset, meta, anim_rest, anim_rest_nodes, instances, inst_blas,
@@ -988,7 +989,7 @@ def make_scene_tracer(
         rt_scene, slot_materials, materials,
         root_code=roots[tlas_index], stack_size=stack_size,
         leaf_cutout=leaf_cutout, use_pallas=use_pallas,
-        textures=textures,
+        textures=textures, image_shape=image_shape,
     )
 
 
@@ -1303,6 +1304,7 @@ class SceneTracer:
         leaf_cutout: bool = False,
         use_pallas: bool = False,
         textures=None,
+        image_shape=None,
     ):
         self.scene = scene
         self.slot_materials = slot_materials
@@ -1312,6 +1314,16 @@ class SceneTracer:
         self.stack_size = stack_size
         self.leaf_cutout = leaf_cutout
         self.use_pallas = use_pallas
+        # (H, W): group R == H*W wavefronts as (8, 128) pixel-tile packets
+        # (trace_kernel.image_mode_ok) — secondary rays derived from image-
+        # layout G-buffers keep tile-footprint coherence with zero relayout
+        self.image_shape = tuple(image_shape) if image_shape else None
+
+    def _image_shape(self, n_rays: int):
+        from .trace_kernel import image_mode_ok
+
+        return (self.image_shape
+                if image_mode_ok(self.image_shape, n_rays) else None)
 
     # -- alpha cutout hook ---------------------------------------------------
     def _alpha_test(self):
@@ -1364,6 +1376,7 @@ class SceneTracer:
                     root_code=self.root_code, stack_size=self.stack_size,
                     any_hit=any_hit, active=active,
                     max_steps=self._step_bound(),
+                    image_shape=self._image_shape(o.shape[0]),
                 )
         return trace_scene(
             self.scene, o, d, t_max,
@@ -1394,6 +1407,7 @@ class SceneTracer:
                     active=active, max_steps=self._step_bound(),
                     shading_model=(self.materials.shading_model
                                    if alpha_needed else None),
+                    image_shape=self._image_shape(o.shape[0]),
                 )
                 hit = out["prim"] >= 0
                 t = jnp.where(hit, out["t"], 0.0)
@@ -1488,6 +1502,7 @@ class PagedSceneTracer:
         leaf_cutout: bool = False,
         use_pallas: bool = False,
         textures=None,
+        image_shape=None,
     ):
         self.scene = scene
         self.slot_materials = slot_materials
@@ -1497,7 +1512,14 @@ class PagedSceneTracer:
         self.stack_size = stack_size
         self.leaf_cutout = leaf_cutout
         self.use_pallas = use_pallas
+        self.image_shape = tuple(image_shape) if image_shape else None
         self._flat = None
+
+    def _image_shape(self, n_rays: int):
+        from .trace_kernel import image_mode_ok
+
+        return (self.image_shape
+                if image_mode_ok(self.image_shape, n_rays) else None)
 
     def _flat_tracer(self) -> "SceneTracer":
         if self._flat is None:
@@ -1534,6 +1556,7 @@ class PagedSceneTracer:
                     root_code=self.root_code, stack_size=self.stack_size,
                     any_hit=any_hit, active=active,
                     max_steps=self._step_bound(),
+                    image_shape=self._image_shape(o.shape[0]),
                 )
         return self._flat_tracer().trace(
             o, d, t_max, any_hit=any_hit, active=active, use_alpha=use_alpha)
@@ -1557,6 +1580,7 @@ class PagedSceneTracer:
                     active=active,
                     shading_model=(self.materials.shading_model
                                    if alpha_needed else None),
+                    image_shape=self._image_shape(o.shape[0]),
                 )
                 hit = out["prim"] >= 0
                 t = jnp.where(hit, out["t"], 0.0)

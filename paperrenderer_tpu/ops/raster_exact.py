@@ -366,9 +366,11 @@ def rasterize_exact(
 
         # pre-gather pair coefficient rows (ONE row gather). The fast
         # sublane layout's [P*GROUP, 16] array is lane-padded 8x by T(8,128)
-        # tiling; switch to exact-tiling lane planes when that padding would
-        # blow HBM (config-5 scale).
-        lane_layout = p_cap * GROUP * 128 * 4 > (3 << 30)
+        # tiling; switch to exact-tiling lane planes only when that padding
+        # would blow HBM (the padded table + its [P, 128] gather source must
+        # both fit: ~6 GiB keeps config-5's ~790k-pair capacity on the fast
+        # layout inside a 16 GiB chip with the 1.8 GiB attr table resident).
+        lane_layout = p_cap * GROUP * 128 * 4 > (6 << 30)
         pg2 = jnp.where(padded_group >= 0, padded_group, ng)
         gathered = gt[pg2]                                   # [P, 128]
         if lane_layout:
@@ -382,10 +384,13 @@ def rasterize_exact(
         else:
             cf_pairs = gathered.reshape(p_cap * GROUP, 16)
 
+        # pages split the steps EVENLY (not padded to PAGE_STEPS): a demand
+        # one step past the page cap would otherwise pay a near-empty second
+        # page of ~49k no-op grid steps (~0.7 us each = ~33 ms)
         n_pages = max(1, -(-n_steps // PAGE_STEPS))
-        page_steps = n_steps if n_pages == 1 else PAGE_STEPS
+        page_steps = -(-n_steps // n_pages)
         if n_pages > 1:
-            pad_steps = n_pages * PAGE_STEPS - n_steps
+            pad_steps = n_pages * page_steps - n_steps
             wt = jnp.pad(wt, (0, pad_steps), constant_values=-1)
             if lane_layout:
                 cf_pairs = jnp.pad(
@@ -487,7 +492,22 @@ def resolve_gbuffer_pairs(
     covered = tri_id >= 0
     tid = jnp.maximum(tri_id, 0)
 
-    rows = attr_pairs[tid]                                # [H, W, 32]
+    tp = attr_pairs.shape[0]
+    if tp % 4 == 0:
+        # Gather 4 triangle rows per physical lane row: the [T, 32] f32
+        # table is lane-padded 32->128 by T(8,128) tiling, so a per-pixel
+        # row gather DMAs 512 bytes with 3/4 waste; the [T/4, 128] view is
+        # exactly one packed lane row (4x less HBM traffic on the resolve
+        # gather — the per-pixel gather is the G-buffer resolve bottleneck).
+        t4 = attr_pairs.reshape(tp // 4, 128)
+        rows4 = t4[tid >> 2]                              # [H, W, 128]
+        sub = tid & 3
+        rows = rows4[..., 0:32]
+        for k in (1, 2, 3):
+            rows = jnp.where(
+                (sub == k)[..., None], rows4[..., 32 * k:32 * (k + 1)], rows)
+    else:
+        rows = attr_pairs[tid]                            # [H, W, 32]
 
     xs = jnp.arange(w, dtype=jnp.float32) + 0.5 + x0
     ys = jnp.arange(h, dtype=jnp.float32) + 0.5 + y0

@@ -91,6 +91,19 @@ def untile_image(flat: jax.Array, width: int, height: int, tile) -> jax.Array:
     ).reshape((height, width) + flat.shape[1:])
 
 
+def tile_image(img: jax.Array, width: int, height: int, tile) -> jax.Array:
+    """Inverse of ``untile_image``: [H, W, ...] image -> flat pixel-tile-major
+    wavefront [H*W, ...]. Used to reorder G-buffer surfaces into tile packets
+    before secondary-ray traversal (packet cost ~ union of ray footprints);
+    pure reshape/transpose, materialized once per frame."""
+    th, tw = tile
+    nty, ntx = height // th, width // tw
+    x = img.reshape((nty, th, ntx, tw) + img.shape[2:])
+    return x.transpose(
+        (0, 2, 1, 3) + tuple(range(4, x.ndim))
+    ).reshape((height * width,) + img.shape[2:])
+
+
 def raygen(
     camera: CameraMatrices,
     width: int,

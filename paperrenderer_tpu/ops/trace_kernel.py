@@ -104,21 +104,45 @@ def _split_scene(scene: RTScene):
     return boxes.reshape(-1), codes.reshape(-1), lpos.reshape(-1), lprim.reshape(-1)
 
 
+def _io_helpers(image_mode: bool):
+    """Block load/store for the two packet groupings.
+
+    flat mode: per-component (g, 8, 128) arrays, block (1, 8, 128) — packets
+    are 1024 consecutive rays (row strips for row-major wavefronts).
+    image mode: per-component [H, W] arrays, block (8, 128) with a
+    tile-walking index_map — packets are (8, 128) PIXEL TILES with ZERO
+    relayout, because T(8,128) physical tiling stores exactly these blocks
+    contiguously (this sidesteps the transpose-input trap below: the tile
+    permutation happens in the index_map, never in XLA)."""
+    if image_mode:
+        ld = lambda ref: ref[...]
+
+        def st(ref, v):
+            ref[...] = v
+    else:
+        ld = lambda ref: ref[0]
+
+        def st(ref, v):
+            ref[0] = v
+    return ld, st
+
+
 def _make_kernel(root_code: int, max_steps: int, any_hit: bool,
-                 debug_steps: bool = False):
+                 debug_steps: bool = False, image_mode: bool = False):
     """Packet kernel. Vector state (best hit planes, object-space ray) lives
     in VMEM scratch refs mutated under ``pl.when`` — real branches with no
     state yields, so a step costs only its own branch's work. The while carry
     holds just scalars + the (1, 128) shared stack; cross-branch scalars
     (slab outcomes, any-hit progress) round-trip through an SMEM scratch."""
     S = _STACK
+    ld, st = _io_helpers(image_mode)
 
     def kernel(boxes_ref, codes_ref, lpos_ref, lprim_ref,
-               o_ref, d_ref, tmax_ref,
+               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                t_out, prim_out, inst_out, u_out, v_out,
                obj_ref, best_ref, flag_ref):
-        wox, woy, woz = o_ref[0, 0], o_ref[0, 1], o_ref[0, 2]
-        wdx, wdy, wdz = d_ref[0, 0], d_ref[0, 1], d_ref[0, 2]
+        wox, woy, woz = ld(ox_ref), ld(oy_ref), ld(oz_ref)
+        wdx, wdy, wdz = ld(dx_ref), ld(dy_ref), ld(dz_ref)
 
         def safe_inv(x):
             return 1.0 / jnp.where(jnp.abs(x) < 1e-12, 1e-12, x)
@@ -127,7 +151,7 @@ def _make_kernel(root_code: int, max_steps: int, any_hit: bool,
 
         # best planes: [0]=t [1]=prim(bits) [2]=inst(bits) [3]=u [4]=v
         neg1 = pltpu.bitcast(jnp.full((8, 128), -1, jnp.int32), jnp.float32)
-        best_ref[0] = tmax_ref[0, 0]
+        best_ref[0] = ld(tmax_ref)
         best_ref[1] = neg1
         best_ref[2] = neg1
         best_ref[3] = jnp.zeros((8, 128), jnp.float32)
@@ -296,21 +320,22 @@ def _make_kernel(root_code: int, max_steps: int, any_hit: bool,
         best_prim = pltpu.bitcast(best_ref[1], jnp.int32)
         best_inst = pltpu.bitcast(best_ref[2], jnp.int32)
         miss = best_prim < 0
-        t_out[0] = jnp.where(miss, jnp.float32(jnp.inf), best_t)
-        prim_out[0] = best_prim
-        inst_out[0] = jnp.where(miss, -1, best_inst)
+        st(t_out, jnp.where(miss, jnp.float32(jnp.inf), best_t))
+        st(prim_out, best_prim)
+        st(inst_out, jnp.where(miss, -1, best_inst))
         if debug_steps:
-            u_out[0] = jnp.full((8, 128), fin[0], jnp.int32).astype(jnp.float32)
+            st(u_out,
+               jnp.full((8, 128), fin[0], jnp.int32).astype(jnp.float32))
         else:
-            u_out[0] = best_ref[3]
-        v_out[0] = best_ref[4]
+            st(u_out, best_ref[3])
+        st(v_out, best_ref[4])
 
     return kernel
 
 
 def _make_resolve_kernel(root_code: int, max_steps: int, n_slots: int,
                          n_inst: int, alpha_test: bool = False,
-                         n_mats: int = 1):
+                         n_mats: int = 1, image_mode: bool = False):
     """Fused trace+resolve packet kernel.
 
     Identical traversal to _make_kernel, but hit attributes are interpolated
@@ -327,18 +352,19 @@ def _make_resolve_kernel(root_code: int, max_steps: int, n_slots: int,
     alpha at the hit uv is below 0.5 — evaluated in-kernel from the uv the
     resolve path already interpolates."""
     S = _STACK
+    ld, st = _io_helpers(image_mode)
 
     def kernel(boxes_ref, codes_ref, lpos_ref, lprim_ref,
                luv_ref, lnrm_ref, smat_ref, *rest):
         if alpha_test:
             smodel_ref = rest[0]
             rest = rest[1:]
-        (o_ref, d_ref, tmax_ref,
+        (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
          t_out, prim_out, inst_out, uvx_out, uvy_out,
          nx_out, ny_out, nz_out, mat_out,
          obj_ref, best_ref, flag_ref, minv_ref) = rest
-        wox, woy, woz = o_ref[0, 0], o_ref[0, 1], o_ref[0, 2]
-        wdx, wdy, wdz = d_ref[0, 0], d_ref[0, 1], d_ref[0, 2]
+        wox, woy, woz = ld(ox_ref), ld(oy_ref), ld(oz_ref)
+        wdx, wdy, wdz = ld(dx_ref), ld(dy_ref), ld(dz_ref)
 
         def safe_inv(x):
             return 1.0 / jnp.where(jnp.abs(x) < 1e-12, 1e-12, x)
@@ -346,7 +372,7 @@ def _make_resolve_kernel(root_code: int, max_steps: int, n_slots: int,
         wix, wiy, wiz = safe_inv(wdx), safe_inv(wdy), safe_inv(wdz)
 
         neg1 = pltpu.bitcast(jnp.full((8, 128), -1, jnp.int32), jnp.float32)
-        best_ref[0] = tmax_ref[0, 0]
+        best_ref[0] = ld(tmax_ref)
         best_ref[1] = neg1
         best_ref[2] = neg1
         for i in range(3, 8):
@@ -557,22 +583,75 @@ def _make_resolve_kernel(root_code: int, max_steps: int, n_slots: int,
         best_prim = pltpu.bitcast(best_ref[1], jnp.int32)
         best_inst = pltpu.bitcast(best_ref[2], jnp.int32)
         miss = best_prim < 0
-        t_out[0] = jnp.where(miss, jnp.float32(jnp.inf), best_t)
-        prim_out[0] = best_prim
-        inst_out[0] = jnp.where(miss, -1, best_inst)
-        uvx_out[0] = best_ref[3]
-        uvy_out[0] = best_ref[4]
-        nx_out[0] = best_ref[5]
-        ny_out[0] = best_ref[6]
-        nz_out[0] = best_ref[7]
-        mat_out[0] = jnp.where(miss, 0, pltpu.bitcast(best_ref[8], jnp.int32))
+        st(t_out, jnp.where(miss, jnp.float32(jnp.inf), best_t))
+        st(prim_out, best_prim)
+        st(inst_out, jnp.where(miss, -1, best_inst))
+        st(uvx_out, best_ref[3])
+        st(uvy_out, best_ref[4])
+        st(nx_out, best_ref[5])
+        st(ny_out, best_ref[6])
+        st(nz_out, best_ref[7])
+        st(mat_out,
+           jnp.where(miss, 0, pltpu.bitcast(best_ref[8], jnp.int32)))
 
     return kernel
 
 
+def image_mode_ok(image_shape, n_rays: int) -> bool:
+    """Image packet grouping applies when the wavefront is exactly a
+    row-major [H, W] image with H % 8 == 0 and W % 128 == 0 (the physical
+    T(8,128) tile)."""
+    if not image_shape:
+        return False
+    h, w = image_shape
+    return h % 8 == 0 and w % 128 == 0 and h * w == n_rays
+
+
+def _pack_rays(ray_o, ray_d, t_cap, image_shape):
+    """Ray wavefront -> per-component packet blocks + specs.
+
+    Returns (args, ray_spec, out_spec, grid, out_shape_fn, unflatten):
+    7 component arrays (ox oy oz dx dy dz tmax), the input/output BlockSpecs,
+    the packet grid size, a dtype->ShapeDtypeStruct maker for outputs, and a
+    fn mapping a kernel output back to a flat [r] array.
+
+    In image mode the tile permutation lives entirely in the index_map over
+    (8, 128) blocks of the row-major [H, W] arrays — no transposed arrays
+    ever reach the pallas_call (see the ray-ordering NOTE below)."""
+    r = ray_o.shape[0]
+    if image_mode_ok(image_shape, r):
+        h, w = image_shape
+        ntx = w // 128
+        g = (h // 8) * ntx
+        spec = pl.BlockSpec((8, 128), lambda i: (i // ntx, i % ntx),
+                            memory_space=pltpu.VMEM)
+        args = [ray_o[:, k].reshape(h, w) for k in range(3)]
+        args += [ray_d[:, k].reshape(h, w) for k in range(3)]
+        args.append(t_cap.reshape(h, w))
+        out_shape = lambda dt: jax.ShapeDtypeStruct((h, w), dt)
+        unflatten = lambda x: x.reshape(r)
+        return args, spec, spec, g, out_shape, unflatten
+
+    r_pad = -(-r // PACKET) * PACKET
+    g = r_pad // PACKET
+    spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+    def comp(x, fill):
+        return jnp.pad(x, (0, r_pad - r),
+                       constant_values=fill).reshape(g, 8, 128)
+
+    args = [comp(ray_o[:, k], 0.0) for k in range(3)]
+    args += [comp(ray_d[:, k], 1.0) for k in range(3)]
+    args.append(comp(t_cap, -1.0))
+    out_shape = lambda dt: jax.ShapeDtypeStruct((g, 8, 128), dt)
+    unflatten = lambda x: x.reshape(r_pad)[:r]
+    return args, spec, spec, g, out_shape, unflatten
+
+
 @partial(
     jax.jit,
-    static_argnames=("root_code", "stack_size", "max_steps"),
+    static_argnames=("root_code", "stack_size", "max_steps", "image_shape"),
 )
 def trace_resolve_scene_pallas(
     scene: RTScene,
@@ -586,29 +665,21 @@ def trace_resolve_scene_pallas(
     max_steps: Optional[int] = None,
     active: Optional[jax.Array] = None,
     shading_model: Optional[jax.Array] = None,  # i32[M]: enables leaf cutout
+    image_shape: Optional[Tuple[int, int]] = None,
 ):
     """Fused closest-hit + attribute resolve. Returns a dict of flat arrays:
     t, prim, inst, uv f32[R, 2], normal f32[R, 3] (unnormalized world),
     material i32[R]. ``shading_model`` enables the in-kernel leaf-cutout
-    any-hit gate."""
+    any-hit gate. ``image_shape=(H, W)`` groups packets as (8, 128) pixel
+    tiles of the row-major image wavefront (see ``image_mode_ok``)."""
     r = ray_o.shape[0]
-    r_pad = -(-r // PACKET) * PACKET
     t_cap = jnp.asarray(t_max, jnp.float32) + ray_o[:, 0] * 0.0
     if active is not None:
         t_cap = jnp.where(active, t_cap, -1.0)
-    g = r_pad // PACKET
 
-    def to_planes(x3, fill):
-        cols = []
-        for k in range(3):
-            c = jnp.pad(x3[:, k], (0, r_pad - r), constant_values=fill)
-            cols.append(c.reshape(g, 8, 128))
-        return jnp.stack(cols, axis=1)
-
-    o_pk = to_planes(ray_o, 0.0)
-    d_pk = to_planes(ray_d, 1.0)
-    t_pk = jnp.pad(t_cap, (0, r_pad - r), constant_values=-1.0).reshape(
-        g, 1, 8, 128)
+    image_mode = image_mode_ok(image_shape, r)
+    ray_args, ray_spec, out_spec, g, out_shape, unflatten = _pack_rays(
+        ray_o, ray_d, t_cap, image_shape)
 
     boxes, codes, lpos, lprim = _split_scene(scene)
     luv = scene.leaf_rows[:, _UV:].reshape(-1)
@@ -622,21 +693,17 @@ def trace_resolve_scene_pallas(
     alpha_test = shading_model is not None
     n_mats = shading_model.shape[0] if alpha_test else 1
     kernel = _make_resolve_kernel(root_code, max_steps, n_slots, n_inst,
-                                  alpha_test=alpha_test, n_mats=n_mats)
+                                  alpha_test=alpha_test, n_mats=n_mats,
+                                  image_mode=image_mode)
 
     smem = lambda n: pl.BlockSpec(
         (n,), lambda i: (0,), memory_space=pltpu.SMEM)
-    plane3 = pl.BlockSpec((1, 3, 8, 128), lambda i: (i, 0, 0, 0),
-                          memory_space=pltpu.VMEM)
-    plane1 = pl.BlockSpec((1, 1, 8, 128), lambda i: (i, 0, 0, 0),
-                          memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
 
     f32 = jnp.float32
     model_specs = [smem(n_mats)] if alpha_test else []
     model_args = (
         [shading_model.astype(jnp.int32).reshape(-1)] if alpha_test else [])
+    out_dts = [f32, jnp.int32, jnp.int32, f32, f32, f32, f32, f32, jnp.int32]
     outs = pl.pallas_call(
         kernel,
         grid=(g,),
@@ -644,21 +711,9 @@ def trace_resolve_scene_pallas(
             smem(boxes.shape[0]), smem(codes.shape[0]),
             smem(lpos.shape[0]), smem(lprim.shape[0]),
             smem(luv.shape[0]), smem(lnrm.shape[0]), smem(smat.shape[0]),
-        ] + model_specs + [
-            plane3, plane3, plane1,
-        ],
+        ] + model_specs + [ray_spec] * 7,
         out_specs=[out_spec] * 9,
-        out_shape=[
-            jax.ShapeDtypeStruct((g, 8, 128), f32),       # t
-            jax.ShapeDtypeStruct((g, 8, 128), jnp.int32),  # prim
-            jax.ShapeDtypeStruct((g, 8, 128), jnp.int32),  # inst
-            jax.ShapeDtypeStruct((g, 8, 128), f32),       # uvx
-            jax.ShapeDtypeStruct((g, 8, 128), f32),       # uvy
-            jax.ShapeDtypeStruct((g, 8, 128), f32),       # nx
-            jax.ShapeDtypeStruct((g, 8, 128), f32),       # ny
-            jax.ShapeDtypeStruct((g, 8, 128), f32),       # nz
-            jax.ShapeDtypeStruct((g, 8, 128), jnp.int32),  # mat
-        ],
+        out_shape=[out_shape(dt) for dt in out_dts],
         scratch_shapes=[
             pltpu.VMEM((9, 8, 128), jnp.float32),   # object-space ray planes
             pltpu.VMEM((9, 8, 128), jnp.float32),   # best planes
@@ -667,9 +722,9 @@ def trace_resolve_scene_pallas(
         ],
         interpret=INTERPRET,
     )(boxes, codes, lpos, lprim, luv, lnrm, smat,
-      *model_args, o_pk, d_pk, t_pk)
+      *model_args, *ray_args)
 
-    flat = [x.reshape(r_pad)[:r] for x in outs]
+    flat = [unflatten(x) for x in outs]
     t_f, prim_f, inst_f, uvx, uvy, nx, ny, nz, mat = flat
     return {
         "t": t_f, "prim": prim_f, "inst": inst_f,
@@ -695,7 +750,7 @@ def trace_resolve_scene_pallas(
 @partial(
     jax.jit,
     static_argnames=("root_code", "stack_size", "any_hit", "debug_steps",
-                     "max_steps"),
+                     "max_steps", "image_shape"),
 )
 def trace_scene_pallas(
     scene: RTScene,
@@ -709,28 +764,19 @@ def trace_scene_pallas(
     max_steps: Optional[int] = None,
     active: Optional[jax.Array] = None,
     debug_steps: bool = False,
+    image_shape: Optional[Tuple[int, int]] = None,
 ) -> HitRecord2:
     """Packet-traversal front end: rays run in their given order (pixel-major
-    wavefronts are already strip-coherent — see ordering note above)."""
+    wavefronts are already strip-coherent — see ordering note above), or as
+    (8, 128) pixel tiles when ``image_shape`` applies (``image_mode_ok``)."""
     r = ray_o.shape[0]
-    r_pad = -(-r // PACKET) * PACKET
     t_cap = jnp.asarray(t_max, jnp.float32) + ray_o[:, 0] * 0.0
     if active is not None:
         t_cap = jnp.where(active, t_cap, -1.0)   # never hits, never pushes
-    g = r_pad // PACKET
 
-    def to_planes(x3, fill):
-        """f32[r, 3] -> f32[g, 3, 8, 128], per-column (lane-dim preserved)."""
-        cols = []
-        for k in range(3):
-            c = jnp.pad(x3[:, k], (0, r_pad - r), constant_values=fill)
-            cols.append(c.reshape(g, 8, 128))
-        return jnp.stack(cols, axis=1)
-
-    o_pk = to_planes(ray_o, 0.0)
-    d_pk = to_planes(ray_d, 1.0)
-    t_pk = jnp.pad(t_cap, (0, r_pad - r), constant_values=-1.0).reshape(
-        g, 1, 8, 128)
+    image_mode = image_mode_ok(image_shape, r)
+    ray_args, ray_spec, out_spec, g, out_shape, unflatten = _pack_rays(
+        ray_o, ray_d, t_cap, image_shape)
 
     boxes, codes, lpos, lprim = _split_scene(scene)
     if max_steps is None:
@@ -740,47 +786,31 @@ def trace_scene_pallas(
     assert stack_size <= _STACK, "scene too deep for the packet kernel"
 
     kernel = _make_kernel(root_code, max_steps, any_hit,
-                          debug_steps=debug_steps)
+                          debug_steps=debug_steps, image_mode=image_mode)
 
     smem = lambda n: pl.BlockSpec(
         (n,), lambda i: (0,), memory_space=pltpu.SMEM)
-    plane3 = pl.BlockSpec((1, 3, 8, 128), lambda i: (i, 0, 0, 0),
-                          memory_space=pltpu.VMEM)
-    plane1 = pl.BlockSpec((1, 1, 8, 128), lambda i: (i, 0, 0, 0),
-                          memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
 
+    f32 = jnp.float32
+    out_dts = [f32, jnp.int32, jnp.int32, f32, f32]
     t_r, prim_r, inst_r, u_r, v_r = pl.pallas_call(
         kernel,
         grid=(g,),
         in_specs=[
             smem(boxes.shape[0]), smem(codes.shape[0]),
             smem(lpos.shape[0]), smem(lprim.shape[0]),
-            plane3, plane3, plane1,
-        ],
+        ] + [ray_spec] * 7,
         out_specs=[out_spec] * 5,
-        out_shape=[
-            jax.ShapeDtypeStruct((g, 8, 128), jnp.float32),
-            jax.ShapeDtypeStruct((g, 8, 128), jnp.int32),
-            jax.ShapeDtypeStruct((g, 8, 128), jnp.int32),
-            jax.ShapeDtypeStruct((g, 8, 128), jnp.float32),
-            jax.ShapeDtypeStruct((g, 8, 128), jnp.float32),
-        ],
+        out_shape=[out_shape(dt) for dt in out_dts],
         scratch_shapes=[
             pltpu.VMEM((9, 8, 128), jnp.float32),   # object-space ray planes
             pltpu.VMEM((5, 8, 128), jnp.float32),   # best-hit planes
             pltpu.SMEM((8,), jnp.int32),            # cross-branch scalars
         ],
         interpret=INTERPRET,
-    )(boxes, codes, lpos, lprim, o_pk, d_pk, t_pk)
+    )(boxes, codes, lpos, lprim, *ray_args)
 
-    t_f = t_r.reshape(r_pad)[:r]
-    prim_f = prim_r.reshape(r_pad)[:r]
-    inst_f = inst_r.reshape(r_pad)[:r]
-    u_f = u_r.reshape(r_pad)[:r]
-    v_f = v_r.reshape(r_pad)[:r]
     return HitRecord2(
-        t=t_f, prim=prim_f, inst=inst_f,
-        bary=jnp.stack([u_f, v_f], axis=-1),
+        t=unflatten(t_r), prim=unflatten(prim_r), inst=unflatten(inst_r),
+        bary=jnp.stack([unflatten(u_r), unflatten(v_r)], axis=-1),
     )

@@ -83,18 +83,22 @@ def _split_static(scene: PagedScene):
     return sb, sc, lpos, lprim
 
 
-def _make_kernel_paged(root_code: int, max_steps: int, any_hit: bool):
+def _make_kernel_paged(root_code: int, max_steps: int, any_hit: bool,
+                       image_mode: bool = False):
     """Paged closest/any-hit packet kernel (mirror of trace_kernel._make_kernel
     with the chunk-DMA branch and dual-space row loads)."""
+    from .trace_kernel import _io_helpers
+
     S = _STACK
+    rd, stv = _io_helpers(image_mode)
 
     def kernel(sb_ref, sc_ref, lpos_ref, lprim_ref,
                cbox_hbm, ccode_hbm,
-               o_ref, d_ref, tmax_ref,
+               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                t_out, prim_out, inst_out, u_out, v_out,
                obj_ref, best_ref, flag_ref, cb, cc, sems):
-        wox, woy, woz = o_ref[0, 0], o_ref[0, 1], o_ref[0, 2]
-        wdx, wdy, wdz = d_ref[0, 0], d_ref[0, 1], d_ref[0, 2]
+        wox, woy, woz = rd(ox_ref), rd(oy_ref), rd(oz_ref)
+        wdx, wdy, wdz = rd(dx_ref), rd(dy_ref), rd(dz_ref)
 
         def safe_inv(x):
             return 1.0 / jnp.where(jnp.abs(x) < 1e-12, 1e-12, x)
@@ -102,7 +106,7 @@ def _make_kernel_paged(root_code: int, max_steps: int, any_hit: bool):
         wix, wiy, wiz = safe_inv(wdx), safe_inv(wdy), safe_inv(wdz)
 
         neg1 = pltpu.bitcast(jnp.full((8, 128), -1, jnp.int32), jnp.float32)
-        best_ref[0] = tmax_ref[0, 0]
+        best_ref[0] = rd(tmax_ref)
         best_ref[1] = neg1
         best_ref[2] = neg1
         best_ref[3] = jnp.zeros((8, 128), jnp.float32)
@@ -301,36 +305,40 @@ def _make_kernel_paged(root_code: int, max_steps: int, any_hit: bool):
         best_prim = pltpu.bitcast(best_ref[1], jnp.int32)
         best_inst = pltpu.bitcast(best_ref[2], jnp.int32)
         miss = best_prim < 0
-        t_out[0] = jnp.where(miss, jnp.float32(jnp.inf), best_t)
-        prim_out[0] = best_prim
-        inst_out[0] = jnp.where(miss, -1, best_inst)
-        u_out[0] = best_ref[3]
-        v_out[0] = best_ref[4]
+        stv(t_out, jnp.where(miss, jnp.float32(jnp.inf), best_t))
+        stv(prim_out, best_prim)
+        stv(inst_out, jnp.where(miss, -1, best_inst))
+        stv(u_out, best_ref[3])
+        stv(v_out, best_ref[4])
 
     return kernel
 
 
 def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
-                               alpha_test: bool = False, n_mats: int = 1):
+                               alpha_test: bool = False, n_mats: int = 1,
+                               image_mode: bool = False):
     """Paged fused trace+resolve kernel (mirror of
     trace_kernel._make_resolve_kernel). Hit attributes interpolate at hit
     time from SMEM leaf tables; the material id comes from the CURRENT
     CHUNK's slot table (DMA'd with the block), so slot_materials never
     needs global SMEM residency."""
+    from .trace_kernel import _io_helpers
+
     S = _STACK
     sblk = smat_block(n_slots)
+    rd, stv = _io_helpers(image_mode)
 
     def kernel(sb_ref, sc_ref, lpos_ref, lprim_ref, luv_ref, lnrm_ref,
                cbox_hbm, ccode_hbm, csmat_hbm, *rest):
         if alpha_test:
             smodel_ref = rest[0]
             rest = rest[1:]
-        (o_ref, d_ref, tmax_ref,
+        (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
          t_out, prim_out, inst_out, uvx_out, uvy_out,
          nx_out, ny_out, nz_out, mat_out,
          obj_ref, best_ref, flag_ref, minv_ref, cb, cc, cs, sems) = rest
-        wox, woy, woz = o_ref[0, 0], o_ref[0, 1], o_ref[0, 2]
-        wdx, wdy, wdz = d_ref[0, 0], d_ref[0, 1], d_ref[0, 2]
+        wox, woy, woz = rd(ox_ref), rd(oy_ref), rd(oz_ref)
+        wdx, wdy, wdz = rd(dx_ref), rd(dy_ref), rd(dz_ref)
 
         def safe_inv(x):
             return 1.0 / jnp.where(jnp.abs(x) < 1e-12, 1e-12, x)
@@ -338,7 +346,7 @@ def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
         wix, wiy, wiz = safe_inv(wdx), safe_inv(wdy), safe_inv(wdz)
 
         neg1 = pltpu.bitcast(jnp.full((8, 128), -1, jnp.int32), jnp.float32)
-        best_ref[0] = tmax_ref[0, 0]
+        best_ref[0] = rd(tmax_ref)
         best_ref[1] = neg1
         best_ref[2] = neg1
         for i in range(3, 8):
@@ -586,22 +594,24 @@ def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
         best_prim = pltpu.bitcast(best_ref[1], jnp.int32)
         best_inst = pltpu.bitcast(best_ref[2], jnp.int32)
         miss = best_prim < 0
-        t_out[0] = jnp.where(miss, jnp.float32(jnp.inf), best_t)
-        prim_out[0] = best_prim
-        inst_out[0] = jnp.where(miss, -1, best_inst)
-        uvx_out[0] = best_ref[3]
-        uvy_out[0] = best_ref[4]
-        nx_out[0] = best_ref[5]
-        ny_out[0] = best_ref[6]
-        nz_out[0] = best_ref[7]
-        mat_out[0] = jnp.where(miss, 0, pltpu.bitcast(best_ref[8], jnp.int32))
+        stv(t_out, jnp.where(miss, jnp.float32(jnp.inf), best_t))
+        stv(prim_out, best_prim)
+        stv(inst_out, jnp.where(miss, -1, best_inst))
+        stv(uvx_out, best_ref[3])
+        stv(uvy_out, best_ref[4])
+        stv(nx_out, best_ref[5])
+        stv(ny_out, best_ref[6])
+        stv(nz_out, best_ref[7])
+        stv(mat_out,
+            jnp.where(miss, 0, pltpu.bitcast(best_ref[8], jnp.int32)))
 
     return kernel
 
 
 @partial(
     jax.jit,
-    static_argnames=("root_code", "stack_size", "max_steps", "n_slots"),
+    static_argnames=("root_code", "stack_size", "max_steps", "n_slots",
+                     "image_shape"),
 )
 def trace_resolve_scene_pallas_paged(
     scene: PagedScene,
@@ -615,28 +625,21 @@ def trace_resolve_scene_pallas_paged(
     n_slots: int = 1,
     active: Optional[jax.Array] = None,
     shading_model: Optional[jax.Array] = None,
+    image_shape=None,
 ):
     """Paged fused closest-hit + attribute resolve (mirror of
     trace_resolve_scene_pallas). ``n_slots`` must match the slot_materials
     width the scene was assembled with (chunk smat block layout)."""
+    from .trace_kernel import _pack_rays, image_mode_ok
+
     r = ray_o.shape[0]
-    r_pad = -(-r // PACKET) * PACKET
     t_cap = jnp.asarray(t_max, jnp.float32) + ray_o[:, 0] * 0.0
     if active is not None:
         t_cap = jnp.where(active, t_cap, -1.0)
-    g = r_pad // PACKET
 
-    def to_planes(x3, fill):
-        cols = []
-        for k in range(3):
-            c = jnp.pad(x3[:, k], (0, r_pad - r), constant_values=fill)
-            cols.append(c.reshape(g, 8, 128))
-        return jnp.stack(cols, axis=1)
-
-    o_pk = to_planes(ray_o, 0.0)
-    d_pk = to_planes(ray_d, 1.0)
-    t_pk = jnp.pad(t_cap, (0, r_pad - r), constant_values=-1.0).reshape(
-        g, 1, 8, 128)
+    image_mode = image_mode_ok(image_shape, r)
+    ray_args, ray_spec, out_spec, g, out_shape, unflatten = _pack_rays(
+        ray_o, ray_d, t_cap, image_shape)
 
     sb, sc, lpos, lprim = _split_static(scene)
     luv = scene.leaf_rows[:, _UV:].reshape(-1)
@@ -646,22 +649,18 @@ def trace_resolve_scene_pallas_paged(
     alpha_test = shading_model is not None
     n_mats = shading_model.shape[0] if alpha_test else 1
     kernel = _make_resolve_kernel_paged(
-        root_code, max_steps, n_slots, alpha_test=alpha_test, n_mats=n_mats)
+        root_code, max_steps, n_slots, alpha_test=alpha_test, n_mats=n_mats,
+        image_mode=image_mode)
 
     smem = lambda n: pl.BlockSpec(
         (n,), lambda i: (0,), memory_space=pltpu.SMEM)
     anyspace = pl.BlockSpec(memory_space=pl.ANY)
-    plane3 = pl.BlockSpec((1, 3, 8, 128), lambda i: (i, 0, 0, 0),
-                          memory_space=pltpu.VMEM)
-    plane1 = pl.BlockSpec((1, 1, 8, 128), lambda i: (i, 0, 0, 0),
-                          memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
 
     f32 = jnp.float32
     model_specs = [smem(n_mats)] if alpha_test else []
     model_args = (
         [shading_model.astype(jnp.int32).reshape(-1)] if alpha_test else [])
+    out_dts = [f32, jnp.int32, jnp.int32, f32, f32, f32, f32, f32, jnp.int32]
     outs = pl.pallas_call(
         kernel,
         grid=(g,),
@@ -670,21 +669,9 @@ def trace_resolve_scene_pallas_paged(
             smem(lpos.shape[0]), smem(lprim.shape[0]),
             smem(luv.shape[0]), smem(lnrm.shape[0]),
             anyspace, anyspace, anyspace,
-        ] + model_specs + [
-            plane3, plane3, plane1,
-        ],
+        ] + model_specs + [ray_spec] * 7,
         out_specs=[out_spec] * 9,
-        out_shape=[
-            jax.ShapeDtypeStruct((g, 8, 128), f32),        # t
-            jax.ShapeDtypeStruct((g, 8, 128), jnp.int32),  # prim
-            jax.ShapeDtypeStruct((g, 8, 128), jnp.int32),  # inst
-            jax.ShapeDtypeStruct((g, 8, 128), f32),        # uvx
-            jax.ShapeDtypeStruct((g, 8, 128), f32),        # uvy
-            jax.ShapeDtypeStruct((g, 8, 128), f32),        # nx
-            jax.ShapeDtypeStruct((g, 8, 128), f32),        # ny
-            jax.ShapeDtypeStruct((g, 8, 128), f32),        # nz
-            jax.ShapeDtypeStruct((g, 8, 128), jnp.int32),  # mat
-        ],
+        out_shape=[out_shape(dt) for dt in out_dts],
         scratch_shapes=[
             pltpu.VMEM((9, 8, 128), jnp.float32),   # object-space ray planes
             pltpu.VMEM((9, 8, 128), jnp.float32),   # best planes
@@ -698,9 +685,9 @@ def trace_resolve_scene_pallas_paged(
         interpret=INTERPRET,
     )(sb, sc, lpos, lprim, luv, lnrm,
       scene.chunk_boxes, scene.chunk_codes, scene.chunk_smat,
-      *model_args, o_pk, d_pk, t_pk)
+      *model_args, *ray_args)
 
-    flat = [x.reshape(r_pad)[:r] for x in outs]
+    flat = [unflatten(x) for x in outs]
     t_f, prim_f, inst_f, uvx, uvy, nx, ny, nz, mat = flat
     return {
         "t": t_f, "prim": prim_f, "inst": inst_f,
@@ -712,7 +699,8 @@ def trace_resolve_scene_pallas_paged(
 
 @partial(
     jax.jit,
-    static_argnames=("root_code", "stack_size", "any_hit", "max_steps"),
+    static_argnames=("root_code", "stack_size", "any_hit", "max_steps",
+                     "image_shape"),
 )
 def trace_scene_pallas_paged(
     scene: PagedScene,
@@ -725,42 +713,32 @@ def trace_scene_pallas_paged(
     max_steps: int,
     any_hit: bool = False,
     active: Optional[jax.Array] = None,
+    image_shape=None,
 ) -> HitRecord2:
     """Paged packet traversal front end (mirror of trace_scene_pallas)."""
+    from .trace_kernel import _pack_rays, image_mode_ok
+
     r = ray_o.shape[0]
-    r_pad = -(-r // PACKET) * PACKET
     t_cap = jnp.asarray(t_max, jnp.float32) + ray_o[:, 0] * 0.0
     if active is not None:
         t_cap = jnp.where(active, t_cap, -1.0)
-    g = r_pad // PACKET
 
-    def to_planes(x3, fill):
-        cols = []
-        for k in range(3):
-            c = jnp.pad(x3[:, k], (0, r_pad - r), constant_values=fill)
-            cols.append(c.reshape(g, 8, 128))
-        return jnp.stack(cols, axis=1)
-
-    o_pk = to_planes(ray_o, 0.0)
-    d_pk = to_planes(ray_d, 1.0)
-    t_pk = jnp.pad(t_cap, (0, r_pad - r), constant_values=-1.0).reshape(
-        g, 1, 8, 128)
+    image_mode = image_mode_ok(image_shape, r)
+    ray_args, ray_spec, out_spec, g, out_shape, unflatten = _pack_rays(
+        ray_o, ray_d, t_cap, image_shape)
 
     sb, sc, lpos, lprim = _split_static(scene)
     assert stack_size <= _STACK, "scene too deep for the packet kernel"
 
-    kernel = _make_kernel_paged(root_code, max_steps, any_hit)
+    kernel = _make_kernel_paged(root_code, max_steps, any_hit,
+                                image_mode=image_mode)
 
     smem = lambda n: pl.BlockSpec(
         (n,), lambda i: (0,), memory_space=pltpu.SMEM)
     anyspace = pl.BlockSpec(memory_space=pl.ANY)
-    plane3 = pl.BlockSpec((1, 3, 8, 128), lambda i: (i, 0, 0, 0),
-                          memory_space=pltpu.VMEM)
-    plane1 = pl.BlockSpec((1, 1, 8, 128), lambda i: (i, 0, 0, 0),
-                          memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
 
+    f32 = jnp.float32
+    out_dts = [f32, jnp.int32, jnp.int32, f32, f32]
     t_r, prim_r, inst_r, u_r, v_r = pl.pallas_call(
         kernel,
         grid=(g,),
@@ -768,16 +746,9 @@ def trace_scene_pallas_paged(
             smem(sb.shape[0]), smem(sc.shape[0]),
             smem(lpos.shape[0]), smem(lprim.shape[0]),
             anyspace, anyspace,
-            plane3, plane3, plane1,
-        ],
+        ] + [ray_spec] * 7,
         out_specs=[out_spec] * 5,
-        out_shape=[
-            jax.ShapeDtypeStruct((g, 8, 128), jnp.float32),
-            jax.ShapeDtypeStruct((g, 8, 128), jnp.int32),
-            jax.ShapeDtypeStruct((g, 8, 128), jnp.int32),
-            jax.ShapeDtypeStruct((g, 8, 128), jnp.float32),
-            jax.ShapeDtypeStruct((g, 8, 128), jnp.float32),
-        ],
+        out_shape=[out_shape(dt) for dt in out_dts],
         scratch_shapes=[
             pltpu.VMEM((9, 8, 128), jnp.float32),   # object-space ray planes
             pltpu.VMEM((5, 8, 128), jnp.float32),   # best-hit planes
@@ -788,14 +759,9 @@ def trace_scene_pallas_paged(
         ],
         interpret=INTERPRET,
     )(sb, sc, lpos, lprim, scene.chunk_boxes, scene.chunk_codes,
-      o_pk, d_pk, t_pk)
+      *ray_args)
 
-    t_f = t_r.reshape(r_pad)[:r]
-    prim_f = prim_r.reshape(r_pad)[:r]
-    inst_f = inst_r.reshape(r_pad)[:r]
-    u_f = u_r.reshape(r_pad)[:r]
-    v_f = v_r.reshape(r_pad)[:r]
     return HitRecord2(
-        t=t_f, prim=prim_f, inst=inst_f,
-        bary=jnp.stack([u_f, v_f], axis=-1),
+        t=unflatten(t_r), prim=unflatten(prim_r), inst=unflatten(inst_r),
+        bary=jnp.stack([unflatten(u_r), unflatten(v_r)], axis=-1),
     )

@@ -110,6 +110,10 @@ def make_hybrid_frame(meta, animate: Optional[Callable],
             tlas_index=0, stack_size=stack_size,
             leaf_cutout=leaf_cutout, use_pallas=use_pallas_trace,
             paged=paged, textures=textures, time=time, animate=animate,
+            # G-buffer wavefronts are image-row-major: group RT packets as
+            # (8, 128) pixel tiles (packet cost ~ union of ray footprints;
+            # row strips were the round-2 secondary-ray bottleneck)
+            image_shape=(height, width),
         )
 
         # --- RT passes at G-buffer surfaces --------------------------------

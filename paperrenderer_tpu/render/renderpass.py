@@ -328,6 +328,19 @@ class RenderPass:
         # mostly padding at large scenes)
         self._work_capacity = -(-int(required * 1.25) // 4096) * 4096
 
+    def _adopt_work_demand(self, required: int, cap: int) -> bool:
+        """Adopt a measured pair demand: grow when the capacity overflowed,
+        and TIGHTEN when it is >2x oversized (hysteresis vs the 1.25x
+        headroom, so a stable camera recompiles at most once). Tightening
+        matters at scale: the tri-count default is pessimistic — at 100k
+        instances @1080p it sizes 1.34M pairs for a 630k demand, which is
+        2x the kernel steps, a second work-list page, and the 10-25%-slower
+        lane layout (docs/PERF.md)."""
+        if required > cap or required * 2 < cap:
+            self._grow_work_capacity(required)
+            return self._work_capacity != cap
+        return False
+
     def _consume_overflow_signal(self, mapping) -> None:
         """Deferred per-frame overflow growth: consult the previous frame's
         ``required_work`` (device scalar) without stalling the pipeline —
@@ -347,8 +360,7 @@ class RenderPass:
         cap = self._work_capacity or default_pair_capacity(
             self.width, self.height, mapping.capacity
         )
-        if required > cap:
-            self._grow_work_capacity(required)
+        self._adopt_work_demand(required, cap)
 
     def _current_mapping(self):
         from ..ops.static_batch import build_static_mapping
@@ -406,8 +418,7 @@ class RenderPass:
                 cap = self._work_capacity or default_pair_capacity(
                     self.width, self.height, mapping.capacity
                 )
-                if required > cap:
-                    self._grow_work_capacity(required)
+                if self._adopt_work_demand(required, cap):
                     kwargs["work_capacity"] = self._work_capacity
                     ldr, aux = render_frame_static(
                         mapping, instances, self.scene.tables(), table,

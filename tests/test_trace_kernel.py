@@ -197,3 +197,49 @@ def test_leaf_cutout_in_kernel():
     bg_idx = bg.index
     assert (inst_k == leaf_idx).any(), "no leaf hits — pattern fully cut"
     assert (inst_k == bg_idx).any(), "no cutout — background never visible"
+
+
+def test_image_mode_matches_flat(example):
+    """Image packet grouping ((8, 128) pixel tiles via index_map) returns
+    identical per-ray results to the flat row-strip grouping — grouping only
+    changes packet membership, never the per-ray math."""
+    rp, cam, rts, roots, ss, instances, o, d, t_max = example
+    W, H = 128, 32                               # 4096 rays, 4 image tiles
+    o4, d4 = raygen(cam.matrices, W, H)
+    t4 = jnp.full(o4.shape[0], 1000.0)
+    ms = TK.traversal_step_bound(rts, instances.capacity)
+    assert TK.image_mode_ok((H, W), o4.shape[0])
+    rec_f = TK.trace_scene_pallas(
+        rts, o4, d4, t4, root_code=roots[0], stack_size=ss, max_steps=ms)
+    rec_i = TK.trace_scene_pallas(
+        rts, o4, d4, t4, root_code=roots[0], stack_size=ss, max_steps=ms,
+        image_shape=(H, W))
+    np.testing.assert_array_equal(np.asarray(rec_i.prim),
+                                  np.asarray(rec_f.prim))
+    np.testing.assert_array_equal(np.asarray(rec_i.inst),
+                                  np.asarray(rec_f.inst))
+    np.testing.assert_allclose(np.asarray(rec_i.t), np.asarray(rec_f.t),
+                               rtol=1e-6, atol=1e-6)
+    assert np.asarray(rec_i.hit).any()
+
+
+def test_image_mode_resolve_matches_flat(example):
+    rp, cam, rts, roots, ss, instances, o, d, t_max = example
+    W, H = 128, 32
+    o4, d4 = raygen(cam.matrices, W, H)
+    t4 = jnp.full(o4.shape[0], 1000.0)
+    ms = TK.traversal_step_bound(rts, instances.capacity)
+    slots = rp._slot_material_array(instances.capacity)
+    out_f = TK.trace_resolve_scene_pallas(
+        rts, slots, o4, d4, t4, root_code=roots[0], stack_size=ss,
+        max_steps=ms)
+    out_i = TK.trace_resolve_scene_pallas(
+        rts, slots, o4, d4, t4, root_code=roots[0], stack_size=ss,
+        max_steps=ms, image_shape=(H, W))
+    for k in ("t", "prim", "inst", "material"):
+        np.testing.assert_array_equal(np.asarray(out_i[k]),
+                                      np.asarray(out_f[k]))
+    np.testing.assert_allclose(np.asarray(out_i["normal"]),
+                               np.asarray(out_f["normal"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_i["uv"]),
+                               np.asarray(out_f["uv"]), atol=1e-6)
