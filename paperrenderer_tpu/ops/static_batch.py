@@ -67,8 +67,17 @@ class StaticMapping:
 
 
 def _tier(n: int, floor: int = 2048) -> int:
+    """Geometric capacity tiers at 1.25x steps (4096-aligned). Pow2 tiers
+    padded up to 2x: at config-5 scale a 4.3M-triangle scene ran EVERY
+    per-triangle stage (expand fill-forward, coefficients, binning) over an
+    8.4M capacity. 1.25x mirrors the reference's amortized growth factors
+    (PaperRenderer.h:70-71 1.4x, AccelerationStructure.h:152 1.5x) while
+    capping dead padding at 25%."""
     n = max(n, floor)
-    return 1 << (n - 1).bit_length()
+    cap = floor
+    while cap < n:
+        cap = -(-(cap * 5) // (4 * 256)) * 256
+    return cap
 
 
 def _morton_u64(p: np.ndarray) -> np.ndarray:

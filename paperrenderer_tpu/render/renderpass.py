@@ -38,9 +38,11 @@ from ..ops.tonemap import TonemapParams, tonemap
 
 
 def _tier(n: int, floor: int = 2048) -> int:
-    """Round a capacity up to the next power-of-two tier (static shapes)."""
-    n = max(n, floor)
-    return 1 << (n - 1).bit_length()
+    """Geometric 1.25x capacity tiers (static shapes) — see
+    ops.static_batch._tier for the rationale vs pow2."""
+    from ..ops.static_batch import _tier as _t
+
+    return _t(n, floor)
 
 
 @partial(
