@@ -65,12 +65,26 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
-def default_pair_capacity(width: int, height: int, tri_capacity: int) -> int:
-    """Default pair-slot capacity used when callers pass none: one step's
-    worth per tile plus ~3 tiles per 8-triangle group (measured ~2.0 average
-    on instanced scenes + per-tile rounding headroom)."""
+# default raster path: quarter-tile kernel (see _make_kernel_quarter);
+# the classic full-tile kernel stays selectable for comparison/fallback
+QUARTER_DEFAULT = True
+
+
+def default_pair_capacity(
+    width: int, height: int, tri_capacity: int,
+    quarter: Optional[bool] = None,
+) -> int:
+    """Default work capacity used when callers pass none. Classic path:
+    (group, tile) pair slots — one step's worth per tile plus ~3 tiles per
+    8-triangle group. Quarter path: (group, quarter)-round slots — quarter
+    spans are wider per group (~x1.5) and rounds pad across the 4 lane
+    quarters; the first frame's measured demand tightens either way."""
+    if quarter is None:
+        quarter = QUARTER_DEFAULT
     n_tiles = (width // TILE_W) * (height // TILE_H)
     ng = _round_up(tri_capacity, GROUP) // GROUP
+    if quarter:
+        return _round_up(4 * n_tiles + 6 * ng, 4096)
     return _round_up(n_tiles + 3 * ng, 4096)
 
 
@@ -204,6 +218,114 @@ def _make_kernel(n_tx: int, lane_layout: bool = False, peel: bool = False):
     return kernel
 
 
+QTILE_W = 32       # quarter width: 4 lane quarters per (8, 128) tile
+Q_ROUNDS = 4       # rounds per quarter-kernel step
+Q_SLOTS = Q_ROUNDS * 4          # group slots per step (4 quarters x 4 rounds)
+
+
+def _make_kernel_quarter(n_tx: int, peel: bool = False):
+    """Quarter-tile depth-key raster step.
+
+    The classic kernel evaluates each 8-triangle group on the FULL (8, 128)
+    tile; at micro-triangle densities (config 5: <1 px mean triangle) >95%
+    of that C x P work is waste. Here a step processes Q_SLOTS=16 group
+    slots arranged as Q_ROUNDS=4 rounds x 4 lane QUARTERS: in each round,
+    every (8, 32) lane quarter evaluates a DIFFERENT group — 4x the useful
+    pixel density per vector op.
+
+    Quarter-varying coefficients are produced by ONE MXU matmul per step:
+    the (16, 128) slot block (8 tris x 16 coeffs per slot row — the
+    pre-gathered ``gt`` rows, no reshape) is contracted against a 0/1
+    selector, rep(v, 128r+l) = cf(4r + l//32, v). At Precision.HIGHEST the
+    f32 3-way split reconstructs value*1.0 exactly for all NORMAL f32
+    (denormal coefficients flush to +-0, which contribute < 1e-35 to an
+    edge function and keep e >= 0 seams closed — measured, see PERF.md).
+    Coefficient planes then come off the scratch as (1, 128) sublane rows —
+    native sublane broadcasts, no lane shuffles.
+
+    Measured 1.34 us/step = 84 ns/quarter-pair vs the classic kernel's
+    419 ns/tile-pair (5x/pair; net win depends on quarter-span growth and
+    round padding, ~3x at config-5 density)."""
+    def kernel(org_ref, wt_ref, cft_ref, *refs):
+        if peel:
+            floor_ref, ceil_ref, kin_ref, tin_ref, key_ref, tid_ref, rep_ref = refs
+        else:
+            kin_ref, tin_ref, key_ref, tid_ref, rep_ref = refs
+        j = pl.program_id(0)
+        t = wt_ref[j]
+        prev_t = wt_ref[jnp.maximum(j - 1, 0)]
+        first = (j == 0) | (t != prev_t)
+
+        @pl.when(first & (t >= 0))
+        def _resume():
+            key_ref[:, :] = kin_ref[:, :]
+            tid_ref[:, :] = tin_ref[:, :]
+
+        @pl.when(t >= 0)
+        def _body():
+            ty = t // n_tx
+            tx = t % n_tx
+            # replicate all 16 slots' 128 values across their quarters
+            srow = jax.lax.broadcasted_iota(
+                jnp.int32, (Q_SLOTS, Q_ROUNDS * TILE_W), 0)
+            scol = jax.lax.broadcasted_iota(
+                jnp.int32, (Q_SLOTS, Q_ROUNDS * TILE_W), 1)
+            sel = (srow == 4 * (scol // TILE_W)
+                   + (scol % TILE_W) // QTILE_W).astype(jnp.float32)
+            rep_ref[:, :] = jax.lax.dot_general(
+                cft_ref[:, :], sel, (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+
+            ys = jax.lax.broadcasted_iota(
+                jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
+            xs = jax.lax.broadcasted_iota(
+                jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
+            px = xs + (tx * TILE_W + org_ref[0]).astype(jnp.float32) + 0.5
+            py = ys + (ty * TILE_H + org_ref[1]).astype(jnp.float32) + 0.5
+            if peel:
+                fl = floor_ref[:, :]
+                ce = ceil_ref[:, :]
+
+            key_old = key_ref[:, :]
+            tid_old = tid_ref[:, :]
+            kmin = jnp.full((TILE_H, TILE_W), SENTINEL, jnp.int32)
+            gsel = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+            for r in range(Q_ROUNDS):
+                def col(c, i, _r=r):
+                    return rep_ref[
+                        c * 16 + i, TILE_W * _r:TILE_W * (_r + 1)
+                    ].reshape(1, TILE_W)
+
+                for c in range(GROUP):
+                    e0 = col(c, 0) * px + col(c, 1) * py + col(c, 2)
+                    e1 = col(c, 3) * px + col(c, 4) * py + col(c, 5)
+                    e2 = col(c, 6) * px + col(c, 7) * py + col(c, 8)
+                    zn = col(c, 9) * px + col(c, 10) * py + col(c, 11)
+                    wn = col(c, 12) * px + col(c, 13) * py + col(c, 14)
+                    accept = ((e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
+                              & (wn > 1e-12) & (zn >= 0.0))
+                    z = zn / jnp.where(accept, wn, 1.0)
+                    srt = pltpu.bitcast(z, jnp.int32)
+                    if peel:
+                        dk = srt & jnp.int32(_KEY_MASK)
+                        accept = accept & (dk > fl) & (dk < ce)
+                    keyv = jnp.where(
+                        accept,
+                        (srt & jnp.int32(_KEY_MASK)) | (r * GROUP + c),
+                        jnp.int32(SENTINEL),
+                    )
+                    win = keyv < kmin
+                    kmin = jnp.where(win, keyv, kmin)
+                    gsel = jnp.where(win, col(c, 15) + jnp.zeros_like(gsel),
+                                     gsel)
+            win = kmin < key_old
+            key_ref[:, :] = jnp.where(win, kmin, key_old)
+            tid_ref[:, :] = jnp.where(win, gsel.astype(jnp.int32), tid_old)
+
+    return kernel
+
+
 def depth_to_key(z: jax.Array) -> jax.Array:
     """f32 depth -> masked sortable depth key (the kernel's encoding: depths
     are clipped nonnegative, so the f32 bits sort directly as int32);
@@ -234,6 +356,7 @@ def rasterize_exact(
     full_width: Optional[int] = None,
     full_height: Optional[int] = None,
     origin=(0, 0),
+    quarter: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Exact-binned raster. Returns (depth f32[H,W], tid i32[H,W] global
     triangle ids, attr_table f32[T_pad, 32], required i32 scalar).
@@ -252,8 +375,15 @@ def rasterize_exact(
     (full_width x full_height) viewport at pixel offset ``origin`` (may be
     traced, e.g. axis_index-derived under shard_map). Coefficients stay in
     full-viewport pixel space, so edge tests are bitwise identical to the
-    single-device run; binning and the kernel work in window space."""
+    single-device run; binning and the kernel work in window space.
+
+    ``quarter`` selects the quarter-tile kernel (default QUARTER_DEFAULT):
+    groups bin to (8, 32) lane quarters and ``pair_capacity``/``required``
+    count (group, quarter)-round SLOTS instead of (group, tile) pairs —
+    callers that grow capacity off ``required`` stay correct either way."""
     assert width % TILE_W == 0 and height % TILE_H == 0
+    if quarter is None:
+        quarter = QUARTER_DEFAULT
     fw = full_width or width
     fh = full_height or height
     coeffs, ok, (lo, hi) = triangle_coefficients(batch, fw, fh)
@@ -266,7 +396,8 @@ def rasterize_exact(
     org = jnp.asarray(origin, jnp.int32).reshape(2)
     org_f = org.astype(jnp.float32)
 
-    p_cap0 = pair_capacity or default_pair_capacity(width, height, t)
+    p_cap0 = pair_capacity or default_pair_capacity(
+        width, height, t, quarter=quarter)
     p_cap0 = _round_up(p_cap0, BP)
 
     # --- group screen AABBs -> tile spans (capacity-independent) ----------
@@ -282,8 +413,11 @@ def rasterize_exact(
     # cull groups whose AABB misses this window entirely
     alive &= (fghi[:, 0] >= 0.0) & (fglo[:, 0] <= width) \
         & (fghi[:, 1] >= 0.0) & (fglo[:, 1] <= height)
-    gx0 = jnp.clip(jnp.floor(fglo[:, 0] / TILE_W).astype(jnp.int32), 0, n_tx - 1)
-    gx1 = jnp.clip(jnp.floor(fghi[:, 0] / TILE_W).astype(jnp.int32), 0, n_tx - 1)
+    # bin columns: full tiles (classic) or 32-px lane quarters (quarter mode)
+    bw = QTILE_W if quarter else TILE_W
+    n_bx = width // bw
+    gx0 = jnp.clip(jnp.floor(fglo[:, 0] / bw).astype(jnp.int32), 0, n_bx - 1)
+    gx1 = jnp.clip(jnp.floor(fghi[:, 0] / bw).astype(jnp.int32), 0, n_bx - 1)
     gy0 = jnp.clip(jnp.floor(fglo[:, 1] / TILE_H).astype(jnp.int32), 0, n_ty - 1)
     gy1 = jnp.clip(jnp.floor(fghi[:, 1] / TILE_H).astype(jnp.int32), 0, n_ty - 1)
     gx1 = jnp.maximum(gx1, gx0)
@@ -327,62 +461,109 @@ def rasterize_exact(
 
         gi = info[pg]                                        # [P, 4]
         within = slot - gi[:, 0]
-        ty = gi[:, 2] + within // gi[:, 3]
-        tx = gi[:, 1] + within % gi[:, 3]
-        tile = ty * n_tx + tx
+        by = gi[:, 2] + within // gi[:, 3]
+        bx = gi[:, 1] + within % gi[:, 3]
 
-        # tile-sort + per-tile padding to BP
-        keys = jnp.where(pvalid, tile, n_tiles)
-        vals = jnp.where(pvalid, pg, -1)
-        tile_s, group_s = jax.lax.sort((keys, vals), num_keys=1)
-        starts = jnp.searchsorted(
-            tile_s, jnp.arange(n_tiles + 1, dtype=jnp.int32)
-        ).astype(jnp.int32)
-        hist = starts[1:] - starts[:-1]                      # [n_tiles]
-        padded_hist = _round_up_arr(hist, BP)
-        padded_starts = jnp.cumsum(padded_hist) - padded_hist
-        # true demand: padded demand of surviving pairs, and the raw pair
-        # count when the expansion itself overflowed p_cap
-        required = jnp.maximum(
-            padded_starts[-1] + padded_hist[-1], n_pairs)
+        lane_layout = False
+        if quarter:
+            # --- quarter layout: cells = (tile, lane-quarter); each tile's
+            # 4 quarter lists interleave as rounds of 4 slots, padded to
+            # Q_ROUNDS rounds per step, so every step is one whole tile ----
+            n_cells = n_tiles * 4
+            cell = by * n_bx + bx        # == tile*4 + quarter (n_bx = 4*n_tx)
+            keys = jnp.where(pvalid, cell, n_cells)
+            vals = jnp.where(pvalid, pg, -1)
+            cell_s, group_s = jax.lax.sort((keys, vals), num_keys=1)
+            starts = jnp.searchsorted(
+                cell_s, jnp.arange(n_cells + 1, dtype=jnp.int32)
+            ).astype(jnp.int32)
+            hist = (starts[1:] - starts[:-1]).reshape(n_tiles, 4)
+            rounds = hist.max(axis=1)                        # [n_tiles]
+            steps_t = -(-rounds // Q_ROUNDS)
+            step_start = jnp.cumsum(steps_t) - steps_t       # exclusive
+            total_steps = step_start[-1] + steps_t[-1]
+            required = jnp.maximum(total_steps * Q_SLOTS, n_pairs)
 
-        tbl = jnp.stack([starts[:-1], padded_starts], axis=-1)
-        per = tbl[jnp.minimum(tile_s, n_tiles - 1)]
-        rank = slot - per[:, 0]
-        ppos = per[:, 1] + rank
-        ok_s = group_s >= 0
-        write2 = jnp.where(ok_s, ppos, p_cap)
-        rows = jnp.stack([group_s, tile_s], axis=-1)         # [P, 2]
-        padded = jnp.full((p_cap, 2), -1, jnp.int32).at[write2].set(
-            rows, mode="drop")
-        padded_group = padded[:, 0]
-        # padding slots inside a tile's rounded region must map to that tile
-        # so the step's output block is right; recover by fill-forward of
-        # tile ids (regions are contiguous and ascending)
-        padded_tile = jax.lax.cummax(padded[:, 1])
-        padded_tile = jnp.where(slot < jnp.minimum(required, p_cap),
-                                padded_tile, -1)
-        wt = padded_tile[::BP]                               # [n_steps]
+            # destination slot of each sorted pair: rank k within its
+            # quarter list -> round k, i.e. step k//4, row 4*(k%4)+quarter
+            cell_c = jnp.minimum(cell_s, n_cells - 1)
+            k = slot - starts[cell_c]
+            dst = ((step_start[cell_c // 4] + k // Q_ROUNDS) * Q_SLOTS
+                   + 4 * (k % Q_ROUNDS) + cell_c % 4)
+            ok_s = (group_s >= 0) & (dst < p_cap)
+            write2 = jnp.where(ok_s, dst, p_cap)
+            padded_group = jnp.full((p_cap,), -1, jnp.int32).at[write2].set(
+                group_s, mode="drop")
 
-        # pre-gather pair coefficient rows (ONE row gather). The fast
-        # sublane layout's [P*GROUP, 16] array is lane-padded 8x by T(8,128)
-        # tiling; switch to exact-tiling lane planes only when that padding
-        # would blow HBM (the padded table + its [P, 128] gather source must
-        # both fit: ~6 GiB keeps config-5's ~790k-pair capacity on the fast
-        # layout inside a 16 GiB chip with the 1.8 GiB attr table resident).
-        lane_layout = p_cap * GROUP * 128 * 4 > (6 << 30)
-        pg2 = jnp.where(padded_group >= 0, padded_group, ng)
-        gathered = gt[pg2]                                   # [P, 128]
-        if lane_layout:
-            # strided per-plane slices — a reshape/transpose through a 4D
-            # view with 8/16-wide minor dims materializes T(8,128)-padded
-            # intermediates (8-16x memory) and OOMs at this scale
-            cf_pairs = jnp.stack(
-                [gathered[:, i::16].reshape(n_steps, C) for i in range(16)],
-                axis=1,
-            )                                                # [n_steps, 16, C]
+            # per-step tile ids: scatter tile index at each tile's first
+            # step + cummax fill-forward (step runs ascend with tile id)
+            wstep = jnp.where(steps_t > 0, step_start, n_steps)
+            marks = jnp.full((n_steps,), -1, jnp.int32).at[wstep].set(
+                jnp.arange(n_tiles, dtype=jnp.int32), mode="drop")
+            wt = jax.lax.cummax(marks)
+            wt = jnp.where(
+                jnp.arange(n_steps, dtype=jnp.int32)
+                < jnp.minimum(total_steps, n_steps), wt, -1)
+
+            pg2 = jnp.where(padded_group >= 0, padded_group, ng)
+            cf_pairs = gt[pg2]          # [P, 128] — exact T(8,128) tiling
         else:
-            cf_pairs = gathered.reshape(p_cap * GROUP, 16)
+            tile = by * n_tx + bx
+
+            # tile-sort + per-tile padding to BP
+            keys = jnp.where(pvalid, tile, n_tiles)
+            vals = jnp.where(pvalid, pg, -1)
+            tile_s, group_s = jax.lax.sort((keys, vals), num_keys=1)
+            starts = jnp.searchsorted(
+                tile_s, jnp.arange(n_tiles + 1, dtype=jnp.int32)
+            ).astype(jnp.int32)
+            hist = starts[1:] - starts[:-1]                  # [n_tiles]
+            padded_hist = _round_up_arr(hist, BP)
+            padded_starts = jnp.cumsum(padded_hist) - padded_hist
+            # true demand: padded demand of surviving pairs, and the raw pair
+            # count when the expansion itself overflowed p_cap
+            required = jnp.maximum(
+                padded_starts[-1] + padded_hist[-1], n_pairs)
+
+            tbl = jnp.stack([starts[:-1], padded_starts], axis=-1)
+            per = tbl[jnp.minimum(tile_s, n_tiles - 1)]
+            rank = slot - per[:, 0]
+            ppos = per[:, 1] + rank
+            ok_s = group_s >= 0
+            write2 = jnp.where(ok_s, ppos, p_cap)
+            rows = jnp.stack([group_s, tile_s], axis=-1)     # [P, 2]
+            padded = jnp.full((p_cap, 2), -1, jnp.int32).at[write2].set(
+                rows, mode="drop")
+            padded_group = padded[:, 0]
+            # padding slots inside a tile's rounded region must map to that
+            # tile so the step's output block is right; recover by
+            # fill-forward of tile ids (regions contiguous and ascending)
+            padded_tile = jax.lax.cummax(padded[:, 1])
+            padded_tile = jnp.where(slot < jnp.minimum(required, p_cap),
+                                    padded_tile, -1)
+            wt = padded_tile[::BP]                           # [n_steps]
+
+            # pre-gather pair coefficient rows (ONE row gather). The fast
+            # sublane layout's [P*GROUP, 16] array is lane-padded 8x by
+            # T(8,128) tiling; switch to exact-tiling lane planes only when
+            # that padding would blow HBM (the padded table + its [P, 128]
+            # gather source must both fit: ~6 GiB keeps config-5's
+            # ~790k-pair capacity on the fast layout inside a 16 GiB chip
+            # with the 1.8 GiB attr table resident).
+            lane_layout = p_cap * GROUP * 128 * 4 > (6 << 30)
+            pg2 = jnp.where(padded_group >= 0, padded_group, ng)
+            gathered = gt[pg2]                               # [P, 128]
+            if lane_layout:
+                # strided per-plane slices — a reshape/transpose through a
+                # 4D view with 8/16-wide minor dims materializes
+                # T(8,128)-padded intermediates (8-16x memory), OOMs here
+                cf_pairs = jnp.stack(
+                    [gathered[:, i::16].reshape(n_steps, C)
+                     for i in range(16)],
+                    axis=1,
+                )                                            # [n_steps, 16, C]
+            else:
+                cf_pairs = gathered.reshape(p_cap * GROUP, 16)
 
         # pages split the steps EVENLY (not padded to PAGE_STEPS): a demand
         # one step past the page cap would otherwise pay a near-empty second
@@ -392,7 +573,10 @@ def rasterize_exact(
         if n_pages > 1:
             pad_steps = n_pages * page_steps - n_steps
             wt = jnp.pad(wt, (0, pad_steps), constant_values=-1)
-            if lane_layout:
+            if quarter:
+                cf_pairs = jnp.pad(
+                    cf_pairs, ((0, pad_steps * Q_SLOTS), (0, 0)))
+            elif lane_layout:
                 cf_pairs = jnp.pad(
                     cf_pairs, ((0, pad_steps), (0, 0), (0, 0)))
             else:
@@ -404,7 +588,15 @@ def rasterize_exact(
                                 jnp.maximum(wt[j], 0) % n_tx),
             memory_space=pltpu.VMEM,
         )
-        if lane_layout:
+        scratch_shapes = ()
+        if quarter:
+            cf_spec = pl.BlockSpec((Q_SLOTS, 128),
+                                   lambda j, org, wt: (j, 0),
+                                   memory_space=pltpu.VMEM)
+            cf_rows = page_steps * Q_SLOTS
+            scratch_shapes = (pltpu.VMEM(
+                (GROUP * 16, Q_ROUNDS * TILE_W), jnp.float32),)
+        elif lane_layout:
             cf_spec = pl.BlockSpec((1, 16, C), lambda j, org, wt: (j, 0, 0),
                                    memory_space=pltpu.VMEM)
             cf_rows = page_steps
@@ -419,6 +611,7 @@ def rasterize_exact(
             grid=(page_steps,),
             in_specs=[cf_spec] + window_specs + [tile_spec, tile_spec],
             out_specs=[tile_spec, tile_spec],
+            scratch_shapes=scratch_shapes,
         )
         key = jnp.full((height, width), SENTINEL, jnp.int32)
         tid = jnp.full((height, width), SENTINEL, jnp.int32)
@@ -434,8 +627,10 @@ def rasterize_exact(
             if peel:
                 args += [depth_window[0], depth_window[1]]
             args += [key, tid]
+            kern = (_make_kernel_quarter(n_tx, peel) if quarter
+                    else _make_kernel(n_tx, lane_layout, peel))
             key, tid = pl.pallas_call(
-                _make_kernel(n_tx, lane_layout, peel),
+                kern,
                 grid_spec=grid_spec,
                 out_shape=[
                     jax.ShapeDtypeStruct((height, width), jnp.int32),
@@ -451,7 +646,8 @@ def rasterize_exact(
     # only carried while its buffers are cheap; at multi-million-pair scale
     # (where even one extra capacity would not fit HBM) the per-frame guard
     # degrades to the host-side persistent growth off ``required``.
-    if overflow_cond and p_cap0 * GROUP * 128 * 4 <= (3 << 30) // 4:
+    cf_bytes = p_cap0 * 128 * 4 * (1 if quarter else GROUP)
+    if overflow_cond and cf_bytes <= (3 << 30) // 4:
         key, tid = jax.lax.cond(
             required > p_cap0,
             lambda _: run(_round_up(4 * p_cap0, BP))[:2],
