@@ -148,6 +148,11 @@ def _build_blas_host(
     lo[:t] = tri_min[:t]
     hi[:t] = tri_max[:t]
 
+    # leaf rows store (a, e1=b-a, e2=c-a): Möller-Trumbore consumes the
+    # edges directly, dropping 6 scalar subtractions per triangle test from
+    # every traversal kernel's leaf step (AABBs above use the vertices)
+    pos9[:, 3:6] -= pos9[:, 0:3]
+    pos9[:, 6:9] -= pos9[:, 0:3]
     rows[:, _POS:_UV] = pos9.reshape(l, K * 9)
     rows[:, _UV:LEAF_ROW] = uv6.reshape(l, K * 6)
 
@@ -427,10 +432,20 @@ def refit_anim_blases(
     roots_lo, roots_hi = [], []
     for a in meta.anim:
         rows = anim_rest[a.leaf_off : a.leaf_off + a.num_leaves]
-        pos = rows[:, _POS:_UV].reshape(-1, 3)                 # [L*K*3, 3]
+        # rest rows hold (a, e1, e2) — reconstruct vertices, animate each
+        # independently, then re-derive the edges for the refit rows
+        rest9 = rows[:, _POS:_UV].reshape(a.num_leaves, K, 9)
+        a0 = rest9[..., 0:3]
+        verts = jnp.concatenate(
+            [a0, a0 + rest9[..., 3:6], a0 + rest9[..., 6:9]], axis=-1)
+        pos = verts.reshape(-1, 3)                             # [L*K*3, 3]
         pos = animate(pos, time + a.phase)
         pos9 = pos.reshape(a.num_leaves, K, 9)
-        rows = rows.at[:, _POS:_UV].set(pos9.reshape(a.num_leaves, K * 9))
+        edges9 = jnp.concatenate(
+            [pos9[..., 0:3],
+             pos9[..., 3:6] - pos9[..., 0:3],
+             pos9[..., 6:9] - pos9[..., 0:3]], axis=-1)
+        rows = rows.at[:, _POS:_UV].set(edges9.reshape(a.num_leaves, K * 9))
         leaf_parts.append(rows)
 
         ok = jnp.asarray(a.rest_prim >= 0)[..., None]           # [L, K, 1]
@@ -1242,9 +1257,10 @@ def trace_scene(
         prim_tag = scene.leaf_prim[safe_l]                       # [R, K] i32
         prim = prim_tag & 0x00FFFFFF
         slot = jnp.where(prim_tag >= 0, prim_tag >> 24, 0)
-        from .bvh import moller_trumbore
+        from .bvh import moller_trumbore_edges
 
-        t, u, v, hit = moller_trumbore(
+        # leaf rows store (a, e1, e2)
+        t, u, v, hit = moller_trumbore_edges(
             o_obj[:, None, :], d_obj[:, None, :],
             tri[..., 0:3], tri[..., 3:6], tri[..., 6:9], t_min=t_min,
         )

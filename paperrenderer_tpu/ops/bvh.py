@@ -198,8 +198,17 @@ def moller_trumbore(
 ):
     """Ray/triangle intersection. Returns (t, u, v, hit). Two-sided (the
     reference builds BLASes without face culling)."""
-    e1 = v1 - v0
-    e2 = v2 - v0
+    return moller_trumbore_edges(o, d, v0, v1 - v0, v2 - v0, t_min=t_min)
+
+
+def moller_trumbore_edges(
+    o: jax.Array,   # f32[..., 3]
+    d: jax.Array,   # f32[..., 3]
+    v0: jax.Array, e1: jax.Array, e2: jax.Array,  # f32[..., 3]
+    t_min: float = 1e-3,
+):
+    """Möller-Trumbore with precomputed edges (the BLAS leaf-row layout
+    stores (a, e1, e2) so traversal skips the edge subtractions)."""
     p = jnp.cross(d, e2)
     det = jnp.sum(e1 * p, axis=-1)
     ok = jnp.abs(det) > 1e-12

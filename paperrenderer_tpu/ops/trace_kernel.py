@@ -150,12 +150,16 @@ def _make_kernel(root_code: int, max_steps: int, any_hit: bool,
         wix, wiy, wiz = safe_inv(wdx), safe_inv(wdy), safe_inv(wdz)
 
         # best planes: [0]=t [1]=prim(bits) [2]=inst(bits) [3]=u [4]=v
+        # [5]=prune bound for box tests: closest mode tracks best t; any-hit
+        # mode drops to -3e38 once a ray commits, removing it from every
+        # later slab-test union (the packet footprint shrinks as rays occlude)
         neg1 = pltpu.bitcast(jnp.full((8, 128), -1, jnp.int32), jnp.float32)
         best_ref[0] = ld(tmax_ref)
         best_ref[1] = neg1
         best_ref[2] = neg1
         best_ref[3] = jnp.zeros((8, 128), jnp.float32)
         best_ref[4] = jnp.zeros((8, 128), jnp.float32)
+        best_ref[5] = ld(tmax_ref)
         # object-space ray planes: o(3) d(3) inv(3)
         for i, v in enumerate((wox, woy, woz, wdx, wdy, wdz, wix, wiy, wiz)):
             obj_ref[i] = v
@@ -185,7 +189,7 @@ def _make_kernel(root_code: int, max_steps: int, any_hit: bool,
             @pl.when(is_box)
             def _box():
                 b = payload * 12
-                best_t = best_ref[0]
+                best_t = best_ref[5]
                 obj_f = jnp.where(obj, 1.0, 0.0)
                 px = obj_f * obj_ref[0] + (1.0 - obj_f) * wox
                 py = obj_f * obj_ref[1] + (1.0 - obj_f) * woy
@@ -258,12 +262,13 @@ def _make_kernel(root_code: int, max_steps: int, any_hit: bool,
                 cur_inst = flag_ref[3]
                 for k in range(K):
                     tb = b + k * 9
+                    # leaf rows store (a, e1, e2) — edges read directly
                     ax, ay, az = lpos_ref[tb], lpos_ref[tb + 1], lpos_ref[tb + 2]
-                    bx, by, bz = lpos_ref[tb + 3], lpos_ref[tb + 4], lpos_ref[tb + 5]
-                    cx, cy, cz = lpos_ref[tb + 6], lpos_ref[tb + 7], lpos_ref[tb + 8]
+                    e1x, e1y, e1z = (lpos_ref[tb + 3], lpos_ref[tb + 4],
+                                     lpos_ref[tb + 5])
+                    e2x, e2y, e2z = (lpos_ref[tb + 6], lpos_ref[tb + 7],
+                                     lpos_ref[tb + 8])
                     ptag = lprim_ref[pb + k]
-                    e1x, e1y, e1z = bx - ax, by - ay, bz - az
-                    e2x, e2y, e2z = cx - ax, cy - ay, cz - az
                     px_ = ody * e2z - odz * e2y
                     py_ = odz * e2x - odx * e2z
                     pz_ = odx * e2y - ody * e2x
@@ -292,7 +297,12 @@ def _make_kernel(root_code: int, max_steps: int, any_hit: bool,
                 best_ref[3] = best_u
                 best_ref[4] = best_v
                 if any_hit:
+                    # committed rays stop contributing to box tests entirely
+                    best_ref[5] = jnp.where(best_prim >= 0,
+                                            jnp.float32(-3e38), best_t)
                     flag_ref[4] = jnp.all(best_prim >= 0).astype(jnp.int32)
+                else:
+                    best_ref[5] = best_t
 
             # functional pushes from the branch-reported scalars
             box_i = is_box.astype(jnp.int32)
@@ -488,12 +498,13 @@ def _make_resolve_kernel(root_code: int, max_steps: int, n_slots: int,
                 m = [minv_ref[k] for k in range(12)]
                 for k in range(K):
                     tb = b + k * 9
+                    # leaf rows store (a, e1, e2) — edges read directly
                     ax, ay, az = lpos_ref[tb], lpos_ref[tb + 1], lpos_ref[tb + 2]
-                    bx, by, bz = lpos_ref[tb + 3], lpos_ref[tb + 4], lpos_ref[tb + 5]
-                    cx, cy, cz = lpos_ref[tb + 6], lpos_ref[tb + 7], lpos_ref[tb + 8]
+                    e1x, e1y, e1z = (lpos_ref[tb + 3], lpos_ref[tb + 4],
+                                     lpos_ref[tb + 5])
+                    e2x, e2y, e2z = (lpos_ref[tb + 6], lpos_ref[tb + 7],
+                                     lpos_ref[tb + 8])
                     ptag = lprim_ref[pb + k]
-                    e1x, e1y, e1z = bx - ax, by - ay, bz - az
-                    e2x, e2y, e2z = cx - ax, cy - ay, cz - az
                     px_ = ody * e2z - odz * e2y
                     py_ = odz * e2x - odx * e2z
                     pz_ = odx * e2y - ody * e2x
@@ -804,7 +815,7 @@ def trace_scene_pallas(
         out_shape=[out_shape(dt) for dt in out_dts],
         scratch_shapes=[
             pltpu.VMEM((9, 8, 128), jnp.float32),   # object-space ray planes
-            pltpu.VMEM((5, 8, 128), jnp.float32),   # best-hit planes
+            pltpu.VMEM((6, 8, 128), jnp.float32),   # best-hit + prune planes
             pltpu.SMEM((8,), jnp.int32),            # cross-branch scalars
         ],
         interpret=INTERPRET,

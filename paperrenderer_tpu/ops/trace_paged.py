@@ -111,6 +111,8 @@ def _make_kernel_paged(root_code: int, max_steps: int, any_hit: bool,
         best_ref[2] = neg1
         best_ref[3] = jnp.zeros((8, 128), jnp.float32)
         best_ref[4] = jnp.zeros((8, 128), jnp.float32)
+        # [5] = box-test prune bound: any-hit drops committed rays to -3e38
+        best_ref[5] = rd(tmax_ref)
         for i, v in enumerate((wox, woy, woz, wdx, wdy, wdz, wix, wiy, wiz)):
             obj_ref[i] = v
         flag_ref[3] = jnp.int32(0)    # cur_inst
@@ -157,7 +159,7 @@ def _make_kernel_paged(root_code: int, max_steps: int, any_hit: bool,
 
             @pl.when(is_box)
             def _box():
-                best_t = best_ref[0]
+                best_t = best_ref[5]
                 obj_f = jnp.where(obj, 1.0, 0.0)
                 px = obj_f * obj_ref[0] + (1.0 - obj_f) * wox
                 py = obj_f * obj_ref[1] + (1.0 - obj_f) * woy
@@ -239,15 +241,14 @@ def _make_kernel_paged(root_code: int, max_steps: int, any_hit: bool,
                 cur_inst = flag_ref[3]
                 for k in range(K):
                     tb = b + k * 9
+                    # leaf rows store (a, e1, e2) — edges read directly
                     ax, ay, az = (lpos_ref[tb], lpos_ref[tb + 1],
                                   lpos_ref[tb + 2])
-                    bx, by, bz = (lpos_ref[tb + 3], lpos_ref[tb + 4],
-                                  lpos_ref[tb + 5])
-                    cx, cy, cz = (lpos_ref[tb + 6], lpos_ref[tb + 7],
-                                  lpos_ref[tb + 8])
+                    e1x, e1y, e1z = (lpos_ref[tb + 3], lpos_ref[tb + 4],
+                                     lpos_ref[tb + 5])
+                    e2x, e2y, e2z = (lpos_ref[tb + 6], lpos_ref[tb + 7],
+                                     lpos_ref[tb + 8])
                     ptag = lprim_ref[pb + k]
-                    e1x, e1y, e1z = bx - ax, by - ay, bz - az
-                    e2x, e2y, e2z = cx - ax, cy - ay, cz - az
                     px_ = ody * e2z - odz * e2y
                     py_ = odz * e2x - odx * e2z
                     pz_ = odx * e2y - ody * e2x
@@ -276,7 +277,12 @@ def _make_kernel_paged(root_code: int, max_steps: int, any_hit: bool,
                 best_ref[3] = best_u
                 best_ref[4] = best_v
                 if any_hit:
+                    # committed rays stop contributing to box tests entirely
+                    best_ref[5] = jnp.where(best_prim >= 0,
+                                            jnp.float32(-3e38), best_t)
                     flag_ref[4] = jnp.all(best_prim >= 0).astype(jnp.int32)
+                else:
+                    best_ref[5] = best_t
 
             box_i = is_box.astype(jnp.int32)
             any0 = flag_ref[0] * box_i
@@ -496,15 +502,14 @@ def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
                 m = [minv_ref[k] for k in range(12)]
                 for k in range(K):
                     tb = b + k * 9
+                    # leaf rows store (a, e1, e2) — edges read directly
                     ax, ay, az = (lpos_ref[tb], lpos_ref[tb + 1],
                                   lpos_ref[tb + 2])
-                    bx, by, bz = (lpos_ref[tb + 3], lpos_ref[tb + 4],
-                                  lpos_ref[tb + 5])
-                    cx, cy, cz = (lpos_ref[tb + 6], lpos_ref[tb + 7],
-                                  lpos_ref[tb + 8])
+                    e1x, e1y, e1z = (lpos_ref[tb + 3], lpos_ref[tb + 4],
+                                     lpos_ref[tb + 5])
+                    e2x, e2y, e2z = (lpos_ref[tb + 6], lpos_ref[tb + 7],
+                                     lpos_ref[tb + 8])
                     ptag = lprim_ref[pb + k]
-                    e1x, e1y, e1z = bx - ax, by - ay, bz - az
-                    e2x, e2y, e2z = cx - ax, cy - ay, cz - az
                     px_ = ody * e2z - odz * e2y
                     py_ = odz * e2x - odx * e2z
                     pz_ = odx * e2y - ody * e2x
@@ -751,7 +756,7 @@ def trace_scene_pallas_paged(
         out_shape=[out_shape(dt) for dt in out_dts],
         scratch_shapes=[
             pltpu.VMEM((9, 8, 128), jnp.float32),   # object-space ray planes
-            pltpu.VMEM((5, 8, 128), jnp.float32),   # best-hit planes
+            pltpu.VMEM((6, 8, 128), jnp.float32),   # best-hit + prune planes
             pltpu.SMEM((8,), jnp.int32),            # cross-branch scalars
             pltpu.SMEM((_BF,), jnp.float32),        # chunk box scratch
             pltpu.SMEM((_CI,), jnp.int32),          # chunk code scratch
