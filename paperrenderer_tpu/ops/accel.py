@@ -97,6 +97,44 @@ def _morton30_np(p: np.ndarray) -> np.ndarray:
     return (spread(q[:, 0]) << np.uint64(2)) | (spread(q[:, 1]) << np.uint64(1)) | spread(q[:, 2])
 
 
+def _median_order(centroid: np.ndarray, slots: int) -> np.ndarray:
+    """Leaf-slot permutation by recursive widest-axis median splits.
+
+    The BLAS is an implicit complete binary tree over ``slots``/K leaves, so
+    tree TOPOLOGY is fixed and quality is set entirely by the leaf ORDER.
+    Raw morton order (the classic LBVH) leaves straddle-split boxes on
+    irregular geometry; recursive median partition over triangle centroids
+    gives object-median-BVH boxes with the same implicit build/refit
+    machinery. Partial populations left-pack: dead slots (-1) keep inf/-inf
+    leaf boxes that every slab test rejects.
+
+    Replaces the driver's BLAS builder quality knob
+    (vkGetAccelerationStructureBuildSizesKHR PREFER_FAST_TRACE,
+    reference AccelerationStructure.cpp:218-271)."""
+    t = centroid.shape[0]
+    out = np.full(slots, -1, np.int64)
+    stack = [(np.arange(t, dtype=np.int64), 0, slots)]
+    while stack:
+        ids, base, n = stack.pop()
+        if len(ids) == 0:
+            continue
+        if n <= K:
+            out[base:base + len(ids)] = ids
+            continue
+        half = n // 2
+        k = min(half, len(ids))
+        c = centroid[ids]
+        ax = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        if k < len(ids):
+            part = np.argpartition(c[:, ax], k - 1)
+            left, right = ids[part[:k]], ids[part[k:]]
+        else:
+            left, right = ids, ids[:0]
+        stack.append((right, base + half, n - half))
+        stack.append((left, base, half))
+    return out
+
+
 @dataclasses.dataclass
 class _BLASBuild:
     """One BLAS's host-side build products (pre-offset-fixup)."""
@@ -119,12 +157,10 @@ def _build_blas_host(
 ) -> _BLASBuild:
     t = v0.shape[0]
     centroid = (v0 + v1 + v2) / 3.0
-    order = np.argsort(_morton30_np(centroid), kind="stable")
     l = _next_pow2(-(-t // K))
     slots = l * K
 
-    leaf_order = np.full(slots, -1, np.int64)
-    leaf_order[:t] = order
+    leaf_order = _median_order(centroid, slots)
     lo = np.full((slots, 3), np.inf, np.float32)
     hi = np.full((slots, 3), -np.inf, np.float32)
     rows = np.zeros((l, LEAF_ROW), np.float32)
@@ -139,14 +175,16 @@ def _build_blas_host(
     uv6 = np.zeros((slots, 6), np.float32)
     nrm9 = np.zeros((slots, 9), np.float32)
     prim = np.full(slots, -1, np.int32)
-    pos9[:t] = vs[order]
-    uv6[:t] = uvs[order]
-    nrm9[:t] = ns[order]
-    prim[:t] = prim_tagged[order]
+    live = leaf_order >= 0        # dead slots interleave (left-packed runs)
+    src = leaf_order[live]
+    pos9[live] = vs[src]
+    uv6[live] = uvs[src]
+    nrm9[live] = ns[src]
+    prim[live] = prim_tagged[src]
     tri_min = np.minimum(np.minimum(pos9[:, 0:3], pos9[:, 3:6]), pos9[:, 6:9])
     tri_max = np.maximum(np.maximum(pos9[:, 0:3], pos9[:, 3:6]), pos9[:, 6:9])
-    lo[:t] = tri_min[:t]
-    hi[:t] = tri_max[:t]
+    lo[live] = tri_min[live]
+    hi[live] = tri_max[live]
 
     # leaf rows store (a, e1=b-a, e2=c-a): Möller-Trumbore consumes the
     # edges directly, dropping 6 scalar subtractions per triangle test from

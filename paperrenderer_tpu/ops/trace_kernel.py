@@ -654,7 +654,7 @@ def _pack_rays(ray_o, ray_d, t_cap, image_shape):
 
     args = [comp(ray_o[:, k], 0.0) for k in range(3)]
     args += [comp(ray_d[:, k], 1.0) for k in range(3)]
-    args.append(comp(t_cap, -1.0))
+    args.append(comp(t_cap, -3e38))   # pad rays park at origin: see above
     out_shape = lambda dt: jax.ShapeDtypeStruct((g, 8, 128), dt)
     unflatten = lambda x: x.reshape(r_pad)[:r]
     return args, spec, spec, g, out_shape, unflatten
@@ -686,7 +686,11 @@ def trace_resolve_scene_pallas(
     r = ray_o.shape[0]
     t_cap = jnp.asarray(t_max, jnp.float32) + ray_o[:, 0] * 0.0
     if active is not None:
-        t_cap = jnp.where(active, t_cap, -1.0)
+        # -3e38 (not -1): an inactive ray parked at the zero origin
+        # sits INSIDE scene boxes, and tn <= -1 still passes for boxes
+        # deeper than 1 unit - it would drag every origin-containing
+        # box chain into the packet footprint
+        t_cap = jnp.where(active, t_cap, -3e38)
 
     image_mode = image_mode_ok(image_shape, r)
     ray_args, ray_spec, out_spec, g, out_shape, unflatten = _pack_rays(
@@ -783,7 +787,11 @@ def trace_scene_pallas(
     r = ray_o.shape[0]
     t_cap = jnp.asarray(t_max, jnp.float32) + ray_o[:, 0] * 0.0
     if active is not None:
-        t_cap = jnp.where(active, t_cap, -1.0)   # never hits, never pushes
+        # -3e38 (not -1): an inactive ray parked at the zero origin
+        # sits INSIDE scene boxes, and tn <= -1 still passes for boxes
+        # deeper than 1 unit - it would drag every origin-containing
+        # box chain into the packet footprint
+        t_cap = jnp.where(active, t_cap, -3e38)   # never hits, never pushes
 
     image_mode = image_mode_ok(image_shape, r)
     ray_args, ray_spec, out_spec, g, out_shape, unflatten = _pack_rays(

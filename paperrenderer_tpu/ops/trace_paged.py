@@ -640,7 +640,7 @@ def trace_resolve_scene_pallas_paged(
     r = ray_o.shape[0]
     t_cap = jnp.asarray(t_max, jnp.float32) + ray_o[:, 0] * 0.0
     if active is not None:
-        t_cap = jnp.where(active, t_cap, -1.0)
+        t_cap = jnp.where(active, t_cap, -3e38)  # see trace_kernel: origin-inside boxes
 
     image_mode = image_mode_ok(image_shape, r)
     ray_args, ray_spec, out_spec, g, out_shape, unflatten = _pack_rays(
@@ -726,7 +726,7 @@ def trace_scene_pallas_paged(
     r = ray_o.shape[0]
     t_cap = jnp.asarray(t_max, jnp.float32) + ray_o[:, 0] * 0.0
     if active is not None:
-        t_cap = jnp.where(active, t_cap, -1.0)
+        t_cap = jnp.where(active, t_cap, -3e38)  # see trace_kernel: origin-inside boxes
 
     image_mode = image_mode_ok(image_shape, r)
     ray_args, ray_spec, out_spec, g, out_shape, unflatten = _pack_rays(
