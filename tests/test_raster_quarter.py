@@ -1,0 +1,116 @@
+"""Quarter-tile raster path vs the classic full-tile path.
+
+QUARTER_DEFAULT=True means the whole suite exercises the quarter kernel;
+this file keeps the CLASSIC path covered and pins the cross-path contract:
+identical coverage and identical quantized depth keys everywhere, with tid
+divergence allowed only at quantized-depth TIES (each path breaks ties by
+its own deterministic slot order — classic by step-slot, quarter by
+(round, lane)). Runs both kernels in interpreter mode (CPU suite).
+"""
+
+import numpy as np
+import pytest
+
+from paperrenderer_tpu.core import (
+    Camera, Model, ModelInstance, Scene, make_cube, make_uv_sphere,
+)
+from paperrenderer_tpu.ops import preprocess as P
+from paperrenderer_tpu.ops import raster as R
+from paperrenderer_tpu.ops import raster_exact as RE
+
+
+@pytest.fixture
+def interpret_kernel(monkeypatch):
+    monkeypatch.setattr(RE, "INTERPRET", True)
+
+
+@pytest.fixture(scope="module")
+def batch_and_cam():
+    scene = Scene(use_native=False)
+    sphere = Model.from_mesh(
+        scene.arena, *make_uv_sphere(radius=1.0, rings=10, sectors=14))
+    cube = Model.from_mesh(scene.arena, *make_cube())
+    rng = np.random.default_rng(7)
+    for i in range(12):
+        inst = ModelInstance(sphere if i % 2 == 0 else cube)
+        s = float(rng.uniform(0.3, 1.2))
+        inst.set_transform(pos=rng.uniform(-4, 4, 3).tolist(),
+                           scale=(s, s, s))
+        scene.add_instance(inst)
+    cam = Camera(yfov_deg=60.0, aspect=1.0, near=0.05, far=100.0)
+    cam.look_at((0.0, -9.0, 2.0), (0.0, 0.0, 0.0), up=(0, 0, 1))
+    pre = P.preprocess_instances(
+        scene.flush(), scene.tables(), cam.matrices,
+        max_meshes_per_lod=scene.max_meshes_per_lod,
+    )
+    batch = R.build_triangle_batch(
+        pre, scene.geometry(), cam.matrices, capacity=4096)
+    return batch, cam
+
+
+def _keys(depth: np.ndarray) -> np.ndarray:
+    return depth.view(np.int32) & ~np.int32(RE.C - 1)
+
+
+def test_quarter_matches_classic(interpret_kernel, batch_and_cam):
+    batch, _ = batch_and_cam
+    w = h = 128
+    d_c, t_c, _, _ = RE.rasterize_exact(batch, w, h, quarter=False)
+    d_q, t_q, _, _ = RE.rasterize_exact(batch, w, h, quarter=True)
+    d_c, t_c = np.asarray(d_c), np.asarray(t_c)
+    d_q, t_q = np.asarray(d_q), np.asarray(t_q)
+
+    cov_c, cov_q = t_c >= 0, t_q >= 0
+    np.testing.assert_array_equal(cov_c, cov_q)
+    finite = np.isfinite(d_c)
+    np.testing.assert_array_equal(_keys(d_c)[finite], _keys(d_q)[finite])
+    mism = t_c != t_q
+    # tid may differ only where the quantized keys tie
+    assert (_keys(d_c)[mism] == _keys(d_q)[mism]).all()
+
+
+def test_quarter_matches_classic_peel(interpret_kernel, batch_and_cam):
+    import jax.numpy as jnp
+
+    batch, _ = batch_and_cam
+    w = h = 128
+    d1, t1, _, _ = RE.rasterize_exact(batch, w, h, quarter=False)
+    floor = RE.depth_to_key(jnp.where(jnp.isfinite(d1), d1, -1.0))
+    ceil = jnp.full((h, w), RE.SENTINEL, jnp.int32)
+    d_c, t_c, _, _ = RE.rasterize_exact(
+        batch, w, h, quarter=False, depth_window=(floor, ceil),
+        overflow_cond=False)
+    d_q, t_q, _, _ = RE.rasterize_exact(
+        batch, w, h, quarter=True, depth_window=(floor, ceil),
+        overflow_cond=False)
+    t_c, t_q = np.asarray(t_c), np.asarray(t_q)
+    d_c, d_q = np.asarray(d_c), np.asarray(d_q)
+    np.testing.assert_array_equal(t_c >= 0, t_q >= 0)
+    mism = t_c != t_q
+    assert (_keys(d_c)[mism] == _keys(d_q)[mism]).all()
+
+
+def test_quarter_window_matches_full(interpret_kernel, batch_and_cam):
+    """Sharded-window rendering (origin offset) == the same rows of the
+    full-viewport quarter render, bitwise."""
+    batch, _ = batch_and_cam
+    w = h = 128
+    _, t_full, _, _ = RE.rasterize_exact(batch, w, h, quarter=True)
+    _, t_win, _, _ = RE.rasterize_exact(
+        batch, 128, 64, quarter=True,
+        full_width=w, full_height=h, origin=(0, 64))
+    np.testing.assert_array_equal(
+        np.asarray(t_win), np.asarray(t_full)[64:, :])
+
+
+def test_quarter_overflow_required_grows(interpret_kernel, batch_and_cam):
+    """The quarter path's demand scalar covers its own layout: re-running at
+    the returned capacity reproduces the full image (overflow contract)."""
+    batch, _ = batch_and_cam
+    w = h = 128
+    d0, t0, _, req = RE.rasterize_exact(batch, w, h, quarter=True)
+    cap = int(-(-int(req) // RE.BP) * RE.BP)
+    d1, t1, _, req1 = RE.rasterize_exact(
+        batch, w, h, quarter=True, pair_capacity=cap, overflow_cond=False)
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    assert int(req1) <= cap
