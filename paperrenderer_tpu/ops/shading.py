@@ -37,6 +37,18 @@ class Lights:
     bounds: jax.Array       # f32[L] — influence range
     cast_shadow: jax.Array  # bool[L]
     ambient: jax.Array      # f32[4] — rgb + strength (ambientLight uniform)
+    # static mirror of cast_shadow: lets shadow_visibility SKIP the trace
+    # wavefront for non-casting lights at trace time (the reference skips
+    # the shadow ray query per light, raytrace.rchit; a dynamic bool[L]
+    # can only mask the result AFTER paying the trace). None = unknown
+    # (trace every light, mask dynamically).
+    shadow_flags: tuple | None = dataclasses.field(
+        metadata=dict(static=True), default=None)
+    # static mirror of (radius == 0): a hard light's N shadow samples are
+    # the IDENTICAL ray (sdir falls back to ldir), so one trace suffices
+    # bit-exactly; None = unknown (trace every sample).
+    hard_flags: tuple | None = dataclasses.field(
+        metadata=dict(static=True), default=None)
 
     @staticmethod
     def make(points, ambient=(1.0, 1.0, 1.0, 0.1)) -> "Lights":
@@ -58,6 +70,8 @@ class Lights:
             radius=jnp.asarray(rad), bounds=jnp.asarray(bnd),
             cast_shadow=jnp.asarray(shd),
             ambient=jnp.asarray(ambient, jnp.float32),
+            shadow_flags=tuple(bool(x) for x in shd),
+            hard_flags=tuple(float(x) == 0.0 for x in rad),
         )
 
     @property

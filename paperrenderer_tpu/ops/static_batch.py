@@ -236,46 +236,53 @@ def expand_static(
         # (runs can cross shard boundaries, so seeds may land off-shard)
         ti = mapping.tri_instance
         tri_valid = mapping.valid & visible[ti] & (lod[ti] == mapping.tri_lod)
-        m12 = matrices.reshape(-1, 12)[ti]
+        m12 = matrices.reshape(-1, 12)[ti].T               # [12, T]
         material = slot_materials[jnp.maximum(ti, 0), mapping.tri_slot]
         return (_finish_expand(mapping, camera, v_obj, m12, material,
                                tri_valid), visible)
 
-    # Per-run per-frame values (matrix 12 | valid flag | material id | pad):
+    # Per-run per-frame values (matrix 12 | valid flag | material id):
     # gather R run rows, scatter them at the static run starts, and
     # fill-forward down each run with log2(max_run) shifted selects. This
     # replaces the [T] row gather (~30 ns/row x 450k tris = 13.5 ms at
-    # config-2 scale) with ~R tiny gathers + a few fused passes over [T, 16].
+    # config-2 scale) with ~R tiny gathers + a few fused passes over the
+    # value table.
+    #
+    # CHANNEL-MAJOR [14, T] layout: a [T, 14] f32 table is lane-padded
+    # 14 -> 128 by T(8,128) tiling (8x+ its logical HBM), and each of the
+    # ~log2(max_run) fill passes re-materializes it — at config-5 scale
+    # (4M+ capacity) that padding dominated expand. [14, T] tiles exactly
+    # (T is a multiple of 256), so the passes stream logical bytes only;
+    # the shifted selects run along lanes instead of sublanes.
     ri = mapping.run_inst
     m12_runs = matrices.reshape(-1, 12)[ri]                    # [R, 12]
     lod_ok_runs = lod[ri] == mapping.run_lod
     run_ok = (visible[ri] & lod_ok_runs).astype(jnp.float32)
     mat_runs = slot_materials[ri, mapping.run_slot].astype(jnp.float32)
     seed = jnp.concatenate(
-        [m12_runs, run_ok[:, None], mat_runs[:, None],
-         jnp.zeros((ri.shape[0], 2), jnp.float32)], axis=-1)   # [R, 16]
+        [m12_runs, run_ok[:, None], mat_runs[:, None]], axis=-1)  # [R, 14]
 
     t_cap = mapping.capacity
-    vals = jnp.zeros((t_cap, 16), jnp.float32).at[
-        mapping.run_starts].set(seed, mode="drop")
+    vals = jnp.zeros((14, t_cap), jnp.float32).at[
+        :, mapping.run_starts].set(seed.T, mode="drop")
     filled = mapping.start_mask
     seg = mapping.run_id
     k = 1
     while k < mapping.max_run:
-        pad_v = jnp.zeros((k, 16), jnp.float32)
+        pad_v = jnp.zeros((14, k), jnp.float32)
         pad_b = jnp.zeros((k,), bool)
         pad_s = jnp.full((k,), -2, jnp.int32)
-        sv = jnp.concatenate([pad_v, vals[:-k]], axis=0)
+        sv = jnp.concatenate([pad_v, vals[:, :-k]], axis=1)
         sf = jnp.concatenate([pad_b, filled[:-k]], axis=0)
         ss = jnp.concatenate([pad_s, seg[:-k]], axis=0)
         take = (~filled) & sf & (ss == seg)
-        vals = jnp.where(take[:, None], sv, vals)
+        vals = jnp.where(take[None, :], sv, vals)
         filled = filled | take
         k *= 2
 
-    m12 = vals[:, :12]                                 # [T, 12]
-    tri_valid = mapping.valid & (vals[:, 12] > 0.5)
-    material = vals[:, 13].astype(jnp.int32)
+    m12 = vals[:12]                                    # [12, T]
+    tri_valid = mapping.valid & (vals[12] > 0.5)
+    material = vals[13].astype(jnp.int32)
     return (_finish_expand(mapping, camera, v_obj, m12, material, tri_valid),
             visible)
 
@@ -284,15 +291,16 @@ def _finish_expand(mapping, camera, v_obj, m12, material, tri_valid):
     """Dense transform + clip projection -> TriangleBatch.
 
     Explicit broadcast arithmetic instead of einsum: XLA lowers batched
-    3x3 einsums to tiny-matmul loops on TPU; these are plain VPU FMAs."""
-    def apply34(mat, pts):  # mat [T,12] row-major 3x4, pts [T,3,3] -> [T,3,3]
+    3x3 einsums to tiny-matmul loops on TPU; these are plain VPU FMAs.
+    ``m12`` is channel-major [12, T] (see expand_static's layout note)."""
+    def apply34(mat, pts):  # mat [12,T] channel-major 3x4, pts [T,3,3]
         out = []
         for i in range(3):
             out.append(
-                mat[:, None, 4 * i + 0] * pts[..., 0]
-                + mat[:, None, 4 * i + 1] * pts[..., 1]
-                + mat[:, None, 4 * i + 2] * pts[..., 2]
-                + mat[:, None, 4 * i + 3]
+                mat[4 * i + 0][:, None] * pts[..., 0]
+                + mat[4 * i + 1][:, None] * pts[..., 1]
+                + mat[4 * i + 2][:, None] * pts[..., 2]
+                + mat[4 * i + 3][:, None]
             )
         return jnp.stack(out, axis=-1)
 
@@ -300,9 +308,9 @@ def _finish_expand(mapping, camera, v_obj, m12, material, tri_valid):
         out = []
         for i in range(3):
             out.append(
-                mat[:, None, 4 * i + 0] * vecs[..., 0]
-                + mat[:, None, 4 * i + 1] * vecs[..., 1]
-                + mat[:, None, 4 * i + 2] * vecs[..., 2]
+                mat[4 * i + 0][:, None] * vecs[..., 0]
+                + mat[4 * i + 1][:, None] * vecs[..., 1]
+                + mat[4 * i + 2][:, None] * vecs[..., 2]
             )
         return jnp.stack(out, axis=-1)
 

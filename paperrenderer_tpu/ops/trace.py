@@ -311,15 +311,32 @@ def shadow_visibility(
     # positions reconstructed from quantized depth can sit slightly inside
     # curved surfaces, and un-offset origins produce shadow acne speckles.
     origin = surf.world_pos + surf.normal * 5e-3
+    flags = getattr(lights, "shadow_flags", None)
     vis = []
     for li in range(n_lights):
+        if flags is not None and li < len(flags) and not flags[li]:
+            # statically known non-casting light: no shadow wavefront at all
+            # (raytrace.rchit skips the ray query for castShadow=false)
+            vis.append(jnp.ones((r,), jnp.float32))
+            continue
         lpos = lights.position[li]
         to_l = lpos - surf.world_pos
         dist = jnp.linalg.norm(to_l, axis=-1)
         ldir = to_l / jnp.maximum(dist, 1e-9)[:, None]
         tx, ty = _default_basis(ldir)
+        # reference gate (raytrace.rchit:58): shadow rays are cast only
+        # where dot(N, L) > 0 — the light contribution is zero for
+        # back-facing surfaces regardless of visibility, and inactive rays
+        # leave the packet's traversal footprint (trace_kernel sentinel)
+        ndl = jnp.sum(surf.normal * ldir, axis=-1)
+        active = surf.valid & (ndl > 0.0)
+        # hard light (radius statically 0): every sample's sdir falls back
+        # to ldir — the N traces are the identical ray, so one suffices
+        hard = getattr(lights, "hard_flags", None)
+        n_s = 1 if (hard is not None and li < len(hard) and hard[li]) \
+            else samples
         unshadowed = jnp.zeros((r,), jnp.float32)
-        for si in range(samples):
+        for si in range(n_s):
             k = jax.random.fold_in(jax.random.fold_in(key, li), si)
             r1, r2 = jax.random.uniform(k, (2, r))
             # sample a point on the light sphere (rchit:84-89)
@@ -335,10 +352,10 @@ def shadow_visibility(
             sdir = sdir / jnp.maximum(jnp.linalg.norm(sdir, axis=-1, keepdims=True), 1e-9)
             sdir = jnp.where(lights.radius[li] > 0.0, sdir, ldir)
             rec = ctx.trace(
-                origin, sdir, dist, any_hit=True, active=surf.valid,
+                origin, sdir, dist, any_hit=True, active=active,
             )
             unshadowed += jnp.where(rec.hit, 0.0, 1.0)
-        v = unshadowed / samples
+        v = unshadowed / n_s
         v = jnp.where(lights.cast_shadow[li], v, 1.0)
         vis.append(v)
     return jnp.stack(vis, axis=0)

@@ -187,3 +187,44 @@ def test_scene_compact_geometry_keeps_render_identical():
     assert model.lods[0].meshes[0].handle.vertex_offset == 0  # moved down
     after, _ = rp.render(cam)
     np.testing.assert_allclose(np.asarray(after), before, atol=1e-5)
+
+
+def test_instance_bookkeeping_random_ops_property():
+    """Randomized add/remove/transform sequence vs a python mirror: the
+    swap-remove registry (PaperRenderer.cpp:255-306 semantics) must keep
+    (a) every live instance's index pointing at itself in scene.instances,
+    (b) flushed SoA rows matching each live instance's transform + model,
+    (c) dead slots marked model_id == -1."""
+    rng = np.random.default_rng(1234)
+    scene = Scene()
+    models = [_cube_model(scene) for _ in range(3)]
+    live = []
+    removed = []
+    for step in range(200):
+        op = rng.random()
+        if op < 0.5 or not live:
+            inst = ModelInstance(models[int(rng.integers(3))])
+            scene.add_instance(inst)
+            live.append(inst)
+        elif op < 0.8:
+            k = int(rng.integers(len(live)))
+            inst = live.pop(k)
+            scene.remove_instance(inst)
+            removed.append(inst)
+        else:
+            k = int(rng.integers(len(live)))
+            live[k].set_transform(pos=tuple(rng.normal(size=3)))
+        if step % 50 == 49:
+            arrays = scene.flush()
+            assert scene.count == len(live)
+            mid = np.asarray(arrays.model_id)
+            pos = np.asarray(arrays.pos)
+            for inst in live:
+                assert 0 <= inst.index < scene.count
+                assert scene.instances[inst.index] is inst
+                assert mid[inst.index] == inst.model.model_id
+                np.testing.assert_allclose(
+                    pos[inst.index], np.asarray(inst.position), atol=1e-6)
+            for inst in removed:
+                assert inst.index == -1
+            assert (mid[scene.count:] == -1).all()

@@ -206,3 +206,66 @@ def test_multi_tlas_independent_sets():
     # the visible cube carries its own set's material
     assert img0[left][..., 0].max() > img0[left][..., 1].max() * 1.5
     assert img1[right][..., 1].max() > img1[right][..., 0].max() * 1.5
+
+
+def test_static_noncasting_light_skips_trace():
+    """Lights.make records a static shadow_flags tuple; shadow_visibility
+    must SKIP the shadow wavefront for a statically non-casting light (the
+    reference skips the whole ray query per light, raytrace.rchit) and
+    produce the same visibility as the dynamic cast_shadow mask."""
+    import dataclasses as _dc
+
+    scene, registry, g, s = _scene_sphere_on_plane()
+    cam = _cam()
+    arrays = scene.flush()
+    sm = jnp.zeros((arrays.capacity, 1), jnp.int32)
+    batch, bvh = build_world_scene(
+        arrays, scene.tables(), scene.geometry(), cam.matrices, sm,
+        max_meshes_per_lod=1, tri_capacity=1024,
+    )
+    lights = Lights.make([
+        {"position": (0.0, 0.0, 10.0), "color": (100, 100, 100),
+         "bounds": 50.0, "radius": 0.0},
+        {"position": (3.0, 0.0, 5.0), "color": (10, 10, 10),
+         "bounds": 50.0, "cast_shadow": False},
+    ])
+    assert lights.shadow_flags == (True, False)
+    surf = T.SurfaceHits(
+        world_pos=jnp.asarray([[0.0, 0.0, 0.0], [5.0, 5.0, 0.0]]),
+        normal=jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]]),
+        uv=jnp.zeros((2, 2)),
+        material=jnp.zeros((2,), jnp.int32),
+        valid=jnp.asarray([True, True]),
+        t=jnp.ones((2,)),
+    )
+
+    class Counting:
+        def __init__(self, inner):
+            self.inner = inner
+            self.calls = 0
+
+        def trace(self, *a, **k):
+            self.calls += 1
+            return self.inner.trace(*a, **k)
+
+    ctx = Counting(T.BatchTracer(batch, bvh))
+    vis = T.shadow_visibility(surf, ctx, lights, jax.random.PRNGKey(0), 2)
+    # light 1 is hard (radius 0, identical sample rays -> ONE trace);
+    # light 2 statically non-casting -> zero traces
+    assert ctx.calls == 1
+    np.testing.assert_allclose(np.asarray(vis[1]), 1.0)
+    # equality with the dynamic-mask path (shadow_flags=None; hard-light
+    # dedup still applies — the collapsed samples are bit-identical)
+    lights_dyn = _dc.replace(lights, shadow_flags=None)
+    ctx2 = Counting(T.BatchTracer(batch, bvh))
+    vis_dyn = T.shadow_visibility(
+        surf, ctx2, lights_dyn, jax.random.PRNGKey(0), 2)
+    assert ctx2.calls == 2
+    np.testing.assert_allclose(np.asarray(vis), np.asarray(vis_dyn))
+    # and with all static hints stripped (fully dynamic reference path)
+    lights_full = _dc.replace(lights, shadow_flags=None, hard_flags=None)
+    ctx3 = Counting(T.BatchTracer(batch, bvh))
+    vis_full = T.shadow_visibility(
+        surf, ctx3, lights_full, jax.random.PRNGKey(0), 2)
+    assert ctx3.calls == 4
+    np.testing.assert_allclose(np.asarray(vis), np.asarray(vis_full))
