@@ -111,7 +111,7 @@ def render_frame(
     jax.jit,
     static_argnames=(
         "width", "height", "do_culling", "use_pallas", "work_capacity",
-        "translucent_layers",
+        "translucent_layers", "supersample",
     ),
 )
 def render_frame_static(
@@ -132,12 +132,24 @@ def render_frame_static(
     use_pallas: bool = True,
     work_capacity: int = 0,
     translucent_layers: int = 0,
+    supersample: int = 1,
 ):
     """Fast raster frame: static triangle expansion + binned Pallas raster.
 
     ``translucent_layers > 0`` adds the sorted-translucency pass (depth
-    peeling + back-to-front blend) over SHADE_TRANSLUCENT materials."""
+    peeling + back-to-front blend) over SHADE_TRANSLUCENT materials.
+
+    ``supersample`` is the TPU-native analogue of the reference's MSAA
+    sample count (RenderPass.h:61 ``sampleCount``): the frame rasterizes
+    and shades at s x s the resolution and box-filters the HDR target
+    before tonemap (ordered supersampling — a superset of MSAA's
+    edge-only multisampling, chosen because on TPU the shading cost is
+    one fused VPU pass, not a per-sample fragment dispatch)."""
     from ..ops.static_batch import expand_static
+
+    ss = max(1, int(supersample))
+    out_w, out_h = width, height
+    width, height = width * ss, height * ss
 
     batch, inst_visible = expand_static(
         mapping, instances, tables, camera, slot_materials, instance_visible,
@@ -180,6 +192,12 @@ def render_frame_static(
         # translucent-heavy scenes can out-demand the opaque pass; the
         # overflow-growth protocol keys off the max of both
         required = jnp.maximum(required, peel_required)
+    if ss > 1:
+        # box-filter the HDR target down to the output resolution (the
+        # MSAA resolve analogue), then tonemap at native res; aux depth
+        # keeps the top-left sample of each s x s cell
+        hdr = hdr.reshape(out_h, ss, out_w, ss, 3).mean(axis=(1, 3))
+        depth = depth[::ss, ::ss]
     ldr = tonemap(hdr, tonemap_params)
     aux = {
         "visible_count": jnp.sum(inst_visible.astype(jnp.int32)),
@@ -207,12 +225,16 @@ class RenderPass:
         tonemap_params: Optional[TonemapParams] = None,
         use_pallas: Optional[bool] = None,
         translucent_layers: int = 0,
+        supersample: int = 1,
     ):
         self.scene = scene
         self.materials = materials
         self.width = width
         self.height = height
         self.do_culling = do_culling
+        # MSAA sample-count analogue (RenderPass.h:61): rasterize + shade at
+        # supersample^2 the pixel rate, box-resolve the HDR target
+        self.supersample = max(1, int(supersample))
         if use_pallas is None:
             # Pallas tile raster on TPU when the image tiles evenly;
             # pure-XLA fallback elsewhere (CPU tests, odd sizes)
@@ -405,6 +427,7 @@ class RenderPass:
                 do_culling=self.do_culling, use_pallas=self.use_pallas,
                 work_capacity=self._work_capacity,
                 translucent_layers=self.translucent_layers,
+                supersample=self.supersample,
             )
             ldr, aux = render_frame_static(
                 mapping, instances, self.scene.tables(), table,

@@ -155,3 +155,36 @@ def test_near_plane_clip():
     inst.set_transform(pos=(0.0, 0.0, 0.0))
     ldr, aux = rp.render(cam)
     assert float(aux["coverage"]) > 0.5
+
+
+def test_supersample_resolves_to_native_resolution():
+    """supersample=2 (the reference's MSAA sampleCount analogue,
+    RenderPass.h:61) renders 2x2 ordered samples per pixel and box-resolves:
+    output shape stays native, the image stays close to the 1-sample render,
+    and coverage-edge pixels actually change (antialiasing happened)."""
+    from paperrenderer_tpu.core import (
+        Material, MaterialRegistry, Model, ModelInstance, Scene, make_cube,
+    )
+    from paperrenderer_tpu.render import RenderPass
+
+    def build(ss):
+        scene = Scene()
+        registry = MaterialRegistry()
+        cube = Model.from_mesh(scene.arena, *make_cube(size=1.4), name="cube")
+        rp = RenderPass(scene, registry, width=64, height=64,
+                        supersample=ss)
+        inst = ModelInstance(cube)
+        inst.set_transform(quat=(0.92, 0.2, 0.3, 0.1))
+        rp.add_instance(inst, {0: Material(
+            f"m{ss}", albedo=(0.8, 0.2, 0.2)).instance()})
+        cam = _front_camera()
+        return np.asarray(rp.render(cam)[0])
+
+    img1 = build(1)
+    img2 = build(2)
+    assert img2.shape == img1.shape == (64, 64, 3)
+    # same scene, so the images agree closely in the mean...
+    assert abs(img2.mean() - img1.mean()) < 0.01
+    # ...but the resolve produced intermediate edge values absent at ss=1
+    diff = np.abs(img2 - img1).max(axis=-1)
+    assert (diff > 0.05).any()
