@@ -68,6 +68,9 @@ def _round_up(n: int, m: int) -> int:
 # default raster path: quarter-tile kernel (see _make_kernel_quarter);
 # the classic full-tile kernel stays selectable for comparison/fallback
 QUARTER_DEFAULT = True
+# default depth scheme for the opaque quarter path: cross-multiplied (zn, wn)
+# winner state instead of a per-candidate divide (see _make_kernel_quarter)
+CROSSZ_DEFAULT = True
 
 
 def default_pair_capacity(
@@ -223,7 +226,7 @@ Q_ROUNDS = 4       # rounds per quarter-kernel step
 Q_SLOTS = Q_ROUNDS * 4          # group slots per step (4 quarters x 4 rounds)
 
 
-def _make_kernel_quarter(n_tx: int, peel: bool = False):
+def _make_kernel_quarter(n_tx: int, peel: bool = False, crossz: bool = False):
     """Quarter-tile depth-key raster step.
 
     The classic kernel evaluates each 8-triangle group on the FULL (8, 128)
@@ -245,10 +248,24 @@ def _make_kernel_quarter(n_tx: int, peel: bool = False):
 
     Measured 1.34 us/step = 84 ns/quarter-pair vs the classic kernel's
     419 ns/tile-pair (5x/pair; net win depends on quarter-span growth and
-    round padding, ~3x at config-5 density)."""
+    round padding, ~3x at config-5 density).
+
+    ``crossz`` (opaque path only — mutually exclusive with ``peel``): the
+    per-candidate ``zn / wn`` divide is the single most expensive vector op
+    in the step (PERF.md). Instead of dividing, the running winner is carried
+    as the raw ``(zn, wn)`` NUMERATOR/DENOMINATOR pair and candidates compare
+    by cross-multiplication: with all accepted zn >= 0 and wn > 0,
+    ``zn_c/wn_c < zn_b/wn_b  <=>  zn_c*wn_b < zn_b*wn_c`` — two multiplies
+    replace the divide. Depth becomes EXACT (one divide per PIXEL after the
+    kernel, not per candidate) and ties break toward the earliest
+    (step, round, slot) candidate, deterministically. State planes are
+    (zn f32, wn f32, tid i32); "no fragment yet" is (zn=1, wn=0) = +inf."""
     def kernel(org_ref, wt_ref, cft_ref, *refs):
         if peel:
             floor_ref, ceil_ref, kin_ref, tin_ref, key_ref, tid_ref, rep_ref = refs
+        elif crossz:
+            (zin_ref, win_ref, tin_ref,
+             zn_ref, wn_ref, tid_ref, rep_ref) = refs
         else:
             kin_ref, tin_ref, key_ref, tid_ref, rep_ref = refs
         j = pl.program_id(0)
@@ -258,7 +275,11 @@ def _make_kernel_quarter(n_tx: int, peel: bool = False):
 
         @pl.when(first & (t >= 0))
         def _resume():
-            key_ref[:, :] = kin_ref[:, :]
+            if crossz:
+                zn_ref[:, :] = zin_ref[:, :]
+                wn_ref[:, :] = win_ref[:, :]
+            else:
+                key_ref[:, :] = kin_ref[:, :]
             tid_ref[:, :] = tin_ref[:, :]
 
         @pl.when(t >= 0)
@@ -286,6 +307,40 @@ def _make_kernel_quarter(n_tx: int, peel: bool = False):
             if peel:
                 fl = floor_ref[:, :]
                 ce = ceil_ref[:, :]
+
+            if crossz:
+                zb = zn_ref[:, :]
+                wb = wn_ref[:, :]
+                tid_old = tid_ref[:, :]
+                gsel = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+                changed = jnp.zeros((TILE_H, TILE_W), bool)
+                for r in range(Q_ROUNDS):
+                    def col(c, i, _r=r):
+                        return rep_ref[
+                            c * 16 + i, TILE_W * _r:TILE_W * (_r + 1)
+                        ].reshape(1, TILE_W)
+
+                    for c in range(GROUP):
+                        e0 = col(c, 0) * px + col(c, 1) * py + col(c, 2)
+                        e1 = col(c, 3) * px + col(c, 4) * py + col(c, 5)
+                        e2 = col(c, 6) * px + col(c, 7) * py + col(c, 8)
+                        zn = col(c, 9) * px + col(c, 10) * py + col(c, 11)
+                        wn = col(c, 12) * px + col(c, 13) * py + col(c, 14)
+                        accept = ((e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
+                                  & (wn > 1e-12) & (zn >= 0.0))
+                        # nearer <=> zn*wb < zb*wn (all operands >= 0);
+                        # the empty state (zb=1, wb=0) loses to any accept
+                        win = accept & (zn * wb < zb * wn)
+                        zb = jnp.where(win, zn, zb)
+                        wb = jnp.where(win, wn, wb)
+                        gsel = jnp.where(
+                            win, col(c, 15) + jnp.zeros_like(gsel), gsel)
+                        changed = changed | win
+                zn_ref[:, :] = zb
+                wn_ref[:, :] = wb
+                tid_ref[:, :] = jnp.where(
+                    changed, gsel.astype(jnp.int32), tid_old)
+                return
 
             key_old = key_ref[:, :]
             tid_old = tid_ref[:, :]
@@ -357,6 +412,7 @@ def rasterize_exact(
     full_height: Optional[int] = None,
     origin=(0, 0),
     quarter: Optional[bool] = None,
+    crossz: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Exact-binned raster. Returns (depth f32[H,W], tid i32[H,W] global
     triangle ids, attr_table f32[T_pad, 32], required i32 scalar).
@@ -384,6 +440,11 @@ def rasterize_exact(
     assert width % TILE_W == 0 and height % TILE_H == 0
     if quarter is None:
         quarter = QUARTER_DEFAULT
+    if crossz is None:
+        crossz = CROSSZ_DEFAULT
+    # crossz: quarter opaque path only (the peel window compares quantized
+    # keys, which requires the divided-depth key scheme)
+    crossz = bool(crossz and quarter and depth_window is None)
     fw = full_width or width
     fh = full_height or height
     coeffs, ok, (lo, hi) = triangle_coefficients(batch, fw, fh)
@@ -605,18 +666,38 @@ def rasterize_exact(
                                    memory_space=pltpu.VMEM)
             cf_rows = page_steps * C
         peel = depth_window is not None
+        n_planes = 3 if crossz else 2
         window_specs = [tile_spec, tile_spec] if peel else []
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(page_steps,),
-            in_specs=[cf_spec] + window_specs + [tile_spec, tile_spec],
-            out_specs=[tile_spec, tile_spec],
+            in_specs=[cf_spec] + window_specs + [tile_spec] * n_planes,
+            out_specs=[tile_spec] * n_planes,
             scratch_shapes=scratch_shapes,
         )
-        key = jnp.full((height, width), SENTINEL, jnp.int32)
-        tid = jnp.full((height, width), SENTINEL, jnp.int32)
+        if crossz:
+            # (zn, wn, tid): "no fragment" = (1, 0) -> zn/wn = +inf
+            state = (
+                jnp.ones((height, width), jnp.float32),
+                jnp.zeros((height, width), jnp.float32),
+                jnp.full((height, width), SENTINEL, jnp.int32),
+            )
+            out_shape = [
+                jax.ShapeDtypeStruct((height, width), jnp.float32),
+                jax.ShapeDtypeStruct((height, width), jnp.float32),
+                jax.ShapeDtypeStruct((height, width), jnp.int32),
+            ]
+        else:
+            state = (
+                jnp.full((height, width), SENTINEL, jnp.int32),
+                jnp.full((height, width), SENTINEL, jnp.int32),
+            )
+            out_shape = [
+                jax.ShapeDtypeStruct((height, width), jnp.int32),
+                jax.ShapeDtypeStruct((height, width), jnp.int32),
+            ]
         wt2, cf2 = jax.lax.optimization_barrier((wt, cf_pairs))
-        # aliased kin/tin follow org, wt, cf (+ the optional window planes)
+        # aliased state planes follow org, wt, cf (+ optional window planes)
         alias_base = 5 if peel else 3
         for page in range(n_pages):
             wt_p = jax.lax.slice_in_dim(
@@ -626,37 +707,43 @@ def rasterize_exact(
             args = [org, wt_p, cf_p]
             if peel:
                 args += [depth_window[0], depth_window[1]]
-            args += [key, tid]
-            kern = (_make_kernel_quarter(n_tx, peel) if quarter
+            args += list(state)
+            kern = (_make_kernel_quarter(n_tx, peel, crossz) if quarter
                     else _make_kernel(n_tx, lane_layout, peel))
-            key, tid = pl.pallas_call(
+            state = pl.pallas_call(
                 kern,
                 grid_spec=grid_spec,
-                out_shape=[
-                    jax.ShapeDtypeStruct((height, width), jnp.int32),
-                    jax.ShapeDtypeStruct((height, width), jnp.int32),
-                ],
-                input_output_aliases={alias_base: 0, alias_base + 1: 1},
+                out_shape=out_shape,
+                input_output_aliases={
+                    alias_base + i: i for i in range(n_planes)},
                 interpret=INTERPRET,
             )(*args)
-        return key, tid, required
+        return tuple(state) + (required,)
 
-    key, tid, required = run(p_cap0)
+    *state, required = run(p_cap0)
+    state = tuple(state)
     # XLA allocates BOTH lax.cond branches, so the in-graph 4x fallback is
     # only carried while its buffers are cheap; at multi-million-pair scale
     # (where even one extra capacity would not fit HBM) the per-frame guard
     # degrades to the host-side persistent growth off ``required``.
     cf_bytes = p_cap0 * 128 * 4 * (1 if quarter else GROUP)
     if overflow_cond and cf_bytes <= (3 << 30) // 4:
-        key, tid = jax.lax.cond(
+        state = jax.lax.cond(
             required > p_cap0,
-            lambda _: run(_round_up(4 * p_cap0, BP))[:2],
-            lambda _: (key, tid),
+            lambda _: run(_round_up(4 * p_cap0, BP))[:-1],
+            lambda _: state,
             operand=None,
         )
 
-    covered = tid != SENTINEL
-    depth = _unpack_depth(key, covered)
+    if crossz:
+        zn, wn, tid = state
+        covered = tid != SENTINEL
+        # exact depth: ONE divide per pixel (the kernel never divides)
+        depth = jnp.where(covered, zn / jnp.maximum(wn, 1e-30), jnp.inf)
+    else:
+        key, tid = state
+        covered = tid != SENTINEL
+        depth = _unpack_depth(key, covered)
     tid_i = jnp.where(covered, tid, -1)
     return depth, tid_i, table, required
 

@@ -69,6 +69,29 @@ def test_quarter_matches_classic(interpret_kernel, batch_and_cam):
     assert (_keys(d_c)[mism] == _keys(d_q)[mism]).all()
 
 
+def test_crossz_matches_divide_scheme(interpret_kernel, batch_and_cam):
+    """The cross-multiplied (zn, wn) winner state == the divided-key scheme:
+    identical coverage, same quantized depth buckets, tid divergence only at
+    bucket ties — and crossz depth must be EXACT (zn/wn), i.e. within one
+    quantization step of the divided path's masked depth."""
+    batch, _ = batch_and_cam
+    w = h = 128
+    d_d, t_d, _, _ = RE.rasterize_exact(batch, w, h, quarter=True,
+                                        crossz=False)
+    d_x, t_x, _, _ = RE.rasterize_exact(batch, w, h, quarter=True,
+                                        crossz=True)
+    d_d, t_d = np.asarray(d_d), np.asarray(t_d)
+    d_x, t_x = np.asarray(d_x), np.asarray(t_x)
+    np.testing.assert_array_equal(t_d >= 0, t_x >= 0)
+    fin = np.isfinite(d_d)
+    np.testing.assert_array_equal(_keys(d_d)[fin], _keys(d_x)[fin])
+    mism = t_d != t_x
+    assert (_keys(d_d)[mism] == _keys(d_x)[mism]).all()
+    # exact depth sits inside its own quantization bucket
+    cov = t_x >= 0
+    assert (d_x[cov] >= d_d[cov]).all()  # masked depth is a floor
+
+
 def test_quarter_matches_classic_peel(interpret_kernel, batch_and_cam):
     import jax.numpy as jnp
 
