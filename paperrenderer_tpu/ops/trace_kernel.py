@@ -223,8 +223,11 @@ def _make_kernel(root_code: int, max_steps: int, any_hit: bool,
                 inf = jnp.float32(3e38)
                 t0m = jnp.min(jnp.where(h0, tn0, inf))
                 t1m = jnp.min(jnp.where(h1, tn1, inf))
-                flag_ref[0] = jnp.any(h0).astype(jnp.int32)
-                flag_ref[1] = jnp.any(h1).astype(jnp.int32)
+                # any(h) == (min entry < inf): hit lanes satisfy tn <= best_t
+                # <= t_max << 3e38, so the two any() cross-lane reductions
+                # fold into the min-reductions already needed for ordering
+                flag_ref[0] = (t0m < inf).astype(jnp.int32)
+                flag_ref[1] = (t1m < inf).astype(jnp.int32)
                 flag_ref[2] = (t0m <= t1m).astype(jnp.int32)
 
             @pl.when(is_inst)
@@ -450,8 +453,11 @@ def _make_resolve_kernel(root_code: int, max_steps: int, n_slots: int,
                 inf = jnp.float32(3e38)
                 t0m = jnp.min(jnp.where(h0, tn0, inf))
                 t1m = jnp.min(jnp.where(h1, tn1, inf))
-                flag_ref[0] = jnp.any(h0).astype(jnp.int32)
-                flag_ref[1] = jnp.any(h1).astype(jnp.int32)
+                # any(h) == (min entry < inf): hit lanes satisfy tn <= best_t
+                # <= t_max << 3e38, so the two any() cross-lane reductions
+                # fold into the min-reductions already needed for ordering
+                flag_ref[0] = (t0m < inf).astype(jnp.int32)
+                flag_ref[1] = (t1m < inf).astype(jnp.int32)
                 flag_ref[2] = (t0m <= t1m).astype(jnp.int32)
 
             @pl.when(is_inst)
