@@ -132,15 +132,16 @@ def _make_kernel(root_code: int, max_steps: int, any_hit: bool,
     """Packet kernel. Vector state (best hit planes, object-space ray) lives
     in VMEM scratch refs mutated under ``pl.when`` — real branches with no
     state yields, so a step costs only its own branch's work. The while carry
-    holds just scalars + the (1, 128) shared stack; cross-branch scalars
-    (slab outcomes, any-hit progress) round-trip through an SMEM scratch."""
+    holds just scalars; the shared stack is an SMEM scratch array (scalar
+    loads/stores at dynamic indices), and cross-branch scalars (slab
+    outcomes, any-hit progress) round-trip through an SMEM scratch."""
     S = _STACK
     ld, st = _io_helpers(image_mode)
 
     def kernel(boxes_ref, codes_ref, lpos_ref, lprim_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                t_out, prim_out, inst_out, u_out, v_out,
-               obj_ref, best_ref, flag_ref):
+               obj_ref, best_ref, flag_ref, stack_ref):
         wox, woy, woz = ld(ox_ref), ld(oy_ref), ld(oz_ref)
         wdx, wdy, wdz = ld(dx_ref), ld(dy_ref), ld(dz_ref)
 
@@ -166,17 +167,20 @@ def _make_kernel(root_code: int, max_steps: int, any_hit: bool,
         flag_ref[3] = jnp.int32(0)    # cur_inst
         flag_ref[4] = jnp.int32(0)    # all-hit (any_hit early exit)
 
-        scols = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
-        stack0 = jnp.where(scols == 0, jnp.int32(root_code), 0)
+        # SMEM scalar stack: push/pop are pure scalar-domain loads/stores —
+        # no per-step (1, S) vector selects and no vector->scalar reduction
+        # on the sequential critical path. Slot S is a trash slot absorbing
+        # non-pushes (unconditional stores, no predicated lowering).
+        stack_ref[0] = jnp.int32(root_code)
 
         def cond(st):
-            step, sp, stack, done = st
+            step, sp, done = st
             return (sp > 0) & (step < max_steps) & (done == 0)
 
         def body(st):
-            step, sp, stack, done = st
+            step, sp, done = st
             sp = sp - 1
-            code = jnp.sum(jnp.where(scols == sp, stack, 0))
+            code = stack_ref[sp]
             typ = (code >> _TYPE_SHIFT) & 3
             payload = code & _PAYLOAD_MASK
             obj = ((code >> 30) & 1) == 1
@@ -319,15 +323,16 @@ def _make_kernel(root_code: int, max_steps: int, any_hit: bool,
             # instance pop pushes its BLAS root (c0); box pushes far then near
             p1 = jnp.where(is_inst, 1, far_ok)
             p1_val = jnp.where(is_inst, c0, far_c)
-            stack = jnp.where((scols == sp) & (p1 == 1), p1_val, stack)
+            stack_ref[jnp.where(p1 == 1, jnp.minimum(sp, S - 1), S)] = p1_val
             sp = sp + p1
-            stack = jnp.where((scols == sp) & (near_ok == 1), near_c, stack)
+            stack_ref[
+                jnp.where(near_ok == 1, jnp.minimum(sp, S - 1), S)] = near_c
             sp = sp + near_ok
             done = flag_ref[4] if any_hit else jnp.int32(0)
-            return step + 1, sp, stack, done
+            return step + 1, sp, done
 
         fin = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), jnp.int32(1), stack0, jnp.int32(0)))
+            cond, body, (jnp.int32(0), jnp.int32(1), jnp.int32(0)))
 
         best_t = best_ref[0]
         best_prim = pltpu.bitcast(best_ref[1], jnp.int32)
@@ -375,7 +380,7 @@ def _make_resolve_kernel(root_code: int, max_steps: int, n_slots: int,
         (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
          t_out, prim_out, inst_out, uvx_out, uvy_out,
          nx_out, ny_out, nz_out, mat_out,
-         obj_ref, best_ref, flag_ref, minv_ref) = rest
+         obj_ref, best_ref, flag_ref, minv_ref, stack_ref) = rest
         wox, woy, woz = ld(ox_ref), ld(oy_ref), ld(oz_ref)
         wdx, wdy, wdz = ld(dx_ref), ld(dy_ref), ld(dz_ref)
 
@@ -398,17 +403,17 @@ def _make_resolve_kernel(root_code: int, max_steps: int, n_slots: int,
         for i in range(12):
             minv_ref[i] = jnp.float32(1.0 if i in (0, 5, 10) else 0.0)
 
-        scols = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
-        stack0 = jnp.where(scols == 0, jnp.int32(root_code), 0)
+        # SMEM scalar stack (see _make_kernel): slot S = trash slot
+        stack_ref[0] = jnp.int32(root_code)
 
         def cond(st):
-            step, sp, stack = st
+            step, sp = st
             return (sp > 0) & (step < max_steps)
 
         def body(st):
-            step, sp, stack = st
+            step, sp = st
             sp = sp - 1
-            code = jnp.sum(jnp.where(scols == sp, stack, 0))
+            code = stack_ref[sp]
             typ = (code >> _TYPE_SHIFT) & 3
             payload = code & _PAYLOAD_MASK
             obj = ((code >> 30) & 1) == 1
@@ -588,13 +593,14 @@ def _make_resolve_kernel(root_code: int, max_steps: int, n_slots: int,
             far_ok = jnp.where(first0 == 1, any1, any0)
             p1 = jnp.where(is_inst, 1, far_ok)
             p1_val = jnp.where(is_inst, c0, far_c)
-            stack = jnp.where((scols == sp) & (p1 == 1), p1_val, stack)
+            stack_ref[jnp.where(p1 == 1, jnp.minimum(sp, S - 1), S)] = p1_val
             sp = sp + p1
-            stack = jnp.where((scols == sp) & (near_ok == 1), near_c, stack)
+            stack_ref[
+                jnp.where(near_ok == 1, jnp.minimum(sp, S - 1), S)] = near_c
             sp = sp + near_ok
-            return step + 1, sp, stack
+            return step + 1, sp
 
-        jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(1), stack0))
+        jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(1)))
 
         best_t = best_ref[0]
         best_prim = pltpu.bitcast(best_ref[1], jnp.int32)
@@ -740,6 +746,7 @@ def trace_resolve_scene_pallas(
             pltpu.VMEM((9, 8, 128), jnp.float32),   # best planes
             pltpu.SMEM((8,), jnp.int32),            # cross-branch scalars
             pltpu.SMEM((12,), jnp.float32),         # current instance inverse
+            pltpu.SMEM((_STACK + 1,), jnp.int32),   # scalar stack + trash slot
         ],
         interpret=INTERPRET,
     )(boxes, codes, lpos, lprim, luv, lnrm, smat,
@@ -831,6 +838,7 @@ def trace_scene_pallas(
             pltpu.VMEM((9, 8, 128), jnp.float32),   # object-space ray planes
             pltpu.VMEM((6, 8, 128), jnp.float32),   # best-hit + prune planes
             pltpu.SMEM((8,), jnp.int32),            # cross-branch scalars
+            pltpu.SMEM((_STACK + 1,), jnp.int32),   # scalar stack + trash slot
         ],
         interpret=INTERPRET,
     )(boxes, codes, lpos, lprim, *ray_args)

@@ -96,7 +96,7 @@ def _make_kernel_paged(root_code: int, max_steps: int, any_hit: bool,
                cbox_hbm, ccode_hbm,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                t_out, prim_out, inst_out, u_out, v_out,
-               obj_ref, best_ref, flag_ref, cb, cc, sems):
+               obj_ref, best_ref, flag_ref, cb, cc, sems, stack_ref):
         wox, woy, woz = rd(ox_ref), rd(oy_ref), rd(oz_ref)
         wdx, wdy, wdz = rd(dx_ref), rd(dy_ref), rd(dz_ref)
 
@@ -119,17 +119,17 @@ def _make_kernel_paged(root_code: int, max_steps: int, any_hit: bool,
         flag_ref[4] = jnp.int32(0)    # all-hit (any_hit early exit)
 
         ns = sb_ref.shape[0] // 12
-        scols = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
-        stack0 = jnp.where(scols == 0, jnp.int32(root_code), 0)
+        # SMEM scalar stack (see trace_kernel._make_kernel): slot S = trash
+        stack_ref[0] = jnp.int32(root_code)
 
         def cond(st):
-            step, sp, stack, done = st
+            step, sp, done = st
             return (sp > 0) & (step < max_steps) & (done == 0)
 
         def body(st):
-            step, sp, stack, done = st
+            step, sp, done = st
             sp = sp - 1
-            code = jnp.sum(jnp.where(scols == sp, stack, 0))
+            code = stack_ref[sp]
             typ = (code >> _TYPE_SHIFT) & 3
             local = ((code >> 27) & 1) == 1
             payload = code & _PAYLOAD_MASK_P
@@ -300,15 +300,16 @@ def _make_kernel_paged(root_code: int, max_steps: int, any_hit: bool,
             p1 = jnp.where(is_inst | is_chunk, 1, far_ok)
             p1_val = jnp.where(is_chunk, jnp.int32(_LOCAL_ROOT),
                                jnp.where(is_inst, c0, far_c))
-            stack = jnp.where((scols == sp) & (p1 == 1), p1_val, stack)
+            stack_ref[jnp.where(p1 == 1, jnp.minimum(sp, S - 1), S)] = p1_val
             sp = sp + p1
-            stack = jnp.where((scols == sp) & (near_ok == 1), near_c, stack)
+            stack_ref[
+                jnp.where(near_ok == 1, jnp.minimum(sp, S - 1), S)] = near_c
             sp = sp + near_ok
             done = flag_ref[4] if any_hit else jnp.int32(0)
-            return step + 1, sp, stack, done
+            return step + 1, sp, done
 
         jax.lax.while_loop(
-            cond, body, (jnp.int32(0), jnp.int32(1), stack0, jnp.int32(0)))
+            cond, body, (jnp.int32(0), jnp.int32(1), jnp.int32(0)))
 
         best_t = best_ref[0]
         best_prim = pltpu.bitcast(best_ref[1], jnp.int32)
@@ -345,7 +346,8 @@ def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
         (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
          t_out, prim_out, inst_out, uvx_out, uvy_out,
          nx_out, ny_out, nz_out, mat_out,
-         obj_ref, best_ref, flag_ref, minv_ref, cb, cc, cs, sems) = rest
+         obj_ref, best_ref, flag_ref, minv_ref, cb, cc, cs, sems,
+         stack_ref) = rest
         wox, woy, woz = rd(ox_ref), rd(oy_ref), rd(oz_ref)
         wdx, wdy, wdz = rd(dx_ref), rd(dy_ref), rd(dz_ref)
 
@@ -370,17 +372,17 @@ def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
             minv_ref[i] = jnp.float32(1.0 if i in (0, 5, 10) else 0.0)
 
         ns = sb_ref.shape[0] // 12
-        scols = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
-        stack0 = jnp.where(scols == 0, jnp.int32(root_code), 0)
+        # SMEM scalar stack (see trace_kernel._make_kernel): slot S = trash
+        stack_ref[0] = jnp.int32(root_code)
 
         def cond(st):
-            step, sp, stack = st
+            step, sp = st
             return (sp > 0) & (step < max_steps)
 
         def body(st):
-            step, sp, stack = st
+            step, sp = st
             sp = sp - 1
-            code = jnp.sum(jnp.where(scols == sp, stack, 0))
+            code = stack_ref[sp]
             typ = (code >> _TYPE_SHIFT) & 3
             local = ((code >> 27) & 1) == 1
             payload = code & _PAYLOAD_MASK_P
@@ -593,13 +595,14 @@ def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
             p1 = jnp.where(is_inst | is_chunk, 1, far_ok)
             p1_val = jnp.where(is_chunk, jnp.int32(_LOCAL_ROOT),
                                jnp.where(is_inst, c0, far_c))
-            stack = jnp.where((scols == sp) & (p1 == 1), p1_val, stack)
+            stack_ref[jnp.where(p1 == 1, jnp.minimum(sp, S - 1), S)] = p1_val
             sp = sp + p1
-            stack = jnp.where((scols == sp) & (near_ok == 1), near_c, stack)
+            stack_ref[
+                jnp.where(near_ok == 1, jnp.minimum(sp, S - 1), S)] = near_c
             sp = sp + near_ok
-            return step + 1, sp, stack
+            return step + 1, sp
 
-        jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(1), stack0))
+        jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(1)))
 
         best_t = best_ref[0]
         best_prim = pltpu.bitcast(best_ref[1], jnp.int32)
@@ -692,6 +695,7 @@ def trace_resolve_scene_pallas_paged(
             pltpu.SMEM((_CI,), jnp.int32),          # chunk code scratch
             pltpu.SMEM((smat_block(n_slots),), jnp.int32),  # chunk smat
             pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SMEM((_STACK + 1,), jnp.int32),   # scalar stack + trash slot
         ],
         interpret=INTERPRET,
     )(sb, sc, lpos, lprim, luv, lnrm,
@@ -767,6 +771,7 @@ def trace_scene_pallas_paged(
             pltpu.SMEM((_BF,), jnp.float32),        # chunk box scratch
             pltpu.SMEM((_CI,), jnp.int32),          # chunk code scratch
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((_STACK + 1,), jnp.int32),   # scalar stack + trash slot
         ],
         interpret=INTERPRET,
     )(sb, sc, lpos, lprim, scene.chunk_boxes, scene.chunk_codes,
