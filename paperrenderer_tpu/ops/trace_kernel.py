@@ -150,10 +150,15 @@ def _make_kernel(root_code: int, max_steps: int, any_hit: bool,
 
         wix, wiy, wiz = safe_inv(wdx), safe_inv(wdy), safe_inv(wdz)
 
-        # best planes: [0]=t [1]=prim(bits) [2]=inst(bits) [3]=u [4]=v
-        # [5]=prune bound for box tests: closest mode tracks best t; any-hit
-        # mode drops to -3e38 once a ray commits, removing it from every
-        # later slab-test union (the packet footprint shrinks as rays occlude)
+        # best planes: [0]=t NUMERATOR [1]=prim(bits) [2]=inst(bits)
+        # [3]=u num [4]=v num [6]=shared DENOMINATOR (|det| of the winner;
+        # 1.0 = "no fragment", so num/den = the plain t). Ratio state lets
+        # the Möller-Trumbore loop compare depths by cross-multiplication
+        # (dt*den_b < num_b*adet, all operands >= 0) — the per-candidate
+        # divide drops out; u/v/t divide ONCE per packet at the end.
+        # [5]=prune bound for box tests (an actual t, one divide per leaf
+        # step): closest mode tracks best t; any-hit mode drops to -3e38
+        # once a ray commits, removing it from every later slab-test union.
         neg1 = pltpu.bitcast(jnp.full((8, 128), -1, jnp.int32), jnp.float32)
         best_ref[0] = ld(tmax_ref)
         best_ref[1] = neg1
@@ -161,6 +166,7 @@ def _make_kernel(root_code: int, max_steps: int, any_hit: bool,
         best_ref[3] = jnp.zeros((8, 128), jnp.float32)
         best_ref[4] = jnp.zeros((8, 128), jnp.float32)
         best_ref[5] = ld(tmax_ref)
+        best_ref[6] = jnp.ones((8, 128), jnp.float32)
         # object-space ray planes: o(3) d(3) inv(3)
         for i, v in enumerate((wox, woy, woz, wdx, wdy, wdz, wix, wiy, wiz)):
             obj_ref[i] = v
@@ -261,7 +267,8 @@ def _make_kernel(root_code: int, max_steps: int, any_hit: bool,
                 pb = payload * K
                 oox, ooy, ooz = obj_ref[0], obj_ref[1], obj_ref[2]
                 odx, ody, odz = obj_ref[3], obj_ref[4], obj_ref[5]
-                best_t = best_ref[0]
+                num_b = best_ref[0]
+                den_b = best_ref[6]
                 best_prim = pltpu.bitcast(best_ref[1], jnp.int32)
                 best_u = best_ref[3]
                 best_v = best_ref[4]
@@ -280,29 +287,39 @@ def _make_kernel(root_code: int, max_steps: int, any_hit: bool,
                     py_ = odz * e2x - odx * e2z
                     pz_ = odx * e2y - ody * e2x
                     det = e1x * px_ + e1y * py_ + e1z * pz_
-                    ok = jnp.abs(det) > 1e-12
-                    inv = 1.0 / jnp.where(ok, det, 1.0)
+                    # division-free: fold the triangle's orientation into the
+                    # numerators (du = u*det*s etc., s = sign(det)) and test
+                    # against |det|; depth compares cross-multiply with the
+                    # carried (num, den) winner — no divide in the loop
+                    s = jnp.where(det >= 0.0, 1.0, -1.0)
+                    adet = jnp.abs(det)
+                    ok = adet > 1e-12
                     sx, sy, sz = oox - ax, ooy - ay, ooz - az
-                    u = (sx * px_ + sy * py_ + sz * pz_) * inv
+                    du = (sx * px_ + sy * py_ + sz * pz_) * s
                     qx = sy * e1z - sz * e1y
                     qy = sz * e1x - sx * e1z
                     qz = sx * e1y - sy * e1x
-                    v = (odx * qx + ody * qy + odz * qz) * inv
-                    t = (e2x * qx + e2y * qy + e2z * qz) * inv
+                    dv = (odx * qx + ody * qy + odz * qz) * s
+                    dt = (e2x * qx + e2y * qy + e2z * qz) * s
                     hit = (
-                        ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                        & (t > 1e-3) & (t < best_t) & (ptag >= 0)
+                        ok & (du >= 0.0) & (dv >= 0.0) & (du + dv <= adet)
+                        & (dt > 1e-3 * adet) & (dt * den_b < num_b * adet)
+                        & (ptag >= 0)
                     )
                     best_prim = jnp.where(hit, ptag & 0x00FFFFFF, best_prim)
                     best_inst = jnp.where(hit, cur_inst, best_inst)
-                    best_u = jnp.where(hit, u, best_u)
-                    best_v = jnp.where(hit, v, best_v)
-                    best_t = jnp.where(hit, t, best_t)
-                best_ref[0] = best_t
+                    best_u = jnp.where(hit, du, best_u)
+                    best_v = jnp.where(hit, dv, best_v)
+                    num_b = jnp.where(hit, dt, num_b)
+                    den_b = jnp.where(hit, adet, den_b)
+                best_ref[0] = num_b
+                best_ref[6] = den_b
                 best_ref[1] = pltpu.bitcast(best_prim, jnp.float32)
                 best_ref[2] = pltpu.bitcast(best_inst, jnp.float32)
                 best_ref[3] = best_u
                 best_ref[4] = best_v
+                # ONE divide per leaf step refreshes the box-test prune plane
+                best_t = num_b / den_b
                 if any_hit:
                     # committed rays stop contributing to box tests entirely
                     best_ref[5] = jnp.where(best_prim >= 0,
@@ -334,7 +351,9 @@ def _make_kernel(root_code: int, max_steps: int, any_hit: bool,
         fin = jax.lax.while_loop(
             cond, body, (jnp.int32(0), jnp.int32(1), jnp.int32(0)))
 
-        best_t = best_ref[0]
+        # the winner is carried as (numerator, |det|) — divide ONCE per ray
+        inv_den = 1.0 / best_ref[6]
+        best_t = best_ref[0] * inv_den
         best_prim = pltpu.bitcast(best_ref[1], jnp.int32)
         best_inst = pltpu.bitcast(best_ref[2], jnp.int32)
         miss = best_prim < 0
@@ -345,8 +364,8 @@ def _make_kernel(root_code: int, max_steps: int, any_hit: bool,
             st(u_out,
                jnp.full((8, 128), fin[0], jnp.int32).astype(jnp.float32))
         else:
-            st(u_out, best_ref[3])
-        st(v_out, best_ref[4])
+            st(u_out, best_ref[3] * inv_den)
+        st(v_out, best_ref[4] * inv_den)
 
     return kernel
 
@@ -836,7 +855,7 @@ def trace_scene_pallas(
         out_shape=[out_shape(dt) for dt in out_dts],
         scratch_shapes=[
             pltpu.VMEM((9, 8, 128), jnp.float32),   # object-space ray planes
-            pltpu.VMEM((6, 8, 128), jnp.float32),   # best-hit + prune planes
+            pltpu.VMEM((7, 8, 128), jnp.float32),   # best-hit + prune + den
             pltpu.SMEM((8,), jnp.int32),            # cross-branch scalars
             pltpu.SMEM((_STACK + 1,), jnp.int32),   # scalar stack + trash slot
         ],
