@@ -370,6 +370,8 @@ def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
         wix, wiy, wiz = safe_inv(wdx), safe_inv(wdy), safe_inv(wdz)
 
         neg1 = pltpu.bitcast(jnp.full((8, 128), -1, jnp.int32), jnp.float32)
+        # ratio winner state (see trace_kernel._make_resolve_kernel):
+        # [0]=t num, [3..7]=uv/normal numerators, [9]=|det| den, [10]=prune t
         best_ref[0] = rd(tmax_ref)
         best_ref[1] = neg1
         best_ref[2] = neg1
@@ -377,6 +379,8 @@ def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
             best_ref[i] = jnp.zeros((8, 128), jnp.float32)
         best_ref[8] = pltpu.bitcast(
             jnp.zeros((8, 128), jnp.int32), jnp.float32)
+        best_ref[9] = jnp.ones((8, 128), jnp.float32)
+        best_ref[10] = rd(tmax_ref)
         for i, v in enumerate((wox, woy, woz, wdx, wdy, wdz, wix, wiy, wiz)):
             obj_ref[i] = v
         flag_ref[3] = jnp.int32(0)    # cur_inst (global slot)
@@ -428,7 +432,7 @@ def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
 
             @pl.when(is_box)
             def _box():
-                best_t = best_ref[0]
+                best_t = best_ref[10]
                 obj_f = jnp.where(obj, 1.0, 0.0)
                 px = obj_f * obj_ref[0] + (1.0 - obj_f) * wox
                 py = obj_f * obj_ref[1] + (1.0 - obj_f) * woy
@@ -518,6 +522,8 @@ def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
                 best_ny = best_ref[6]
                 best_nz = best_ref[7]
                 best_mat = pltpu.bitcast(best_ref[8], jnp.int32)
+                num_b = best_ref[0]
+                den_b = best_ref[9]
                 cur_inst = flag_ref[3]
                 cur_li = flag_ref[5]
                 m = [minv_ref[k] for k in range(12)]
@@ -535,25 +541,29 @@ def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
                     py_ = odz * e2x - odx * e2z
                     pz_ = odx * e2y - ody * e2x
                     det = e1x * px_ + e1y * py_ + e1z * pz_
-                    ok = jnp.abs(det) > 1e-12
-                    inv = 1.0 / jnp.where(ok, det, 1.0)
+                    # division-free Möller-Trumbore, ratio-space attribute
+                    # interpolation (see trace_kernel._make_resolve_kernel)
+                    s = jnp.where(det >= 0.0, 1.0, -1.0)
+                    adet = jnp.abs(det)
+                    ok = adet > 1e-12
                     sx, sy, sz = oox - ax, ooy - ay, ooz - az
-                    u = (sx * px_ + sy * py_ + sz * pz_) * inv
+                    du = (sx * px_ + sy * py_ + sz * pz_) * s
                     qx = sy * e1z - sz * e1y
                     qy = sz * e1x - sx * e1z
                     qz = sx * e1y - sy * e1x
-                    v = (odx * qx + ody * qy + odz * qz) * inv
-                    t = (e2x * qx + e2y * qy + e2z * qz) * inv
+                    dv = (odx * qx + ody * qy + odz * qz) * s
+                    dt = (e2x * qx + e2y * qy + e2z * qz) * s
                     hit = (
-                        ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                        & (t > 1e-3) & (t < best_t) & (ptag >= 0)
+                        ok & (du >= 0.0) & (dv >= 0.0) & (du + dv <= adet)
+                        & (dt > 1e-3 * adet) & (dt * den_b < num_b * adet)
+                        & (ptag >= 0)
                     )
-                    w0 = 1.0 - u - v
+                    dw0 = adet - du - dv
                     kb = ub + k * 6
-                    uvx = (w0 * luv_ref[kb] + u * luv_ref[kb + 2]
-                           + v * luv_ref[kb + 4])
-                    uvy = (w0 * luv_ref[kb + 1] + u * luv_ref[kb + 3]
-                           + v * luv_ref[kb + 5])
+                    uvx = (dw0 * luv_ref[kb] + du * luv_ref[kb + 2]
+                           + dv * luv_ref[kb + 4])
+                    uvy = (dw0 * luv_ref[kb + 1] + du * luv_ref[kb + 3]
+                           + dv * luv_ref[kb + 5])
                     kn = nb + k * 9
                     n0x, n0y, n0z = (lnrm_ref[kn], lnrm_ref[kn + 1],
                                      lnrm_ref[kn + 2])
@@ -561,9 +571,9 @@ def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
                                      lnrm_ref[kn + 5])
                     n2x, n2y, n2z = (lnrm_ref[kn + 6], lnrm_ref[kn + 7],
                                      lnrm_ref[kn + 8])
-                    nox = w0 * n0x + u * n1x + v * n2x
-                    noy = w0 * n0y + u * n1y + v * n2y
-                    noz = w0 * n0z + u * n1z + v * n2z
+                    nox = dw0 * n0x + du * n1x + dv * n2x
+                    noy = dw0 * n0y + du * n1y + dv * n2y
+                    noz = dw0 * n0z + du * n1z + dv * n2z
                     nwx = m[0] * nox + m[4] * noy + m[8] * noz
                     nwy = m[1] * nox + m[5] * noy + m[9] * noz
                     nwz = m[2] * nox + m[6] * noy + m[10] * noz
@@ -572,11 +582,15 @@ def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
                             + jnp.clip(slot_k, 0, n_slots - 1))
                     mat_k = cs[midx]
                     if alpha_test:
+                        # the cutout needs REAL uv: one divide per candidate
+                        inv_a = 1.0 / jnp.where(ok, adet, 1.0)
+                        ruvx = uvx * inv_a
+                        ruvy = uvy * inv_a
                         is_leaf_m = (
                             smodel_ref[jnp.clip(mat_k, 0, n_mats - 1)]
                             == _SHADE_LEAF)
-                        curve = (1.0 - (1.0 - 2.0 * uvx) ** 2) * 0.2
-                        leaf_ok = jnp.abs(uvy - 0.5) < curve
+                        curve = (1.0 - (1.0 - 2.0 * ruvx) ** 2) * 0.2
+                        leaf_ok = jnp.abs(ruvy - 0.5) < curve
                         hit = hit & (jnp.logical_not(is_leaf_m) | leaf_ok)
                     best_prim = jnp.where(hit, ptag & 0x00FFFFFF, best_prim)
                     best_inst = jnp.where(hit, cur_inst, best_inst)
@@ -586,8 +600,10 @@ def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
                     best_ny = jnp.where(hit, nwy, best_ny)
                     best_nz = jnp.where(hit, nwz, best_nz)
                     best_mat = jnp.where(hit, mat_k, best_mat)
-                    best_t = jnp.where(hit, t, best_t)
-                best_ref[0] = best_t
+                    num_b = jnp.where(hit, dt, num_b)
+                    den_b = jnp.where(hit, adet, den_b)
+                best_ref[0] = num_b
+                best_ref[9] = den_b
                 best_ref[1] = pltpu.bitcast(best_prim, jnp.float32)
                 best_ref[2] = pltpu.bitcast(best_inst, jnp.float32)
                 best_ref[3] = best_uvx
@@ -596,6 +612,8 @@ def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
                 best_ref[6] = best_ny
                 best_ref[7] = best_nz
                 best_ref[8] = pltpu.bitcast(best_mat, jnp.float32)
+                # ONE divide per leaf step refreshes the box-test prune plane
+                best_ref[10] = num_b / den_b
 
             box_i = is_box.astype(jnp.int32)
             any0 = flag_ref[0] * box_i
@@ -617,18 +635,20 @@ def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
 
         jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(1)))
 
-        best_t = best_ref[0]
+        # ratio state: divide ONCE per ray (t, uv, unnormalized normal)
+        inv_den = 1.0 / best_ref[9]
+        best_t = best_ref[0] * inv_den
         best_prim = pltpu.bitcast(best_ref[1], jnp.int32)
         best_inst = pltpu.bitcast(best_ref[2], jnp.int32)
         miss = best_prim < 0
         stv(t_out, jnp.where(miss, jnp.float32(jnp.inf), best_t))
         stv(prim_out, best_prim)
         stv(inst_out, jnp.where(miss, -1, best_inst))
-        stv(uvx_out, best_ref[3])
-        stv(uvy_out, best_ref[4])
-        stv(nx_out, best_ref[5])
-        stv(ny_out, best_ref[6])
-        stv(nz_out, best_ref[7])
+        stv(uvx_out, best_ref[3] * inv_den)
+        stv(uvy_out, best_ref[4] * inv_den)
+        stv(nx_out, best_ref[5] * inv_den)
+        stv(ny_out, best_ref[6] * inv_den)
+        stv(nz_out, best_ref[7] * inv_den)
         stv(mat_out,
             jnp.where(miss, 0, pltpu.bitcast(best_ref[8], jnp.int32)))
 
@@ -701,7 +721,7 @@ def trace_resolve_scene_pallas_paged(
         out_shape=[out_shape(dt) for dt in out_dts],
         scratch_shapes=[
             pltpu.VMEM((9, 8, 128), jnp.float32),   # object-space ray planes
-            pltpu.VMEM((9, 8, 128), jnp.float32),   # best planes
+            pltpu.VMEM((11, 8, 128), jnp.float32),  # best planes (+den+prune)
             pltpu.SMEM((8,), jnp.int32),            # cross-branch scalars
             pltpu.SMEM((12,), jnp.float32),         # current instance inverse
             pltpu.SMEM((_BF,), jnp.float32),        # chunk box scratch
