@@ -200,13 +200,14 @@ def _make_kernel(root_code: int, max_steps: int, any_hit: bool,
             def _box():
                 b = payload * 12
                 best_t = best_ref[5]
-                obj_f = jnp.where(obj, 1.0, 0.0)
-                px = obj_f * obj_ref[0] + (1.0 - obj_f) * wox
-                py = obj_f * obj_ref[1] + (1.0 - obj_f) * woy
-                pz = obj_f * obj_ref[2] + (1.0 - obj_f) * woz
-                ix = obj_f * obj_ref[6] + (1.0 - obj_f) * wix
-                iy = obj_f * obj_ref[7] + (1.0 - obj_f) * wiy
-                iz = obj_f * obj_ref[8] + (1.0 - obj_f) * wiz
+                # one scalar-predicate select per plane (the old
+                # obj_f*a + (1-obj_f)*b lerp cost 3 vector ops per plane)
+                px = jnp.where(obj, obj_ref[0], wox)
+                py = jnp.where(obj, obj_ref[1], woy)
+                pz = jnp.where(obj, obj_ref[2], woz)
+                ix = jnp.where(obj, obj_ref[6], wix)
+                iy = jnp.where(obj, obj_ref[7], wiy)
+                iz = jnp.where(obj, obj_ref[8], wiz)
 
                 def slab(o6):
                     lx, ly, lz = boxes_ref[b + o6], boxes_ref[b + o6 + 1], boxes_ref[b + o6 + 2]
@@ -451,13 +452,14 @@ def _make_resolve_kernel(root_code: int, max_steps: int, n_slots: int,
             def _box():
                 b = payload * 12
                 best_t = best_ref[10]
-                obj_f = jnp.where(obj, 1.0, 0.0)
-                px = obj_f * obj_ref[0] + (1.0 - obj_f) * wox
-                py = obj_f * obj_ref[1] + (1.0 - obj_f) * woy
-                pz = obj_f * obj_ref[2] + (1.0 - obj_f) * woz
-                ix = obj_f * obj_ref[6] + (1.0 - obj_f) * wix
-                iy = obj_f * obj_ref[7] + (1.0 - obj_f) * wiy
-                iz = obj_f * obj_ref[8] + (1.0 - obj_f) * wiz
+                # one scalar-predicate select per plane (the old
+                # obj_f*a + (1-obj_f)*b lerp cost 3 vector ops per plane)
+                px = jnp.where(obj, obj_ref[0], wox)
+                py = jnp.where(obj, obj_ref[1], woy)
+                pz = jnp.where(obj, obj_ref[2], woz)
+                ix = jnp.where(obj, obj_ref[6], wix)
+                iy = jnp.where(obj, obj_ref[7], wiy)
+                iz = jnp.where(obj, obj_ref[8], wiz)
 
                 def slab(o6):
                     lx, ly, lz = boxes_ref[b + o6], boxes_ref[b + o6 + 1], boxes_ref[b + o6 + 2]
