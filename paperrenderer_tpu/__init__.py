@@ -47,6 +47,7 @@ from .core import (
     make_uv_sphere,
 )
 from .utils import Logger, LogType, StatisticsTracker, Timer
+from .viewer import Viewer
 
 __version__ = "0.1.0"
 
@@ -55,6 +56,6 @@ __all__ = [
     "Material", "MaterialInstance", "MaterialMesh", "MaterialRegistry",
     "Model", "ModelInstance", "Scene",
     "make_cube", "make_icosphere", "make_plane", "make_torus", "make_uv_sphere",
-    "Logger", "LogType", "StatisticsTracker", "Timer",
+    "Logger", "LogType", "StatisticsTracker", "Timer", "Viewer",
     "__version__",
 ]

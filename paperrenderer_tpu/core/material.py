@@ -162,6 +162,15 @@ class MaterialRegistry:
     def __len__(self) -> int:
         return len(self._rows)
 
+    def objects(self) -> list:
+        """Registered Material/MaterialInstance objects in id order (the
+        GUI's editable-material listing, example GuiRender.cpp:65-77)."""
+        return list(self._objects)
+
+    def rows(self) -> list:
+        """Resolved parameter dicts in id order (read-only snapshot)."""
+        return [dict(v) for v in self._rows]
+
     @property
     def has_leaf(self) -> bool:
         return any(v["shading_model"] == SHADE_LEAF for v in self._rows)
