@@ -1016,6 +1016,7 @@ def make_scene_tracer(
     time: Optional[jax.Array] = None,
     animate: Optional[Callable] = None,
     image_shape=None,
+    wide: bool = False,
 ):
     """Assemble this frame's acceleration structure and return a tracer.
 
@@ -1032,7 +1033,7 @@ def make_scene_tracer(
             scene, slot_materials, materials,
             root_code=root, stack_size=stack_size,
             leaf_cutout=leaf_cutout, use_pallas=use_pallas,
-            textures=textures, image_shape=image_shape,
+            textures=textures, image_shape=image_shape, wide=wide,
         )
     rt_scene, roots = assemble_scene(
         blasset, meta, anim_rest, anim_rest_nodes, instances, inst_blas,
@@ -1042,7 +1043,7 @@ def make_scene_tracer(
         rt_scene, slot_materials, materials,
         root_code=roots[tlas_index], stack_size=stack_size,
         leaf_cutout=leaf_cutout, use_pallas=use_pallas,
-        textures=textures, image_shape=image_shape,
+        textures=textures, image_shape=image_shape, wide=wide,
     )
 
 
@@ -1359,6 +1360,7 @@ class SceneTracer:
         use_pallas: bool = False,
         textures=None,
         image_shape=None,
+        wide: bool = False,
     ):
         self.scene = scene
         self.slot_materials = slot_materials
@@ -1368,6 +1370,8 @@ class SceneTracer:
         self.stack_size = stack_size
         self.leaf_cutout = leaf_cutout
         self.use_pallas = use_pallas
+        # 4-wide grandchild box steps in the packet kernels (A/B perf knob)
+        self.wide = wide
         # (H, W): group R == H*W wavefronts as (8, 128) pixel-tile packets
         # (trace_kernel.image_mode_ok) — secondary rays derived from image-
         # layout G-buffers keep tile-footprint coherence with zero relayout
@@ -1431,6 +1435,7 @@ class SceneTracer:
                     any_hit=any_hit, active=active,
                     max_steps=self._step_bound(),
                     image_shape=self._image_shape(o.shape[0]),
+                    wide=self.wide,
                 )
         return trace_scene(
             self.scene, o, d, t_max,
@@ -1462,6 +1467,7 @@ class SceneTracer:
                     shading_model=(self.materials.shading_model
                                    if alpha_needed else None),
                     image_shape=self._image_shape(o.shape[0]),
+                    wide=self.wide,
                 )
                 hit = out["prim"] >= 0
                 t = jnp.where(hit, out["t"], 0.0)
@@ -1557,6 +1563,7 @@ class PagedSceneTracer:
         use_pallas: bool = False,
         textures=None,
         image_shape=None,
+        wide: bool = False,
     ):
         self.scene = scene
         self.slot_materials = slot_materials
@@ -1566,6 +1573,10 @@ class PagedSceneTracer:
         self.stack_size = stack_size
         self.leaf_cutout = leaf_cutout
         self.use_pallas = use_pallas
+        # accepted for protocol parity with SceneTracer but UNSUPPORTED:
+        # the paged kernels page one chunk at a time, and a grandchild step
+        # would read child rows that may live in a not-yet-resident chunk
+        self.wide = False
         self.image_shape = tuple(image_shape) if image_shape else None
         self._flat = None
 

@@ -127,16 +127,103 @@ def _io_helpers(image_mode: bool):
     return ld, st
 
 
+def _wide_box_step(boxes_ref, codes_ref, flag_ref, payload, c0, c1,
+                   px, py, pz, ix, iy, iz, best_t):
+    """Grandchild (BVH4) box step over the unchanged binary node table.
+
+    A box row already stores BOTH children's boxes, so a 4-wide step needs
+    no 4-wide build: pop row p, and for each box-typed child read ITS row
+    (the grandchildren's boxes + codes); a non-box child (leaf/instance)
+    contributes itself with the box stored in row p. Up to 4 slab tests per
+    pop — the same total box tests as two binary steps over a full subtree
+    (slightly more where a binary step would have culled a child) — but
+    HALF the while-loop iterations, so the per-step fixed cost (branch
+    dispatch, pop latency, code decode) is paid half as often. Rows at odd
+    depths are read but never popped; tree parity needs no special-casing.
+
+    Reports up to 4 pushes through ``flag_ref``: [0..3] = push flags in
+    far-to-near order, [4..7] = the codes (a 5-comparator sorting network
+    orders the 4 entry keys; misses carry +3e38 and sink to the end)."""
+    inf = jnp.float32(3e38)
+
+    def slab(bb):
+        lx, ly, lz = boxes_ref[bb], boxes_ref[bb + 1], boxes_ref[bb + 2]
+        hx, hy, hz = boxes_ref[bb + 3], boxes_ref[bb + 4], boxes_ref[bb + 5]
+        tx0 = (lx - px) * ix
+        tx1 = (hx - px) * ix
+        ty0 = (ly - py) * iy
+        ty1 = (hy - py) * iy
+        tz0 = (lz - pz) * iz
+        tz1 = (hz - pz) * iz
+        tn = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.minimum(tz0, tz1))
+        tf = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.maximum(tz0, tz1))
+        # reject dead children (min > max)
+        hit = (tf >= jnp.maximum(tn, 0.0)) & (tn <= best_t) & (lx <= hx)
+        return jnp.min(jnp.where(hit, tn, inf))
+
+    keys = []
+    codes = []
+    for side, cs in ((0, c0), (1, c1)):
+        is_b = ((cs >> _TYPE_SHIFT) & 3) == TYPE_BOX
+        gp = jnp.where(is_b, cs & _PAYLOAD_MASK, 0)
+        # box child -> its two grandchildren; other -> the child itself
+        # (box from row p, pushed code = the child code)
+        keys.append(slab(jnp.where(is_b, gp * 12, payload * 12 + side * 6)))
+        codes.append(jnp.where(is_b, codes_ref[gp * 2], cs))
+        k1 = slab(gp * 12 + 6)
+        keys.append(jnp.where(is_b, k1, inf))
+        codes.append(codes_ref[gp * 2 + 1])
+
+    for i, j in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
+        a, b = keys[i], keys[j]
+        ca, cb = codes[i], codes[j]
+        sw = a > b
+        keys[i] = jnp.where(sw, b, a)
+        keys[j] = jnp.where(sw, a, b)
+        codes[i] = jnp.where(sw, cb, ca)
+        codes[j] = jnp.where(sw, ca, cb)
+
+    # push order: farthest (largest finite key) first
+    for k in range(4):
+        e = 3 - k
+        flag_ref[k] = (keys[e] < inf).astype(jnp.int32)
+        flag_ref[4 + k] = codes[e]
+
+
+def _wide_pushes(stack_ref, flag_ref, sp, is_box, is_inst, c0, S):
+    """The 4 conditional pushes reported by ``_wide_box_step`` (instance
+    pops push their BLAS root as the single first entry)."""
+    box_i = is_box.astype(jnp.int32)
+    for k in range(4):
+        pf = flag_ref[k] * box_i
+        pv = flag_ref[4 + k]
+        if k == 0:
+            pf = jnp.where(is_inst, 1, pf)
+            pv = jnp.where(is_inst, c0, pv)
+        stack_ref[jnp.where(pf == 1, jnp.minimum(sp, S - 1), S)] = pv
+        sp = sp + pf
+    return sp
+
+
 def _make_kernel(root_code: int, max_steps: int, any_hit: bool,
-                 debug_steps: bool = False, image_mode: bool = False):
+                 debug_steps: bool = False, image_mode: bool = False,
+                 wide: bool = False):
     """Packet kernel. Vector state (best hit planes, object-space ray) lives
     in VMEM scratch refs mutated under ``pl.when`` — real branches with no
     state yields, so a step costs only its own branch's work. The while carry
     holds just scalars; the shared stack is an SMEM scratch array (scalar
     loads/stores at dynamic indices), and cross-branch scalars (slab
-    outcomes, any-hit progress) round-trip through an SMEM scratch."""
+    outcomes, any-hit progress) round-trip through an SMEM scratch.
+    ``wide=True`` replaces the binary box step with the 4-wide grandchild
+    step (``_wide_box_step``)."""
     S = _STACK
     ld, st = _io_helpers(image_mode)
+    FI = 8 if wide else 3    # flag slot: current instance id
+    FH = 9 if wide else 4    # flag slot: all-rays-hit (any-hit early exit)
 
     def kernel(boxes_ref, codes_ref, lpos_ref, lprim_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
@@ -170,8 +257,8 @@ def _make_kernel(root_code: int, max_steps: int, any_hit: bool,
         # object-space ray planes: o(3) d(3) inv(3)
         for i, v in enumerate((wox, woy, woz, wdx, wdy, wdz, wix, wiy, wiz)):
             obj_ref[i] = v
-        flag_ref[3] = jnp.int32(0)    # cur_inst
-        flag_ref[4] = jnp.int32(0)    # all-hit (any_hit early exit)
+        flag_ref[FI] = jnp.int32(0)   # cur_inst
+        flag_ref[FH] = jnp.int32(0)   # all-hit (any_hit early exit)
 
         # SMEM scalar stack: push/pop are pure scalar-domain loads/stores —
         # no per-step (1, S) vector selects and no vector->scalar reduction
@@ -208,6 +295,10 @@ def _make_kernel(root_code: int, max_steps: int, any_hit: bool,
                 ix = jnp.where(obj, obj_ref[6], wix)
                 iy = jnp.where(obj, obj_ref[7], wiy)
                 iz = jnp.where(obj, obj_ref[8], wiz)
+                if wide:
+                    _wide_box_step(boxes_ref, codes_ref, flag_ref, payload,
+                                   c0, c1, px, py, pz, ix, iy, iz, best_t)
+                    return
 
                 def slab(o6):
                     lx, ly, lz = boxes_ref[b + o6], boxes_ref[b + o6 + 1], boxes_ref[b + o6 + 2]
@@ -260,7 +351,7 @@ def _make_kernel(root_code: int, max_steps: int, any_hit: bool,
                 obj_ref[6] = safe_inv(odx)
                 obj_ref[7] = safe_inv(ody)
                 obj_ref[8] = safe_inv(odz)
-                flag_ref[3] = c1    # instance slot id
+                flag_ref[FI] = c1    # instance slot id
 
             @pl.when(is_leaf)
             def _leaf():
@@ -274,7 +365,7 @@ def _make_kernel(root_code: int, max_steps: int, any_hit: bool,
                 best_u = best_ref[3]
                 best_v = best_ref[4]
                 best_inst = pltpu.bitcast(best_ref[2], jnp.int32)
-                cur_inst = flag_ref[3]
+                cur_inst = flag_ref[FI]
                 for k in range(K):
                     tb = b + k * 9
                     # leaf rows store (a, e1, e2) — edges read directly
@@ -325,28 +416,34 @@ def _make_kernel(root_code: int, max_steps: int, any_hit: bool,
                     # committed rays stop contributing to box tests entirely
                     best_ref[5] = jnp.where(best_prim >= 0,
                                             jnp.float32(-3e38), best_t)
-                    flag_ref[4] = jnp.all(best_prim >= 0).astype(jnp.int32)
+                    flag_ref[FH] = jnp.all(best_prim >= 0).astype(jnp.int32)
                 else:
                     best_ref[5] = best_t
 
             # functional pushes from the branch-reported scalars
-            box_i = is_box.astype(jnp.int32)
-            any0 = flag_ref[0] * box_i
-            any1 = flag_ref[1] * box_i
-            first0 = flag_ref[2]
-            near_c = jnp.where(first0 == 1, c0, c1)
-            far_c = jnp.where(first0 == 1, c1, c0)
-            near_ok = jnp.where(first0 == 1, any0, any1)
-            far_ok = jnp.where(first0 == 1, any1, any0)
-            # instance pop pushes its BLAS root (c0); box pushes far then near
-            p1 = jnp.where(is_inst, 1, far_ok)
-            p1_val = jnp.where(is_inst, c0, far_c)
-            stack_ref[jnp.where(p1 == 1, jnp.minimum(sp, S - 1), S)] = p1_val
-            sp = sp + p1
-            stack_ref[
-                jnp.where(near_ok == 1, jnp.minimum(sp, S - 1), S)] = near_c
-            sp = sp + near_ok
-            done = flag_ref[4] if any_hit else jnp.int32(0)
+            if wide:
+                sp = _wide_pushes(stack_ref, flag_ref, sp, is_box, is_inst,
+                                  c0, S)
+            else:
+                box_i = is_box.astype(jnp.int32)
+                any0 = flag_ref[0] * box_i
+                any1 = flag_ref[1] * box_i
+                first0 = flag_ref[2]
+                near_c = jnp.where(first0 == 1, c0, c1)
+                far_c = jnp.where(first0 == 1, c1, c0)
+                near_ok = jnp.where(first0 == 1, any0, any1)
+                far_ok = jnp.where(first0 == 1, any1, any0)
+                # instance pop pushes its BLAS root (c0); box: far then near
+                p1 = jnp.where(is_inst, 1, far_ok)
+                p1_val = jnp.where(is_inst, c0, far_c)
+                stack_ref[
+                    jnp.where(p1 == 1, jnp.minimum(sp, S - 1), S)] = p1_val
+                sp = sp + p1
+                stack_ref[
+                    jnp.where(near_ok == 1, jnp.minimum(sp, S - 1), S)
+                ] = near_c
+                sp = sp + near_ok
+            done = flag_ref[FH] if any_hit else jnp.int32(0)
             return step + 1, sp, done
 
         fin = jax.lax.while_loop(
@@ -373,7 +470,8 @@ def _make_kernel(root_code: int, max_steps: int, any_hit: bool,
 
 def _make_resolve_kernel(root_code: int, max_steps: int, n_slots: int,
                          n_inst: int, alpha_test: bool = False,
-                         n_mats: int = 1, image_mode: bool = False):
+                         n_mats: int = 1, image_mode: bool = False,
+                         wide: bool = False):
     """Fused trace+resolve packet kernel.
 
     Identical traversal to _make_kernel, but hit attributes are interpolated
@@ -391,6 +489,7 @@ def _make_resolve_kernel(root_code: int, max_steps: int, n_slots: int,
     resolve path already interpolates."""
     S = _STACK
     ld, st = _io_helpers(image_mode)
+    FI = 8 if wide else 3    # flag slot: current instance id
 
     def kernel(boxes_ref, codes_ref, lpos_ref, lprim_ref,
                luv_ref, lnrm_ref, smat_ref, *rest):
@@ -423,7 +522,7 @@ def _make_resolve_kernel(root_code: int, max_steps: int, n_slots: int,
         best_ref[10] = ld(tmax_ref)
         for i, v in enumerate((wox, woy, woz, wdx, wdy, wdz, wix, wiy, wiz)):
             obj_ref[i] = v
-        flag_ref[3] = jnp.int32(0)    # cur_inst
+        flag_ref[FI] = jnp.int32(0)   # cur_inst
         # identity inverse until the first instance switch
         for i in range(12):
             minv_ref[i] = jnp.float32(1.0 if i in (0, 5, 10) else 0.0)
@@ -460,6 +559,10 @@ def _make_resolve_kernel(root_code: int, max_steps: int, n_slots: int,
                 ix = jnp.where(obj, obj_ref[6], wix)
                 iy = jnp.where(obj, obj_ref[7], wiy)
                 iz = jnp.where(obj, obj_ref[8], wiz)
+                if wide:
+                    _wide_box_step(boxes_ref, codes_ref, flag_ref, payload,
+                                   c0, c1, px, py, pz, ix, iy, iz, best_t)
+                    return
 
                 def slab(o6):
                     lx, ly, lz = boxes_ref[b + o6], boxes_ref[b + o6 + 1], boxes_ref[b + o6 + 2]
@@ -510,7 +613,7 @@ def _make_resolve_kernel(root_code: int, max_steps: int, n_slots: int,
                 obj_ref[6] = safe_inv(odx)
                 obj_ref[7] = safe_inv(ody)
                 obj_ref[8] = safe_inv(odz)
-                flag_ref[3] = c1    # instance slot id
+                flag_ref[FI] = c1    # instance slot id
                 for k in range(12):
                     minv_ref[k] = m[k]
 
@@ -532,7 +635,7 @@ def _make_resolve_kernel(root_code: int, max_steps: int, n_slots: int,
                 best_ny = best_ref[6]
                 best_nz = best_ref[7]
                 best_mat = pltpu.bitcast(best_ref[8], jnp.int32)
-                cur_inst = flag_ref[3]
+                cur_inst = flag_ref[FI]
                 m = [minv_ref[k] for k in range(12)]
                 for k in range(K):
                     tb = b + k * 9
@@ -624,21 +727,27 @@ def _make_resolve_kernel(root_code: int, max_steps: int, n_slots: int,
                 # ONE divide per leaf step refreshes the box-test prune plane
                 best_ref[10] = num_b / den_b
 
-            box_i = is_box.astype(jnp.int32)
-            any0 = flag_ref[0] * box_i
-            any1 = flag_ref[1] * box_i
-            first0 = flag_ref[2]
-            near_c = jnp.where(first0 == 1, c0, c1)
-            far_c = jnp.where(first0 == 1, c1, c0)
-            near_ok = jnp.where(first0 == 1, any0, any1)
-            far_ok = jnp.where(first0 == 1, any1, any0)
-            p1 = jnp.where(is_inst, 1, far_ok)
-            p1_val = jnp.where(is_inst, c0, far_c)
-            stack_ref[jnp.where(p1 == 1, jnp.minimum(sp, S - 1), S)] = p1_val
-            sp = sp + p1
-            stack_ref[
-                jnp.where(near_ok == 1, jnp.minimum(sp, S - 1), S)] = near_c
-            sp = sp + near_ok
+            if wide:
+                sp = _wide_pushes(stack_ref, flag_ref, sp, is_box, is_inst,
+                                  c0, S)
+            else:
+                box_i = is_box.astype(jnp.int32)
+                any0 = flag_ref[0] * box_i
+                any1 = flag_ref[1] * box_i
+                first0 = flag_ref[2]
+                near_c = jnp.where(first0 == 1, c0, c1)
+                far_c = jnp.where(first0 == 1, c1, c0)
+                near_ok = jnp.where(first0 == 1, any0, any1)
+                far_ok = jnp.where(first0 == 1, any1, any0)
+                p1 = jnp.where(is_inst, 1, far_ok)
+                p1_val = jnp.where(is_inst, c0, far_c)
+                stack_ref[
+                    jnp.where(p1 == 1, jnp.minimum(sp, S - 1), S)] = p1_val
+                sp = sp + p1
+                stack_ref[
+                    jnp.where(near_ok == 1, jnp.minimum(sp, S - 1), S)
+                ] = near_c
+                sp = sp + near_ok
             return step + 1, sp
 
         jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(1)))
@@ -717,7 +826,8 @@ def _pack_rays(ray_o, ray_d, t_cap, image_shape):
 
 @partial(
     jax.jit,
-    static_argnames=("root_code", "stack_size", "max_steps", "image_shape"),
+    static_argnames=("root_code", "stack_size", "max_steps", "image_shape",
+                     "wide"),
 )
 def trace_resolve_scene_pallas(
     scene: RTScene,
@@ -732,6 +842,7 @@ def trace_resolve_scene_pallas(
     active: Optional[jax.Array] = None,
     shading_model: Optional[jax.Array] = None,  # i32[M]: enables leaf cutout
     image_shape: Optional[Tuple[int, int]] = None,
+    wide: bool = False,
 ):
     """Fused closest-hit + attribute resolve. Returns a dict of flat arrays:
     t, prim, inst, uv f32[R, 2], normal f32[R, 3] (unnormalized world),
@@ -758,13 +869,15 @@ def trace_resolve_scene_pallas(
     n_inst, n_slots = slot_materials.shape
     if max_steps is None:
         max_steps = traversal_step_bound(scene, n_inst)
-    assert stack_size <= _STACK, "scene too deep for the packet kernel"
+    # wide steps push up to 3 net entries per pop over half the depth
+    eff_stack = (stack_size * 3) // 2 + 2 if wide else stack_size
+    assert eff_stack <= _STACK, "scene too deep for the packet kernel"
 
     alpha_test = shading_model is not None
     n_mats = shading_model.shape[0] if alpha_test else 1
     kernel = _make_resolve_kernel(root_code, max_steps, n_slots, n_inst,
                                   alpha_test=alpha_test, n_mats=n_mats,
-                                  image_mode=image_mode)
+                                  image_mode=image_mode, wide=wide)
 
     smem = lambda n: pl.BlockSpec(
         (n,), lambda i: (0,), memory_space=pltpu.SMEM)
@@ -787,7 +900,7 @@ def trace_resolve_scene_pallas(
         scratch_shapes=[
             pltpu.VMEM((9, 8, 128), jnp.float32),   # object-space ray planes
             pltpu.VMEM((11, 8, 128), jnp.float32),  # best planes (+den+prune)
-            pltpu.SMEM((8,), jnp.int32),            # cross-branch scalars
+            pltpu.SMEM((12 if wide else 8,), jnp.int32),  # cross-branch scalars
             pltpu.SMEM((12,), jnp.float32),         # current instance inverse
             pltpu.SMEM((_STACK + 1,), jnp.int32),   # scalar stack + trash slot
         ],
@@ -821,7 +934,7 @@ def trace_resolve_scene_pallas(
 @partial(
     jax.jit,
     static_argnames=("root_code", "stack_size", "any_hit", "debug_steps",
-                     "max_steps", "image_shape"),
+                     "max_steps", "image_shape", "wide"),
 )
 def trace_scene_pallas(
     scene: RTScene,
@@ -836,6 +949,7 @@ def trace_scene_pallas(
     active: Optional[jax.Array] = None,
     debug_steps: bool = False,
     image_shape: Optional[Tuple[int, int]] = None,
+    wide: bool = False,
 ) -> HitRecord2:
     """Packet-traversal front end: rays run in their given order (pixel-major
     wavefronts are already strip-coherent — see ordering note above), or as
@@ -858,10 +972,13 @@ def trace_scene_pallas(
         # conservative single-visit bound; callers with shared BLASes pass
         # traversal_step_bound(scene, n_instances) (see SceneTracer)
         max_steps = scene.nodes.shape[0] + scene.leaf_rows.shape[0] + 64
-    assert stack_size <= _STACK, "scene too deep for the packet kernel"
+    # wide steps push up to 3 net entries per pop over half the depth
+    eff_stack = (stack_size * 3) // 2 + 2 if wide else stack_size
+    assert eff_stack <= _STACK, "scene too deep for the packet kernel"
 
     kernel = _make_kernel(root_code, max_steps, any_hit,
-                          debug_steps=debug_steps, image_mode=image_mode)
+                          debug_steps=debug_steps, image_mode=image_mode,
+                          wide=wide)
 
     smem = lambda n: pl.BlockSpec(
         (n,), lambda i: (0,), memory_space=pltpu.SMEM)
@@ -880,7 +997,7 @@ def trace_scene_pallas(
         scratch_shapes=[
             pltpu.VMEM((9, 8, 128), jnp.float32),   # object-space ray planes
             pltpu.VMEM((7, 8, 128), jnp.float32),   # best-hit + prune + den
-            pltpu.SMEM((8,), jnp.int32),            # cross-branch scalars
+            pltpu.SMEM((12 if wide else 8,), jnp.int32),  # cross-branch scalars
             pltpu.SMEM((_STACK + 1,), jnp.int32),   # scalar stack + trash slot
         ],
         interpret=INTERPRET,

@@ -195,7 +195,8 @@ class AccelCache:
 
 
 def make_rt_frame(meta, animate: Optional[Callable], n_tlas: int,
-                  use_pallas: bool = False, paged: bool = False):
+                  use_pallas: bool = False, paged: bool = False,
+                  wide: bool = False):
     """Build the jitted two-level RT frame for one scene topology.
 
     ``meta``/``animate`` are host-side (closed over; anim node codes become
@@ -246,7 +247,7 @@ def make_rt_frame(meta, animate: Optional[Callable], n_tlas: int,
             masks, tri_attr, slot_materials, materials,
             tlas_index=tlas_index, stack_size=stack_size,
             leaf_cutout=leaf_cutout, use_pallas=use_pallas, paged=paged,
-            textures=textures, time=time, animate=animate,
+            textures=textures, time=time, animate=animate, wide=wide,
         )
         params = RTParams(
             shadow_samples=shadow_samples,
@@ -292,6 +293,7 @@ class RayTraceRender:
         animate: Optional[Callable] = None,
         use_pallas: Optional[bool] = None,
         reflection_half_rate: bool = False,
+        bvh_wide: bool = False,
     ):
         self.scene = scene
         self.materials = materials
@@ -310,6 +312,9 @@ class RayTraceRender:
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
         self.use_pallas = use_pallas
+        # 4-wide grandchild box steps in the packet traversal (perf knob;
+        # identical hits — see trace_kernel._wide_box_step)
+        self.bvh_wide = bvh_wide
         self._key = jax.random.PRNGKey(seed)
         self._frame = 0
         # per-TLAS instance sets: index -> {slot: material id}
@@ -399,11 +404,12 @@ class RayTraceRender:
         blasset, meta, anim_rest, anim_nodes = self.accel.blas()
         paged = self.use_pallas and ACC.prefer_paged(
             meta, instances.capacity, max(1, self.scene.max_slots))
-        key_sig = (self.accel._blas_key, len(self._tlas_bindings), paged)
+        key_sig = (self.accel._blas_key, len(self._tlas_bindings), paged,
+                   self.bvh_wide)
         if self._frame_fn is None or self._frame_key != key_sig:
             self._frame_fn = make_rt_frame(
                 meta, self.animate, len(self._tlas_bindings),
-                use_pallas=self.use_pallas, paged=paged,
+                use_pallas=self.use_pallas, paged=paged, wide=self.bvh_wide,
             )
             self._frame_key = key_sig
         slots, masks, table = self._device_inputs(instances.capacity)

@@ -31,6 +31,8 @@ def main():
     p.add_argument("--width", type=int, default=1920)
     p.add_argument("--height", type=int, default=1080)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--wide", action="store_true",
+                   help="A/B the 4-wide grandchild box step (bvh_wide)")
     args = p.parse_args()
 
     import jax
@@ -88,19 +90,31 @@ def main():
     r = o.shape[0]
     t_max = jnp.full(r, 1000.0)
 
-    def trace():
+    def trace(wide=False):
         return trace_scene_pallas(
-            rts, o, d, t_max, root_code=roots[0], stack_size=ss).t
+            rts, o, d, t_max, root_code=roots[0], stack_size=ss,
+            image_shape=(H, W), wide=wide).t
 
     ms, _ = timeit(trace)
     mrays = r / (ms / 1e3) / 1e6
     print(f"primary trace {W}x{H}:  {ms:8.2f} ms  ({mrays:.1f} Mrays/s)")
+    if args.wide:
+        ms, _ = timeit(lambda: trace(wide=True))
+        mrays = r / (ms / 1e3) / 1e6
+        print(f"primary trace WIDE:     {ms:8.2f} ms  ({mrays:.1f} Mrays/s)")
 
     # full RT frame (primary + shadows + AO + reflections + tonemap)
     ldr, aux = rt.render(cam)
     ldr.block_until_ready()
     ms, _ = timeit(lambda: rt.render(cam)[0])
     print(f"FULL RT FRAME:          {ms:8.2f} ms  ({1000.0/ms:.2f} fps)")
+    if args.wide:
+        rt.bvh_wide = True
+        ldr, _ = rt.render(cam)
+        ldr.block_until_ready()
+        ms, _ = timeit(lambda: rt.render(cam)[0])
+        print(f"FULL RT FRAME WIDE:     {ms:8.2f} ms  ({1000.0/ms:.2f} fps)")
+        rt.bvh_wide = False
 
     # hybrid frame (config 4)
     from examples.render_hybrid import build_hybrid_scene

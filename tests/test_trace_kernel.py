@@ -57,12 +57,13 @@ def example():
     return rp, cam, rts, roots, ss, instances, o, d, t_max
 
 
-def test_packet_matches_xla_closest_hit(example):
+@pytest.mark.parametrize("wide", [False, True])
+def test_packet_matches_xla_closest_hit(example, wide):
     rp, cam, rts, roots, ss, instances, o, d, t_max = example
     n_inst = instances.capacity
     rec_p = TK.trace_scene_pallas(
         rts, o, d, t_max, root_code=roots[0], stack_size=ss,
-        max_steps=TK.traversal_step_bound(rts, n_inst))
+        max_steps=TK.traversal_step_bound(rts, n_inst), wide=wide)
     rec_x = A.trace_scene(
         rts, o, d, t_max, root_code=roots[0], stack_size=ss)
     hp = np.asarray(rec_p.hit)
@@ -82,13 +83,15 @@ def test_packet_matches_xla_closest_hit(example):
         rtol=1e-3, atol=1e-4)
 
 
-def test_fused_resolve_matches_xla_resolve(example):
+@pytest.mark.parametrize("wide", [False, True])
+def test_fused_resolve_matches_xla_resolve(example, wide):
     rp, cam, rts, roots, ss, instances, o, d, t_max = example
     slots = rp._slot_material_array(instances.capacity)
     table = rp.materials.table()
     out = TK.trace_resolve_scene_pallas(
         rts, slots, o, d, t_max, root_code=roots[0], stack_size=ss,
-        max_steps=TK.traversal_step_bound(rts, instances.capacity))
+        max_steps=TK.traversal_step_bound(rts, instances.capacity),
+        wide=wide)
 
     tracer = A.SceneTracer(
         rts, slots, table, root_code=roots[0], stack_size=ss,
@@ -118,12 +121,13 @@ def test_fused_resolve_matches_xla_resolve(example):
         n, np.asarray(surf.normal)[h], rtol=1e-3, atol=2e-3)
 
 
-def test_any_hit_semantics(example):
+@pytest.mark.parametrize("wide", [False, True])
+def test_any_hit_semantics(example, wide):
     rp, cam, rts, roots, ss, instances, o, d, t_max = example
     bound = TK.traversal_step_bound(rts, instances.capacity)
     rec_any = TK.trace_scene_pallas(
         rts, o, d, t_max, root_code=roots[0], stack_size=ss,
-        any_hit=True, max_steps=bound)
+        any_hit=True, max_steps=bound, wide=wide)
     rec_closest = A.trace_scene(
         rts, o, d, t_max, root_code=roots[0], stack_size=ss)
     # any-hit must report a hit exactly when a hit exists...
