@@ -35,7 +35,8 @@ from .renderpass import RenderPass
 
 
 def make_hybrid_frame(meta, animate: Optional[Callable],
-                      use_pallas_trace: bool = False, paged: bool = False):
+                      use_pallas_trace: bool = False, paged: bool = False,
+                      wide: bool = False):
     """Jitted hybrid frame for one scene topology (meta closed over).
     ``paged`` selects the chunked-TLAS path for scenes past the resident
     SMEM budget (accel.prefer_paged)."""
@@ -110,6 +111,7 @@ def make_hybrid_frame(meta, animate: Optional[Callable],
             tlas_index=0, stack_size=stack_size,
             leaf_cutout=leaf_cutout, use_pallas=use_pallas_trace,
             paged=paged, textures=textures, time=time, animate=animate,
+            wide=wide,
             # G-buffer wavefronts are image-row-major: group RT packets as
             # (8, 128) pixel tiles (packet cost ~ union of ray footprints;
             # row strips were the round-2 secondary-ray bottleneck)
@@ -193,6 +195,7 @@ class HybridRender:
         use_pallas: Optional[bool] = None,
         animate: Optional[Callable] = None,
         reflection_half_rate: bool = False,
+        bvh_wide: bool = False,
     ):
         # reuse RenderPass for instance/material bookkeeping
         self._rp = RenderPass(
@@ -209,6 +212,7 @@ class HybridRender:
         self.ao_samples = ao_samples
         self.ao_radius = ao_radius
         self.animate = animate
+        self.bvh_wide = bvh_wide
         self._key = jax.random.PRNGKey(seed)
         self._frame = 0
         self.accel = AccelCache(scene)
@@ -237,11 +241,12 @@ class HybridRender:
         use_pallas_trace = jax.default_backend() not in ("cpu",)
         paged = use_pallas_trace and ACC.prefer_paged(
             meta, instances.capacity, max(1, self.scene.max_slots))
-        key_sig = (self.accel._blas_key, paged)
+        key_sig = (self.accel._blas_key, paged, self.bvh_wide)
         if self._frame_fn is None or self._frame_key != key_sig:
             self._frame_fn = make_hybrid_frame(
                 meta, self.animate,
                 use_pallas_trace=use_pallas_trace, paged=paged,
+                wide=self.bvh_wide,
             )
             self._frame_key = key_sig
         slots, visible, table = rp._device_inputs(instances.capacity)
