@@ -151,7 +151,8 @@ def test_active_mask_disables_rays(example):
     assert not hp[1::2].any(), "inactive rays must never hit"
 
 
-def test_leaf_cutout_in_kernel():
+@pytest.mark.parametrize("wide", [False, True])
+def test_leaf_cutout_in_kernel(wide):
     """In-kernel leaf alpha cutout == XLA alpha_test path (leaf.rahit)."""
     from paperrenderer_tpu.core import (
         Material, MaterialRegistry, Model, ModelInstance, Scene, SHADE_LEAF,
@@ -185,7 +186,7 @@ def test_leaf_cutout_in_kernel():
 
     out = TK.trace_resolve_scene_pallas(
         rts, slots, o, d, t_max, root_code=roots[0], stack_size=ss,
-        shading_model=table.shading_model,
+        shading_model=table.shading_model, wide=wide,
         max_steps=TK.traversal_step_bound(rts, instances.capacity))
 
     tracer = A.SceneTracer(
