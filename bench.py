@@ -174,7 +174,14 @@ def main():
         # print-once guard: the watchdog and the normal end both land here
         if not emitted.acquire(blocking=False):
             return
-        fps = metrics.get("config1_raster_fps_512")
+        snap = {}
+        for _ in range(5):     # copy: the main thread may still be mutating
+            try:
+                snap = dict(metrics)
+                break
+            except RuntimeError:
+                continue
+        fps = snap.get("config1_raster_fps_512")
         headline = fps if isinstance(fps, (int, float)) else 0.0
         print(
             json.dumps(
@@ -183,18 +190,20 @@ def main():
                     "value": headline,
                     "unit": "frames/sec",
                     "vs_baseline": round(headline / BASELINE_FPS, 3),
-                    "metrics": metrics,
+                    "metrics": snap,
                 }
             ),
             flush=True,
         )
 
     def _watchdog():
-        metrics["watchdog"] = (
-            f"error: deadline {BENCH_DEADLINE_S}s exceeded "
-            "(hung TPU tunnel?) — partial metrics emitted")
-        emit()
-        os._exit(2)
+        try:
+            metrics["watchdog"] = (
+                f"error: deadline {BENCH_DEADLINE_S}s exceeded "
+                "(hung TPU tunnel?) — partial metrics emitted")
+            emit()
+        finally:
+            os._exit(2)   # the exit must happen even if emit() raises
 
     dog = threading.Timer(BENCH_DEADLINE_S, _watchdog)
     dog.daemon = True

@@ -6,9 +6,10 @@ Replaces ``vkCmdTraceRaysKHR``'s hardware traversal
   * **Ray packets**: 1024 rays = one (8, 128) vector tile per SoA plane.
     All per-ray math (slab tests, Möller-Trumbore) is full-width VPU work.
   * **Shared scalar stack**: the packet traverses ONE node sequence — pop/
-    push are scalar ops on a small carried (1, S) vector, and each step takes
-    a REAL scalar branch (box / leaf / instance), so there is no lockstep
-    union cost per step like the XLA path pays.
+    push are pure scalar loads/stores on an SMEM scratch array (plus a trash
+    slot absorbing non-pushes), and each step takes a REAL scalar branch
+    (box / leaf / instance), so there is no lockstep union cost per step
+    like the XLA path pays, and no vector->scalar transfer on the pop path.
   * **SMEM-resident scene**: node boxes/inverse-matrices live in SMEM as
     f32 words and child codes as i32 words (separate arrays — no scalar
     bitcasts); leaf triangle positions + tagged prim ids likewise. A box
@@ -43,7 +44,7 @@ PACKET = 1024            # rays per packet: one (8, 128) tile per plane
 # monkeypatch this — mirrors raster_exact.INTERPRET)
 INTERPRET = False
 _SMEM_BUDGET = 700 * 1024  # bytes of SMEM we allow the scene to occupy
-_STACK = 128             # kernel stack lanes (one (1, 128) i32 tile)
+_STACK = 128             # kernel stack entries (SMEM scalar array + trash slot)
 _SHADE_LEAF = 1          # == core.material.SHADE_LEAF (kernel constant)
 
 
@@ -382,7 +383,12 @@ def _make_kernel(root_code: int, max_steps: int, any_hit: bool,
                     # division-free: fold the triangle's orientation into the
                     # numerators (du = u*det*s etc., s = sign(det)) and test
                     # against |det|; depth compares cross-multiply with the
-                    # carried (num, den) winner — no divide in the loop
+                    # carried (num, den) winner — no divide in the loop.
+                    # Range: dets are OBJECT-space (instance scale s only
+                    # enters via the 1/s-scaled object ray), so the products
+                    # stay ~ t*det_a*det_b — ~1e15 even at s=1e-6 — and the
+                    # 1e-12 adet floor bounds the small side at ~1e-27;
+                    # overflow/denormal-flush needs |combined scale| ~ 1e-17
                     s = jnp.where(det >= 0.0, 1.0, -1.0)
                     adet = jnp.abs(det)
                     ok = adet > 1e-12

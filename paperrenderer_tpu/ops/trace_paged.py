@@ -515,7 +515,6 @@ def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
                 pb = payload * K
                 oox, ooy, ooz = obj_ref[0], obj_ref[1], obj_ref[2]
                 odx, ody, odz = obj_ref[3], obj_ref[4], obj_ref[5]
-                best_t = best_ref[0]
                 best_prim = pltpu.bitcast(best_ref[1], jnp.int32)
                 best_inst = pltpu.bitcast(best_ref[2], jnp.int32)
                 best_uvx = best_ref[3]

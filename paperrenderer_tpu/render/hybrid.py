@@ -229,6 +229,12 @@ class HybridRender:
     def set_instance_visibility(self, instance, visible):
         self._rp.set_instance_visibility(instance, visible)
 
+    def invalidate(self) -> None:
+        """Force re-upload of material/visibility tables after live edits
+        (same contract as RenderPass.invalidate / RayTraceRender.invalidate;
+        the hybrid's device-input caches live in the wrapped RenderPass)."""
+        self._rp.invalidate()
+
     @property
     def lights(self):
         return self._rp.lights

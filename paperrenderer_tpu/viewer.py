@@ -87,20 +87,27 @@ async function buildPanels() {{
   const modes = await (await fetch('/modes')).json();
   let mh = '';
   for (const m of modes.modes)
-    mh += `<button onclick="fetch('/mode', {{method:'POST', body:JSON.stringify({{mode:'${{m}}'}})}})">` +
+    mh += `<button onclick="setMode('${{m}}')">` +
           (m === modes.active ? '<b>' + m + '</b>' : m) + '</button>';
   document.getElementById('modes').innerHTML = mh;
-  const mats = await (await fetch('/materials')).json();
+  // the panel binds to the ACTIVE mode's registry; edits carry that mode so
+  // a later mode switch can't retarget a slider to the wrong registry
+  const mats = await (await fetch('/materials?mode=' + modes.active)).json();
   let h = '';
   for (const m of mats.materials) {{
     h += `<div><b>${{m.name}}</b> `;
     for (const p of ['roughness', 'metallic', 'alpha'])
       h += `<div><label>${{p}}</label><input type=range min=0 max=1 step=0.01 value=${{m[p]}}
             oninput="fetch('/material', {{method:'POST',
-            body: JSON.stringify({{id: ${{m.id}}, updates: {{${{p}}: parseFloat(this.value)}}}})}})"></div>`;
+            body: JSON.stringify({{id: ${{m.id}}, mode: '${{mats.mode}}',
+            updates: {{${{p}}: parseFloat(this.value)}}}})}})"></div>`;
     h += '</div>';
   }}
   document.getElementById('mats').innerHTML = h;
+}}
+async function setMode(m) {{
+  await fetch('/mode', {{method: 'POST', body: JSON.stringify({{mode: m}})}});
+  buildPanels();   // rebuild: panels must follow the new mode's registry
 }}
 buildPanels();
 function setCam() {{
@@ -170,6 +177,7 @@ class Viewer:
             self._frame_index += 1
             self._fps = 0.8 * self._fps + 0.2 * (1.0 / max(dt, 1e-6))
         self._last_dt = dt
+        self._error = None        # a successful frame clears a stale error
         self._frame_event.set()
 
     def _loop(self) -> None:
@@ -202,8 +210,8 @@ class Viewer:
             out["counters"] = counters
         return out
 
-    def list_materials(self) -> list:
-        reg = self.renders[self.mode].materials
+    def list_materials(self, mode: Optional[str] = None) -> list:
+        reg = self.renders[mode or self.mode].materials
         mats = []
         for i, (obj, vals) in enumerate(zip(reg.objects(), reg.rows())):
             name = getattr(obj, "name", None) or getattr(
@@ -218,14 +226,21 @@ class Viewer:
             })
         return mats
 
-    def update_material(self, mat_id: int, updates: dict) -> None:
+    def update_material(self, mat_id: int, updates: dict,
+                        mode: Optional[str] = None) -> None:
         """Live material edit (GuiRender.cpp:65-77 sliders ->
-        DefaultMaterialInstance parameter write)."""
+        DefaultMaterialInstance parameter write).
+
+        ``mode`` names the render whose registry ``mat_id`` indexes (the GUI
+        sends the mode its panel was built for, so a mode switch between
+        panel build and slider move can't edit the wrong registry). The
+        edited OBJECT may be registered in several modes' registries —
+        every registry holding it is refreshed."""
         allowed = {"albedo", "emissive", "roughness", "metallic", "alpha"}
         bad = set(updates) - allowed
         if bad:
             raise ValueError(f"uneditable parameters: {sorted(bad)}")
-        reg = self.renders[self.mode].materials
+        reg = self.renders[mode or self.mode].materials
         obj = reg.objects()[mat_id]
         for k, v in updates.items():
             v = tuple(v) if isinstance(v, (list, tuple)) else float(v)
@@ -233,8 +248,11 @@ class Viewer:
                 obj.overrides[k] = v
             else:                               # Material
                 setattr(obj, k, v)
-        reg.update(obj)
         for r in self.renders.values():
+            try:
+                r.materials.update(obj)
+            except KeyError:                    # not in this mode's registry
+                continue
             r.invalidate()
 
     def set_mode(self, mode: str) -> None:
@@ -293,7 +311,14 @@ class Viewer:
                 elif path == "/stats":
                     self._json(viewer.snapshot_stats())
                 elif path == "/materials":
-                    self._json({"materials": viewer.list_materials()})
+                    q = self.path.split("?", 1)
+                    mode = None
+                    if len(q) == 2 and q[1].startswith("mode="):
+                        mode = q[1][5:] or None
+                    if mode is not None and mode not in viewer.renders:
+                        return self._json({"error": "unknown mode"}, 400)
+                    self._json({"materials": viewer.list_materials(mode),
+                                "mode": mode or viewer.mode})
                 elif path == "/modes":
                     self._json({"modes": list(viewer.renders),
                                 "active": viewer.mode})
@@ -306,7 +331,8 @@ class Viewer:
                     body = json.loads(self.rfile.read(n) or b"{}")
                     if self.path == "/material":
                         viewer.update_material(int(body["id"]),
-                                               body.get("updates", {}))
+                                               body.get("updates", {}),
+                                               mode=body.get("mode"))
                     elif self.path == "/mode":
                         viewer.set_mode(body["mode"])
                     elif self.path == "/camera":

@@ -119,5 +119,17 @@ def test_viewer_mode_switch():
         assert json.loads(_get(v.url + "/modes"))["active"] == "b"
         i = v._frame_index
         assert v.wait_frame(i + 2, timeout=180.0)
+
+        # panel-scoped edits: each mode has its own registry here; an edit
+        # carrying mode="a" must index a's registry even while b is active
+        mats_a = json.loads(_get(v.url + "/materials?mode=a"))
+        assert mats_a["mode"] == "a"
+        rid = [m for m in mats_a["materials"] if m["name"] == "red"][0]["id"]
+        ok = _post(v.url + "/material",
+                   {"id": rid, "mode": "a", "updates": {"roughness": 0.9}})
+        assert ok == {"ok": True}
+        mats_a2 = json.loads(_get(v.url + "/materials?mode=a"))
+        assert [m for m in mats_a2["materials"]
+                if m["name"] == "red"][0]["roughness"] == 0.9
     finally:
         v.stop()
