@@ -200,6 +200,22 @@ def triangle_coefficients(batch: TriangleBatch, width: int, height: int):
     z_num = z[:, 0, None] * e0 + z[:, 1, None] * e1 + z[:, 2, None] * e2
     w_num = w[:, 0, None] * e0 + w[:, 1, None] * e1 + w[:, 2, None] * e2
 
+    # Normalize the DEPTH rows (only) per triangle by a shared power of two:
+    # the zn/wn ratio, the zn >= 0 clip, and cross-triangle ordering are all
+    # invariant under a positive per-triangle scale (and powers of two are
+    # exact), but the raw adjugate magnitudes (~pix^2 * w^3) reach ~7e13 at
+    # 1080p on a 2000-unit scene — the crossz kernel's cross-multiplied
+    # compare (zn_a * wn_b) would overflow f32 on km-scale worlds. Edge rows
+    # stay untouched (per-triangle scaling there breaks watertightness).
+    m = jnp.maximum(jnp.max(jnp.abs(z_num), axis=-1),
+                    jnp.max(jnp.abs(w_num), axis=-1))
+    m = jnp.maximum(m, jnp.float32(1e-30))
+    mexp = (jax.lax.bitcast_convert_type(m, jnp.int32) >> 23) & 0xFF
+    scale = jax.lax.bitcast_convert_type(
+        jnp.clip(254 - mexp, 1, 254) << 23, jnp.float32)[:, None]
+    z_num = z_num * scale
+    w_num = w_num * scale
+
     coeffs = jnp.stack([e0, e1, e2, z_num, w_num], axis=1)  # f32[T, 5, 3]
     never = jnp.zeros((5, 3), jnp.float32).at[:3, 2].set(-1.0)
     coeffs = jnp.where(ok[:, None, None], coeffs, never)

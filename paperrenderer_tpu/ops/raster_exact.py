@@ -21,15 +21,17 @@ count, not tiles x chunks):
      shading attributes) into a dense, step-ordered buffer the kernel streams
      as plain contiguous blocks — no in-kernel gathers, no multi-slot DMA.
 
-The kernel itself packs (quantized sortable depth | lane id) into a single
-u32 key so the per-chunk winner is ONE u32 min-reduce — no argmin, no one-hot
-barycentric selects, and only two state planes (key, pair-space tid) instead
-of four. Barycentrics are recomputed at resolve time from the gathered
-coefficient rows (resolve gathers one packed row per pixel either way).
-
-Depth is quantized by zeroing the low 7 mantissa bits (the lane id slot),
-i.e. ~2^-16 relative — far below shading-visible thresholds; ties resolve to
-the lowest lane id, deterministically.
+Two depth schemes share the kernels. The CLASSIC scheme packs (quantized
+sortable depth | lane id) into a single u32 key so the per-chunk winner is
+ONE u32 min-reduce — no argmin, no one-hot barycentric selects, and only two
+state planes (key, pair-space tid); depth is quantized by zeroing the low 7
+mantissa bits (~2^-16 relative), ties resolving to the lowest lane id,
+deterministically. The DEFAULT opaque quarter path (``CROSSZ_DEFAULT``)
+instead carries EXACT depth as a (zn, wn) numerator/denominator pair in
+three state planes and compares candidates by cross-multiplication — no
+per-candidate divide (see ``_make_kernel_quarter``); depth-peel windows
+still use the quantized keys. Barycentrics are recomputed at resolve time
+from the gathered coefficient rows either way.
 
 Replaces the Vulkan hardware rasterizer + ROP fed by the GPU-driven draw list
 (reference: src/PaperRenderer/IndirectDraw.cpp:207-242, RenderPass.cpp:472-558).

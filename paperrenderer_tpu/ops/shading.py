@@ -74,6 +74,26 @@ class Lights:
             hard_flags=tuple(float(x) == 0.0 for x in rad),
         )
 
+    def replace(self, **kw) -> "Lights":
+        """Edit light fields, keeping the static mirrors consistent.
+
+        ``dataclasses.replace(lights, cast_shadow=..., radius=...)`` would
+        silently keep STALE ``shadow_flags``/``hard_flags`` — a dynamically
+        enabled light would then never trace its shadow wavefront (the
+        static flag gates the trace), and a softened light would keep
+        tracing one sample. Use this instead for host-side edits; it
+        re-derives the mirrors from the new array values (device sync)."""
+        new = dataclasses.replace(self, **kw)
+        if "cast_shadow" in kw or "radius" in kw:
+            new = dataclasses.replace(
+                new,
+                shadow_flags=tuple(
+                    bool(x) for x in np.asarray(new.cast_shadow)),
+                hard_flags=tuple(
+                    float(x) == 0.0 for x in np.asarray(new.radius)),
+            )
+        return new
+
     @property
     def count(self) -> int:
         return self.position.shape[0]

@@ -49,7 +49,7 @@ def _tier(n: int, floor: int = 2048) -> int:
     jax.jit,
     static_argnames=(
         "width", "height", "max_meshes_per_lod", "tri_capacity", "do_culling",
-        "use_pallas",
+        "use_pallas", "supersample",
     ),
 )
 def render_frame(
@@ -70,14 +70,18 @@ def render_frame(
     tri_capacity: int,
     do_culling: bool = True,
     use_pallas: bool = False,
+    supersample: int = 1,
 ):
     """The full raster frame as one compiled graph (draw-list path).
 
     This is the reference-parity path: per-frame GPU-driven draw build via
     preprocess + compaction, mirroring IndirectDrawBuild.comp semantics. The
     performance path is ``render_frame_static`` (pre-expanded triangles +
-    binned Pallas raster).
+    binned Pallas raster). ``supersample`` matches render_frame_static's
+    SSAA contract so the two paths stay image-comparable.
     """
+    ss = max(1, int(supersample))
+    width, height = width * ss, height * ss
     pre = P.preprocess_instances(
         instances, tables, camera,
         max_meshes_per_lod=max_meshes_per_lod,
@@ -95,6 +99,16 @@ def render_frame(
     gbuf = R.resolve_gbuffer(batch, depth, tid, bary)
     hdr = shade_gbuffer(gbuf, materials, lights, camera.cam_pos,
                         textures=textures)
+    if ss > 1:
+        # strided-slice box resolve (see render_frame_static: reshape views
+        # with tiny minor dims materialize padded intermediates on TPU)
+        acc = hdr[0::ss, 0::ss]
+        for i in range(ss):
+            for j in range(ss):
+                if i or j:
+                    acc = acc + hdr[i::ss, j::ss]
+        hdr = acc * (1.0 / (ss * ss))
+        depth = depth[::ss, ::ss]
     ldr = tonemap(hdr, tonemap_params)
     aux = {
         "visible_count": jnp.sum(pre.visible.astype(jnp.int32)),
@@ -195,8 +209,16 @@ def render_frame_static(
     if ss > 1:
         # box-filter the HDR target down to the output resolution (the
         # MSAA resolve analogue), then tonemap at native res; aux depth
-        # keeps the top-left sample of each s x s cell
-        hdr = hdr.reshape(out_h, ss, out_w, ss, 3).mean(axis=(1, 3))
+        # keeps the top-left sample of each s x s cell. Strided slices, NOT
+        # a reshape(out_h, ss, out_w, ss, 3) view: tiny-minor-dim reshapes
+        # materialize T(8,128)-padded intermediates on TPU (the raster_exact
+        # lane-layout lesson; ~17 GiB at 1080p ss=2)
+        acc = hdr[0::ss, 0::ss]
+        for i in range(ss):
+            for j in range(ss):
+                if i or j:
+                    acc = acc + hdr[i::ss, j::ss]
+        hdr = acc * (1.0 / (ss * ss))
         depth = depth[::ss, ::ss]
     ldr = tonemap(hdr, tonemap_params)
     aux = {
@@ -381,8 +403,12 @@ class RenderPass:
         from ..ops.raster_exact import default_pair_capacity
 
         required = int(prev)
+        # capacity baseline at the RASTER resolution (supersample included):
+        # the kernel sizes its in-graph default from ss*W x ss*H, so a
+        # native-res baseline would misread normal ss>1 demand as overflow
         cap = self._work_capacity or default_pair_capacity(
-            self.width, self.height, mapping.capacity
+            self.width * self.supersample, self.height * self.supersample,
+            mapping.capacity
         )
         self._adopt_work_demand(required, cap)
 
@@ -441,7 +467,8 @@ class RenderPass:
 
                 required = int(aux["required_work"])
                 cap = self._work_capacity or default_pair_capacity(
-                    self.width, self.height, mapping.capacity
+                    self.width * self.supersample,
+                    self.height * self.supersample, mapping.capacity
                 )
                 if self._adopt_work_demand(required, cap):
                     kwargs["work_capacity"] = self._work_capacity
@@ -478,4 +505,5 @@ class RenderPass:
             tri_capacity=self._tri_capacity,
             do_culling=self.do_culling,
             use_pallas=self.use_pallas,
+            supersample=self.supersample,
         )

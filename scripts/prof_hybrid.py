@@ -81,7 +81,7 @@ def main():
         meta, instances.capacity, max(1, scene.max_slots))
     mask = (jnp.ones(instances.capacity, bool),)
 
-    def make_ctx(instances, cam):
+    def make_ctx(instances):
         return ACC.make_scene_tracer(
             blasset, meta, anim_rest, anim_nodes, instances, inst_blas,
             mask, tri_attr, slots, table, tlas_index=0, stack_size=ss,
@@ -91,13 +91,11 @@ def main():
         )
 
     @jax.jit
-    def assemble(instances, cam):
-        ctx = make_ctx(instances, cam)
+    def assemble(instances):
+        ctx = make_ctx(instances)
         return ctx.rts.nodes
 
-    print("tlas assemble:", timeit(lambda: assemble(instances, cam)), flush=True)
-
-    surf_host = None
+    print("tlas assemble:", timeit(lambda: assemble(instances)), flush=True)
 
     def make_surf(gbuf, depth):
         cov = gbuf.coverage.reshape(-1)
@@ -115,7 +113,7 @@ def main():
 
     @jax.jit
     def shadows(instances, gbuf, depth, key):
-        ctx = make_ctx(instances, cam)
+        ctx = make_ctx(instances)
         return T.shadow_visibility(make_surf(gbuf, depth), ctx, lights, key, 2)
 
     print("shadows(2):",
@@ -123,7 +121,7 @@ def main():
 
     @jax.jit
     def ao(instances, gbuf, depth, key):
-        ctx = make_ctx(instances, cam)
+        ctx = make_ctx(instances)
         return T.ambient_occlusion(
             make_surf(gbuf, depth), ctx, table, key, 2, 2.0)
 
@@ -135,7 +133,7 @@ def main():
 
     @jax.jit
     def refl(instances, gbuf, depth, key):
-        ctx = make_ctx(instances, cam)
+        ctx = make_ctx(instances)
         return T.reflections(
             make_surf(gbuf, depth), ctx, table, lights, cam.cam_pos, key,
             params)

@@ -188,3 +188,54 @@ def test_supersample_resolves_to_native_resolution():
     # ...but the resolve produced intermediate edge values absent at ss=1
     diff = np.abs(img2 - img1).max(axis=-1)
     assert (diff > 0.05).any()
+
+
+def test_supersample_draw_list_path():
+    """supersample applies on the reference-parity draw-list path too
+    (static_path=False) — the constructor option must not silently no-op."""
+    from paperrenderer_tpu.core import (
+        Material, MaterialRegistry, Model, ModelInstance, Scene, make_cube,
+    )
+    from paperrenderer_tpu.render import RenderPass
+
+    def build(ss):
+        scene = Scene()
+        registry = MaterialRegistry()
+        cube = Model.from_mesh(scene.arena, *make_cube(size=1.4), name="cube")
+        rp = RenderPass(scene, registry, width=64, height=64, supersample=ss)
+        inst = ModelInstance(cube)
+        inst.set_transform(quat=(0.92, 0.2, 0.3, 0.1))
+        rp.add_instance(inst, {0: Material(
+            f"d{ss}", albedo=(0.8, 0.2, 0.2)).instance()})
+        cam = _front_camera()
+        ldr, aux = rp.render(cam, static_path=False)
+        return np.asarray(ldr), np.asarray(aux["depth"])
+
+    img1, d1 = build(1)
+    img2, d2 = build(2)
+    assert img2.shape == img1.shape == (64, 64, 3)
+    assert d2.shape == d1.shape == (64, 64)
+    assert abs(img2.mean() - img1.mean()) < 0.01
+    diff = np.abs(img2 - img1).max(axis=-1)
+    assert (diff > 0.05).any()
+
+
+def test_lights_replace_refreshes_static_flags():
+    """Lights.replace keeps the static shadow/hard mirrors in sync with the
+    arrays (dataclasses.replace would silently leave them stale and a
+    dynamically-enabled light would never trace its shadow wavefront)."""
+    from paperrenderer_tpu.ops.shading import Lights
+
+    lights = Lights.make([
+        {"position": (0, 0, 5), "cast_shadow": False, "radius": 0.0},
+    ])
+    assert lights.shadow_flags == (False,)
+    assert lights.hard_flags == (True,)
+    on = lights.replace(cast_shadow=np.array([True]),
+                        radius=np.array([0.5], np.float32))
+    assert on.shadow_flags == (True,)
+    assert on.hard_flags == (False,)
+    assert bool(np.asarray(on.cast_shadow)[0])
+    # replacing unrelated fields keeps the mirrors untouched
+    moved = on.replace(position=np.zeros((1, 3), np.float32))
+    assert moved.shadow_flags == (True,) and moved.hard_flags == (False,)

@@ -92,6 +92,47 @@ def test_crossz_matches_divide_scheme(interpret_kernel, batch_and_cam):
     assert (d_x[cov] >= d_d[cov]).all()  # masked depth is a floor
 
 
+def test_crossz_big_world_scale(interpret_kernel):
+    """crossz ordering survives km-scale worlds: raw adjugate depth rows
+    grow ~pix^2 * w^3 and the cross-multiplied compare (zn_a * wn_b) would
+    overflow f32 without triangle_coefficients' power-of-two depth-row
+    normalization (ratio- and order-invariant, so the divide scheme pins
+    the expected result)."""
+    S = 50000.0   # 50000x world scale: raw zn*wn products overflow to inf
+    scene = Scene(use_native=False)
+    cube = Model.from_mesh(scene.arena, *make_cube())
+    # a far-to-near stack of cubes on the view axis: every covered pixel has
+    # real depth competition, and the FAR cubes are added first so a broken
+    # compare (inf < inf -> never replace the first accepted candidate)
+    # visibly picks the wrong winner
+    for k in range(6):
+        inst = ModelInstance(cube)
+        inst.set_transform(pos=(0.0, (5 - k) * 2.0 * S, 0.0),
+                           scale=(1.5 * S, 1.5 * S, 1.5 * S))
+        scene.add_instance(inst)
+    cam = Camera(yfov_deg=60.0, aspect=1.0, near=0.05 * S, far=100.0 * S)
+    cam.look_at((0.0, -9.0 * S, 2.0 * S), (0.0, 0.0, 0.0), up=(0, 0, 1))
+    pre = P.preprocess_instances(
+        scene.flush(), scene.tables(), cam.matrices,
+        max_meshes_per_lod=scene.max_meshes_per_lod,
+    )
+    batch = R.build_triangle_batch(
+        pre, scene.geometry(), cam.matrices, capacity=4096)
+    w = h = 128
+    d_d, t_d, _, _ = RE.rasterize_exact(batch, w, h, quarter=True,
+                                        crossz=False)
+    d_x, t_x, _, _ = RE.rasterize_exact(batch, w, h, quarter=True,
+                                        crossz=True)
+    d_d, t_d = np.asarray(d_d), np.asarray(t_d)
+    d_x, t_x = np.asarray(d_x), np.asarray(t_x)
+    assert (t_x >= 0).any(), "big-world fixture renders nothing"
+    np.testing.assert_array_equal(t_d >= 0, t_x >= 0)
+    fin = np.isfinite(d_d)
+    np.testing.assert_array_equal(_keys(d_d)[fin], _keys(d_x)[fin])
+    mism = t_d != t_x
+    assert (_keys(d_d)[mism] == _keys(d_x)[mism]).all()
+
+
 def test_quarter_matches_classic_peel(interpret_kernel, batch_and_cam):
     import jax.numpy as jnp
 
