@@ -294,6 +294,7 @@ def make_sharded_rt_frame(
     *,
     use_pallas: bool = False,
     paged: bool = False,          # chunked-TLAS paging (accel.prefer_paged)
+    wide: bool = False,           # 4-wide grandchild box steps (non-paged)
 ):
     """Screen-tile sharded two-level RT frame (the round-2 fast path under
     shard_map — replaces the legacy per-frame world BVH of sharded_rt_frame).
@@ -389,7 +390,7 @@ def make_sharded_rt_frame(
                 rt_scene, slot_materials, materials,
                 root_code=root, stack_size=stack_size,
                 leaf_cutout=leaf_cutout, use_pallas=use_pallas,
-                textures=textures,
+                textures=textures, wide=wide,
             )
             tile_key = jax.random.fold_in(key, ri * cols + ci)
             hdr = trace_frame(
