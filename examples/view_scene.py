@@ -42,9 +42,13 @@ def main():
     rp, cam = build_example_scene(args.size, args.size)
     renders = {"raster": rp}
     if args.rt:
-        from examples.render_rt import build_rt_scene
+        # raster<->RT toggle over the SAME scene (GuiRender.cpp:79-87)
+        from paperrenderer_tpu.render import RayTraceRender
 
-        _, rt, _ = build_rt_scene(args.size, args.size)
+        rt = RayTraceRender(rp.scene, rp.materials,
+                            width=args.size, height=args.size,
+                            lights=rp.lights, shadow_samples=2)
+        rt.add_instances_from(rp)
         renders["rt"] = rt
 
     v = Viewer(renders, cam, host=args.host, port=args.port,

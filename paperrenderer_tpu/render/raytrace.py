@@ -355,6 +355,20 @@ class RayTraceRender:
         self._tlas_bindings[tlas][instance.index] = binds
         self._cache_dirty = True
 
+    def add_instances_from(self, render_pass, tlas: int = 0) -> None:
+        """Adopt a RenderPass's instance set + per-slot material bindings.
+
+        The raster<->RT mode switch of the reference example renders ONE
+        scene through either pipeline (GuiRender.cpp:79-87); this mirrors
+        an existing raster pass into this RT pass so both modes show the
+        same content. Requires the SAME MaterialRegistry (binding rows are
+        registry ids)."""
+        if render_pass.materials is not self.materials:
+            raise ValueError("renders must share a MaterialRegistry")
+        for idx, binds in render_pass._bindings.items():
+            self._tlas_bindings[tlas][idx] = dict(binds)
+        self._cache_dirty = True
+
     def remove_instance(self, instance: ModelInstance, tlas: Optional[int] = None) -> None:
         sets = self._tlas_bindings if tlas is None else [self._tlas_bindings[tlas]]
         for b in sets:

@@ -109,6 +109,31 @@ def test_viewer_end_to_end():
         v.stop()
 
 
+def test_rt_adopts_renderpass_bindings():
+    """RayTraceRender.add_instances_from mirrors a raster pass's instances
+    + material bindings (the same-scene raster<->RT toggle of the example
+    GUI, GuiRender.cpp:79-87)."""
+    from paperrenderer_tpu.render import RayTraceRender
+
+    rp, cam = _scene(32, 32)
+    rt = RayTraceRender(rp.scene, rp.materials, width=32, height=32,
+                        lights=rp.lights)
+    rt.add_instances_from(rp)
+    ldr, _ = rt.render(cam)
+    img = np.asarray(ldr)
+    c = img[16, 16]
+    assert c[0] > c[1] and c[0] > c[2] and c[0] > 0.05
+
+    # a foreign registry is rejected (binding rows are registry ids)
+    from paperrenderer_tpu import MaterialRegistry
+
+    other = RayTraceRender(rp.scene, MaterialRegistry(), width=32, height=32)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        other.add_instances_from(rp)
+
+
 def test_viewer_mode_switch():
     rp, cam = _scene(32, 32)
     rp2, _ = _scene(32, 32)
