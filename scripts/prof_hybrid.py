@@ -93,7 +93,7 @@ def main():
     @jax.jit
     def assemble(instances):
         ctx = make_ctx(instances)
-        return ctx.rts.nodes
+        return ctx.scene.nodes
 
     print("tlas assemble:", timeit(lambda: assemble(instances)), flush=True)
 
