@@ -180,14 +180,13 @@ def _decode_rgba(word: jax.Array) -> jax.Array:
 
 def select_rows(table, ids: jax.Array, *, exact: bool = False) -> jax.Array:
     """table[ids] without per-element gathers: unrolled select accumulation
-    for small tables (fully fused VPU work), one-hot matmul beyond (a
-    tiny-dim matmul at the package's highest-precision default measured
-    34 ms per 1080p lookup; element gathers ~30 ns each).
-
-    ``exact=True`` runs the matmul fallback at HIGHEST precision: the
-    DEFAULT path truncates f32 to bf16 on TPU, so address-like table values
-    (atlas rect offsets, table indices > 256) would round to the wrong
-    integer. Use it for any table whose values must survive exactly."""
+    for small tables (fully fused VPU work), packed row gathers beyond
+    (ops.gather.gather_rows_packed — one fully-used 512 B physical row per
+    element + halving subrow selects; exact for every dtype). The one-hot
+    matmul this replaced was O(ids * n) and bf16-truncated at DEFAULT
+    precision; ``exact`` is kept for API compatibility (the gather path is
+    always exact). Tables wider than 128 gather row-per-element directly
+    (each fetch is >= 1 physical row — nothing to pack)."""
     n = table.shape[0]
     if n <= 64:
         out = jnp.zeros(ids.shape + table.shape[1:], table.dtype)
@@ -195,12 +194,14 @@ def select_rows(table, ids: jax.Array, *, exact: bool = False) -> jax.Array:
             sel = (ids == i).reshape(ids.shape + (1,) * (table.ndim - 1))
             out = jnp.where(sel, table[i], out)
         return out
-    onehot = jax.nn.one_hot(jnp.clip(ids, 0, n - 1), n, dtype=jnp.float32)
-    precision = (jax.lax.Precision.HIGHEST if exact
-                 else jax.lax.Precision.DEFAULT)
-    return jnp.matmul(
-        onehot, table.astype(jnp.float32),
-        precision=precision).astype(table.dtype)
+    from ..ops.gather import gather_rows_packed
+
+    idx = jnp.clip(ids, 0, n - 1)
+    if table.ndim == 1:
+        return gather_rows_packed(table[:, None], idx)[..., 0]
+    if table.ndim == 2 and table.shape[1] <= 128:
+        return gather_rows_packed(table, idx)
+    return table[idx]
 
 
 def _rect_lookup(tex: TextureArrays, tex_id: jax.Array, lod: jax.Array):

@@ -187,7 +187,13 @@ def lookup_material_params(materials: MaterialTable, ids: jax.Array):
     default; per-element row gathers cost ~30 ns/row x 2M pixels = 60 ms;
     selects are ~2 ms.) m <= 128: one-hot matmul at DEFAULT (bf16) matmul
     precision — material values are artistic parameters, bf16 is fine and
-    6x cheaper than the package-wide highest default. Larger: gathers."""
+    6x cheaper than the package-wide highest default. Larger: ONE packed
+    row gather — (albedo, emissive, roughness, metallic) pack into 8 f32,
+    so a [Mp//16, 128] view holds 16 materials per physical lane row and
+    the fetch is one fully-used 512 B row per pixel + subrow selects
+    (resolve_gbuffer_pairs' 4-row trick). Four separate jnp gathers cost
+    ~38 ms of a 1080p config-2 shade (the two 1-D scalar gathers were
+    14.8 ms EACH — xplane-measured); this path is ~4 ms."""
     m = materials.albedo.shape[0]
     if m <= 32:
         albedo = jnp.zeros(ids.shape + (3,), jnp.float32)
@@ -213,8 +219,26 @@ def lookup_material_params(materials: MaterialTable, ids: jax.Array):
             precision=prec,
         )
         return albedo, emissive, scalars[..., 0], scalars[..., 1]
-    return (materials.albedo[ids], materials.emissive[ids],
-            materials.roughness[ids], materials.metallic[ids])
+    from .gather import gather_rows_packed
+
+    packed = jnp.concatenate(
+        [materials.albedo, materials.emissive,
+         materials.roughness[:, None], materials.metallic[:, None]], axis=-1)
+    row = gather_rows_packed(packed, jnp.maximum(ids, 0))  # [..., 8]
+    return row[..., 0:3], row[..., 3:6], row[..., 6], row[..., 7]
+
+
+def lookup_texture_ids(materials: MaterialTable, ids: jax.Array):
+    """(base_tex, emissive_tex, mr_tex, occ_tex) at ``ids`` via ONE packed
+    row lookup of the four i32 id tables (4 separate table lookups pay 4x
+    the fetch/select work for 4 bytes each of useful data)."""
+    from ..core.texture import select_rows
+
+    packed = jnp.stack(
+        [materials.base_tex, materials.emissive_tex,
+         materials.mr_tex, materials.occ_tex], axis=-1)     # i32[M, 4]
+    rows = select_rows(packed, ids)
+    return rows[..., 0], rows[..., 1], rows[..., 2], rows[..., 3]
 
 
 def shade_gbuffer(
@@ -243,10 +267,8 @@ def shade_gbuffer(
     if textures is not None:
         from ..core.texture import sample_bilinear, select_rows, uv_screen_lod
 
-        base_tex = select_rows(materials.base_tex, gbuf.material)
-        emis_tex = select_rows(materials.emissive_tex, gbuf.material)
-        mr_tex = select_rows(materials.mr_tex, gbuf.material)
-        occ_tex = select_rows(materials.occ_tex, gbuf.material)
+        base_tex, emis_tex, mr_tex, occ_tex = lookup_texture_ids(
+            materials, gbuf.material)
         wh = select_rows(textures.rects[:, 0, 2:4],
                          jnp.clip(base_tex, 0, textures.count - 1))
         lod = uv_screen_lod(gbuf.uv, wh[..., 0], wh[..., 1])

@@ -420,12 +420,11 @@ def shade_surfaces(
         materials, surf.material)
     tex_occ = None
     if textures is not None:
-        from ..core.texture import sample_bilinear, select_rows
+        from ..core.texture import sample_bilinear
+        from .shading import lookup_texture_ids
 
-        base_tex = select_rows(materials.base_tex, surf.material)
-        emis_tex = select_rows(materials.emissive_tex, surf.material)
-        mr_tex = select_rows(materials.mr_tex, surf.material)
-        occ_tex = select_rows(materials.occ_tex, surf.material)
+        base_tex, emis_tex, mr_tex, occ_tex = lookup_texture_ids(
+            materials, surf.material)
         albedo = albedo * sample_bilinear(textures, base_tex, surf.uv)[..., :3]
         emissive = emissive + jnp.where(
             (emis_tex >= 0)[..., None],
