@@ -548,10 +548,26 @@ def rasterize_exact(
             required = jnp.maximum(total_steps * Q_SLOTS, n_pairs)
 
             # destination slot of each sorted pair: rank k within its
-            # quarter list -> round k, i.e. step k//4, row 4*(k%4)+quarter
+            # quarter list -> round k, i.e. step k//4, row 4*(k%4)+quarter.
+            # cell_s is SORTED, so per-pair table values come from run
+            # structure (flag + cummax fill-forward), NOT per-pair gathers —
+            # the two [P]-from-small-table gathers here were ~15 ms of the
+            # 25.6 ms post-sort step at config-5 scale (prof_binparts).
             cell_c = jnp.minimum(cell_s, n_cells - 1)
-            k = slot - starts[cell_c]
-            dst = ((step_start[cell_c // 4] + k // Q_ROUNDS) * Q_SLOTS
+            newcell = jnp.concatenate(
+                [jnp.ones((1,), bool), cell_s[1:] != cell_s[:-1]])
+            run_start = jax.lax.cummax(jnp.where(newcell, slot, -1))
+            k = slot - run_start                 # == slot - starts[cell_c]
+            # per-pair step_start[tile]: scatter each tile's value at the
+            # tile's first sorted pair position + cummax fill-forward.
+            # Colliding writes (empty tiles share a position) carry EQUAL
+            # values: step_start is monotone and the intervening empty
+            # tiles contribute 0 steps, so any collision order is correct.
+            pos_t = starts[0:n_cells:4]      # == p_cap when past capacity
+            ss_marks = jnp.zeros((p_cap,), jnp.int32).at[pos_t].max(
+                step_start, mode="drop")     # drop, not clip: see required
+            step_start_pe = jax.lax.cummax(ss_marks)
+            dst = ((step_start_pe + k // Q_ROUNDS) * Q_SLOTS
                    + 4 * (k % Q_ROUNDS) + cell_c % 4)
             ok_s = (group_s >= 0) & (dst < p_cap)
             write2 = jnp.where(ok_s, dst, p_cap)

@@ -174,6 +174,42 @@ def main():
     print(f"dst scatter      {ms:8.2f} ms   steps={int(total_steps)}",
           flush=True)
 
+    @jax.jit
+    def post_sort_v2(cell_s, group_s):
+        """The shipped gather-free variant (sorted-run cummax tricks)."""
+        slot = jnp.arange(p_cap, dtype=jnp.int32)
+        starts = jnp.searchsorted(
+            cell_s, jnp.arange(n_cells + 1, dtype=jnp.int32)
+        ).astype(jnp.int32)
+        hist = (starts[1:] - starts[:-1]).reshape(n_tiles, 4)
+        rounds = hist.max(axis=1)
+        steps_t = -(-rounds // Q_ROUNDS)
+        step_start = jnp.cumsum(steps_t) - steps_t
+        total_steps = step_start[-1] + steps_t[-1]
+        cell_c = jnp.minimum(cell_s, n_cells - 1)
+        newcell = jnp.concatenate(
+            [jnp.ones((1,), bool), cell_s[1:] != cell_s[:-1]])
+        run_start = jax.lax.cummax(jnp.where(newcell, slot, -1))
+        k = slot - run_start
+        pos_t = starts[0:n_cells:4]
+        ss_marks = jnp.zeros((p_cap,), jnp.int32).at[pos_t].max(
+            step_start, mode="drop")
+        step_start_pe = jax.lax.cummax(ss_marks)
+        dst = ((step_start_pe + k // Q_ROUNDS) * Q_SLOTS
+               + 4 * (k % Q_ROUNDS) + cell_c % 4)
+        ok_s = (group_s >= 0) & (dst < p_cap)
+        write2 = jnp.where(ok_s, dst, p_cap)
+        padded_group = jnp.full((p_cap,), -1, jnp.int32).at[write2].set(
+            group_s, mode="drop")
+        return padded_group, total_steps
+
+    ms = timeit(post_sort_v2, (cell_s, group_s), args.iters)
+    pg2_new, ts2 = jax.block_until_ready(post_sort_v2(cell_s, group_s))
+    import numpy as _np
+    same = bool(_np.array_equal(_np.asarray(pg2_new),
+                                _np.asarray(padded_group)))
+    print(f"dst scatter v2   {ms:8.2f} ms   match={same}", flush=True)
+
     tbl = pack_attr_coef(batch, coeffs)
     tbl = jnp.pad(tbl, ((0, t_pad - t), (0, 0)))
     gt = tbl[:, :16].reshape(ng, GROUP * 16)
