@@ -294,7 +294,7 @@ def make_sharded_rt_frame(
     *,
     use_pallas: bool = False,
     paged: bool = False,          # chunked-TLAS paging (accel.prefer_paged)
-    wide: bool = False,           # 4-wide grandchild box steps (non-paged)
+    wide: bool = True,            # 4-wide grandchild box steps (non-paged)
 ):
     """Screen-tile sharded two-level RT frame (the round-2 fast path under
     shard_map — replaces the legacy per-frame world BVH of sharded_rt_frame).

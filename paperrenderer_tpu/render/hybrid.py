@@ -195,7 +195,7 @@ class HybridRender:
         use_pallas: Optional[bool] = None,
         animate: Optional[Callable] = None,
         reflection_half_rate: bool = False,
-        bvh_wide: bool = False,
+        bvh_wide: bool = True,
     ):
         # reuse RenderPass for instance/material bookkeeping
         self._rp = RenderPass(

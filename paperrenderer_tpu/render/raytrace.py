@@ -293,7 +293,7 @@ class RayTraceRender:
         animate: Optional[Callable] = None,
         use_pallas: Optional[bool] = None,
         reflection_half_rate: bool = False,
-        bvh_wide: bool = False,
+        bvh_wide: bool = True,
     ):
         self.scene = scene
         self.materials = materials
@@ -312,8 +312,9 @@ class RayTraceRender:
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
         self.use_pallas = use_pallas
-        # 4-wide grandchild box steps in the packet traversal (perf knob;
-        # identical hits — see trace_kernel._wide_box_step)
+        # 4-wide grandchild box steps in the packet traversal (default ON:
+        # composed RT frame 100 -> 88 ms @1080p, stable across runs; identical
+        # hits — see trace_kernel._wide_box_step; ignored by the paged tracer)
         self.bvh_wide = bvh_wide
         self._key = jax.random.PRNGKey(seed)
         self._frame = 0
