@@ -402,6 +402,103 @@ def _unpack_depth(key: jax.Array, covered: jax.Array) -> jax.Array:
 INTERPRET = False
 
 
+def _bin_spans(ok, lo, hi, t, t_pad, ng, width, height, org_f, bw, n_ty):
+    """Group screen AABBs -> bin-cell spans (capacity-independent; shared by
+    the raster pipeline and the demand probe so both count identically).
+    Returns (alive, gx0, gx1, gy0, gy1, count) over GROUP-packed triangles:
+    the inclusive bin-column/row span of each 8-triangle group's AABB in a
+    (width x height) window at pixel offset ``org_f``, with ``bw``-px-wide
+    bin columns, and the group's (span-area) pair count."""
+    n_bx = width // bw
+    lo_m = jnp.where(ok[:, None], lo, jnp.inf)
+    hi_m = jnp.where(ok[:, None], hi, -jnp.inf)
+    lo_m = jnp.pad(lo_m, ((0, t_pad - t), (0, 0)), constant_values=jnp.inf)
+    hi_m = jnp.pad(hi_m, ((0, t_pad - t), (0, 0)), constant_values=-jnp.inf)
+    glo = lo_m.reshape(ng, GROUP, 2).min(axis=1)
+    ghi = hi_m.reshape(ng, GROUP, 2).max(axis=1)
+    alive = jnp.isfinite(glo[:, 0])
+    fglo = jnp.nan_to_num(glo, posinf=0.0) - org_f[None, :]   # window space
+    fghi = jnp.nan_to_num(ghi, neginf=0.0) - org_f[None, :]
+    # cull groups whose AABB misses this window entirely
+    alive &= (fghi[:, 0] >= 0.0) & (fglo[:, 0] <= width) \
+        & (fghi[:, 1] >= 0.0) & (fglo[:, 1] <= height)
+    gx0 = jnp.clip(jnp.floor(fglo[:, 0] / bw).astype(jnp.int32), 0, n_bx - 1)
+    gx1 = jnp.clip(jnp.floor(fghi[:, 0] / bw).astype(jnp.int32), 0, n_bx - 1)
+    gy0 = jnp.clip(jnp.floor(fglo[:, 1] / TILE_H).astype(jnp.int32), 0, n_ty - 1)
+    gy1 = jnp.clip(jnp.floor(fghi[:, 1] / TILE_H).astype(jnp.int32), 0, n_ty - 1)
+    gx1 = jnp.maximum(gx1, gx0)
+    gy1 = jnp.maximum(gy1, gy0)
+    spanw = gx1 - gx0 + 1
+    count = jnp.where(alive, spanw * (gy1 - gy0 + 1), 0)
+    return alive, gx0, gx1, gy0, gy1, count
+
+
+def measure_pair_demand(
+    batch: TriangleBatch,
+    width: int,
+    height: int,
+    *,
+    quarter: Optional[bool] = None,
+    full_width: Optional[int] = None,
+    full_height: Optional[int] = None,
+    origin=(0, 0),
+) -> jax.Array:
+    """This frame's pair/slot demand WITHOUT running the raster pipeline.
+
+    The capacity probe (the reference's getBuffersRequirements sizing pass
+    before a mesh-group buffer rebuild, IndirectDraw.cpp:44-125): computes
+    the same ``required`` scalar rasterize_exact returns, but from a
+    corner-scatter difference-array histogram over bin cells — one
+    scatter-add + a 2D cumsum, no pair stream, no sort, no kernel. It
+    compiles in seconds at any scale, so RenderPass can size its work
+    capacity at topology changes without first compiling (and running) a
+    full raster program at a guessed capacity; at 100k-instance scale the
+    guessed-capacity compile alone took minutes over the remote TPU compile
+    service. Unlike the in-pipeline ``required`` (whose per-cell histogram
+    only sees pairs that fit the current capacity), this count never
+    truncates, so one adoption lands the final capacity."""
+    if quarter is None:
+        quarter = QUARTER_DEFAULT
+    fw = full_width or width
+    fh = full_height or height
+    _coeffs, ok, (lo, hi) = triangle_coefficients(batch, fw, fh)
+    t = batch.capacity
+    t_pad = _round_up(t, GROUP)
+    ng = t_pad // GROUP
+    n_tx = width // TILE_W
+    n_ty = height // TILE_H
+    org_f = jnp.asarray(origin, jnp.float32).reshape(2)
+    bw = QTILE_W if quarter else TILE_W
+    n_bx = width // bw
+    alive, gx0, gx1, gy0, gy1, count = _bin_spans(
+        ok, lo, hi, t, t_pad, ng, width, height, org_f, bw, n_ty)
+    n_pairs = jnp.sum(count)
+
+    # per-cell counts via the 2D difference array: +1/-1 at the four span
+    # corners, then cumsum down rows and across columns. ONE scatter-add
+    # (chained computed-index scatters SIGABRT the TPU compiler).
+    gw = (n_ty + 1) * (n_bx + 1)
+    cy = jnp.concatenate([gy0, gy0, gy1 + 1, gy1 + 1])
+    cx = jnp.concatenate([gx0, gx1 + 1, gx0, gx1 + 1])
+    sgn = jnp.concatenate([
+        jnp.ones((ng,), jnp.int32), jnp.full((ng,), -1, jnp.int32),
+        jnp.full((ng,), -1, jnp.int32), jnp.ones((ng,), jnp.int32),
+    ])
+    idx = jnp.where(jnp.tile(alive, 4), cy * (n_bx + 1) + cx, gw)
+    d = jnp.zeros((gw,), jnp.int32).at[idx].add(sgn, mode="drop")
+    hist = jnp.cumsum(
+        jnp.cumsum(d.reshape(n_ty + 1, n_bx + 1), axis=0), axis=1
+    )[:n_ty, :n_bx]
+
+    if quarter:
+        nq = TILE_W // QTILE_W
+        rounds = hist.reshape(n_ty, n_tx, nq).max(axis=-1)
+        steps = -(-rounds // Q_ROUNDS)
+        return jnp.maximum(jnp.sum(steps) * Q_SLOTS, n_pairs).astype(jnp.int32)
+    padded = _round_up_arr(hist, BP)
+    return jnp.maximum(jnp.sum(padded), n_pairs).astype(jnp.int32)
+
+
 def rasterize_exact(
     batch: TriangleBatch,
     width: int,
@@ -463,34 +560,15 @@ def rasterize_exact(
         width, height, t, quarter=quarter)
     p_cap0 = _round_up(p_cap0, BP)
 
-    # --- group screen AABBs -> tile spans (capacity-independent) ----------
-    lo_m = jnp.where(ok[:, None], lo, jnp.inf)
-    hi_m = jnp.where(ok[:, None], hi, -jnp.inf)
-    lo_m = jnp.pad(lo_m, ((0, t_pad - t), (0, 0)), constant_values=jnp.inf)
-    hi_m = jnp.pad(hi_m, ((0, t_pad - t), (0, 0)), constant_values=-jnp.inf)
-    glo = lo_m.reshape(ng, GROUP, 2).min(axis=1)
-    ghi = hi_m.reshape(ng, GROUP, 2).max(axis=1)
-    alive = jnp.isfinite(glo[:, 0])
-    fglo = jnp.nan_to_num(glo, posinf=0.0) - org_f[None, :]   # window space
-    fghi = jnp.nan_to_num(ghi, neginf=0.0) - org_f[None, :]
-    # cull groups whose AABB misses this window entirely
-    alive &= (fghi[:, 0] >= 0.0) & (fglo[:, 0] <= width) \
-        & (fghi[:, 1] >= 0.0) & (fglo[:, 1] <= height)
-    # bin columns: full tiles (classic) or 32-px lane quarters (quarter mode)
     bw = QTILE_W if quarter else TILE_W
     n_bx = width // bw
-    gx0 = jnp.clip(jnp.floor(fglo[:, 0] / bw).astype(jnp.int32), 0, n_bx - 1)
-    gx1 = jnp.clip(jnp.floor(fghi[:, 0] / bw).astype(jnp.int32), 0, n_bx - 1)
-    gy0 = jnp.clip(jnp.floor(fglo[:, 1] / TILE_H).astype(jnp.int32), 0, n_ty - 1)
-    gy1 = jnp.clip(jnp.floor(fghi[:, 1] / TILE_H).astype(jnp.int32), 0, n_ty - 1)
-    gx1 = jnp.maximum(gx1, gx0)
-    gy1 = jnp.maximum(gy1, gy0)
-    spanw = gx1 - gx0 + 1
-    count = jnp.where(alive, spanw * (gy1 - gy0 + 1), 0)
+    alive, gx0, gx1, gy0, gy1, count = _bin_spans(
+        ok, lo, hi, t, t_pad, ng, width, height, org_f, bw, n_ty)
 
     ends = jnp.cumsum(count)
     offsets = ends - count                               # exclusive
     n_pairs = ends[-1]
+    spanw = gx1 - gx0 + 1
     info = jnp.stack([offsets, gx0, gy0, spanw], axis=-1)   # i32[NG, 4]
 
     # --- packed coefficient table (capacity-independent) -------------------
@@ -741,11 +819,14 @@ def rasterize_exact(
     *state, required = run(p_cap0)
     state = tuple(state)
     # XLA allocates BOTH lax.cond branches, so the in-graph 4x fallback is
-    # only carried while its buffers are cheap; at multi-million-pair scale
-    # (where even one extra capacity would not fit HBM) the per-frame guard
-    # degrades to the host-side persistent growth off ``required``.
+    # only carried while its buffers are cheap; at multi-hundred-MB scale
+    # the fallback branch both bloats compile time (a second full pipeline
+    # at 4x capacity — the remote TPU compile at 100k-instance scale is
+    # minutes) and squeezes HBM, so the per-frame guard degrades to the
+    # host-side persistent growth off ``required`` (one frame may drop
+    # fragments on a >capacity demand spike; pinned by tests/test_overflow).
     cf_bytes = p_cap0 * 128 * 4 * (1 if quarter else GROUP)
-    if overflow_cond and cf_bytes <= (3 << 30) // 4:
+    if overflow_cond and cf_bytes <= (1 << 27):
         state = jax.lax.cond(
             required > p_cap0,
             lambda _: run(_round_up(4 * p_cap0, BP))[:-1],

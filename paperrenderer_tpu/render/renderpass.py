@@ -232,6 +232,57 @@ def render_frame_static(
     return ldr, aux
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "do_culling", "translucent_layers", "supersample",
+    ),
+)
+def measure_frame_demand(
+    mapping,
+    instances: InstanceArrays,
+    tables: SceneTables,
+    materials: MaterialTable,
+    camera: CameraMatrices,
+    slot_materials: jax.Array,
+    instance_visible: jax.Array,
+    *,
+    width: int,
+    height: int,
+    do_culling: bool = True,
+    translucent_layers: int = 0,
+    supersample: int = 1,
+):
+    """Pair/slot demand of a frame WITHOUT compiling/running the raster
+    pipeline (ops.raster_exact.measure_pair_demand over the same expanded
+    batch render_frame_static would rasterize, opaque and translucent
+    passes both). The capacity-sizing probe RenderPass runs at topology
+    changes — the reference sizes mesh-group buffers the same way before
+    rebuilding them (IndirectDraw.cpp:44-125) rather than rendering at a
+    guessed capacity first."""
+    from ..ops.raster_exact import measure_pair_demand
+    from ..ops.static_batch import expand_static
+
+    ss = max(1, int(supersample))
+    width, height = width * ss, height * ss
+    batch, _vis = expand_static(
+        mapping, instances, tables, camera, slot_materials, instance_visible,
+        do_culling=do_culling,
+    )
+    if translucent_layers > 0:
+        import dataclasses as _dc
+
+        from ..ops.translucency import non_opaque_mask
+
+        non_op = non_opaque_mask(materials, batch.material)
+        req = measure_pair_demand(
+            _dc.replace(batch, valid=batch.valid & ~non_op), width, height)
+        treq = measure_pair_demand(
+            _dc.replace(batch, valid=batch.valid & non_op), width, height)
+        return jnp.maximum(req, treq)
+    return measure_pair_demand(batch, width, height)
+
+
 class RenderPass:
     """Host-side raster pass (reference RenderPass.h:103-134 surface)."""
 
@@ -446,7 +497,31 @@ class RenderPass:
         slots, visible, table = self._device_inputs(instances.capacity)
         if static_path:
             mapping = self._current_mapping()
-            if self.use_pallas:
+            if self.use_pallas and self._check_overflow:
+                # blocking capacity probe right after a topology change /
+                # resize (reference buffer-growth analogue): size the work
+                # capacity from the cheap demand measurement BEFORE the
+                # first full render, so only ONE raster program is compiled
+                # at this topology (the old probe rendered at a guessed
+                # capacity, then recompiled at the adopted one — two
+                # multi-minute remote compiles at 100k-instance scale)
+                from ..ops.raster_exact import default_pair_capacity
+
+                required = int(measure_frame_demand(
+                    mapping, instances, self.scene.tables(), table, cam,
+                    slots, visible,
+                    width=self.width, height=self.height,
+                    do_culling=self.do_culling,
+                    translucent_layers=self.translucent_layers,
+                    supersample=self.supersample,
+                ))
+                cap = self._work_capacity or default_pair_capacity(
+                    self.width * self.supersample,
+                    self.height * self.supersample, mapping.capacity
+                )
+                self._adopt_work_demand(required, cap)
+                self._check_overflow = False
+            elif self.use_pallas:
                 self._consume_overflow_signal(mapping)
             kwargs = dict(
                 width=self.width, height=self.height,
@@ -460,25 +535,7 @@ class RenderPass:
                 self.lights, cam, slots, visible, self.tonemap_params,
                 self._cached_textures, **kwargs,
             )
-            if self.use_pallas and self._check_overflow:
-                # blocking check right after topology change / resize
-                # (reference buffer-growth analogue)
-                from ..ops.raster_exact import default_pair_capacity
-
-                required = int(aux["required_work"])
-                cap = self._work_capacity or default_pair_capacity(
-                    self.width * self.supersample,
-                    self.height * self.supersample, mapping.capacity
-                )
-                if self._adopt_work_demand(required, cap):
-                    kwargs["work_capacity"] = self._work_capacity
-                    ldr, aux = render_frame_static(
-                        mapping, instances, self.scene.tables(), table,
-                        self.lights, cam, slots, visible, self.tonemap_params,
-                        self._cached_textures, **kwargs,
-                    )
-                self._check_overflow = False
-            elif self.use_pallas:
+            if self.use_pallas:
                 # steady state: the kernel's in-graph 2x fallback keeps THIS
                 # frame complete even if the camera blew past capacity; keep
                 # the demand scalar so the next render call grows the

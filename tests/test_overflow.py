@@ -156,3 +156,44 @@ def test_required_reports_raw_pair_overflow(interpret_kernel):
     _, _, _, full = RE.rasterize_exact(batch, w, h)
     assert int(required) >= int(full) // 2  # n_pairs-level signal survives
     assert int(required) > tiny
+
+
+@pytest.mark.parametrize("quarter", [True, False])
+def test_measure_pair_demand_matches_pipeline(interpret_kernel, quarter):
+    """The capacity probe (measure_pair_demand: corner-scatter histogram,
+    no sort/kernel) must report exactly the demand the full pipeline
+    returns at sufficient capacity — RenderPass sizes its work capacity
+    from the probe BEFORE compiling the raster program."""
+    scene = Scene(use_native=False)
+    model = Model.from_mesh(
+        scene.arena, *make_uv_sphere(radius=1.0, rings=10, sectors=14))
+    for k in range(3):
+        inst = ModelInstance(model)
+        inst.set_transform(pos=(0.8 * k - 0.8, 0.0, 0.3 * k))
+        scene.add_instance(inst)
+    w = h = 128
+    for dist in (1.35, 4.0, 12.0):
+        batch = _batch(scene, _cam(dist), tri_capacity=2048)
+        probe = int(RE.measure_pair_demand(batch, w, h, quarter=quarter))
+        _, _, _, required = RE.rasterize_exact(
+            batch, w, h, quarter=quarter, overflow_cond=False)
+        assert probe == int(required), (dist, probe, int(required))
+
+
+def test_measure_pair_demand_windowed(interpret_kernel):
+    """The probe agrees with the pipeline per screen-tile window (the
+    sharded raster path's configuration)."""
+    scene = Scene(use_native=False)
+    model = Model.from_mesh(
+        scene.arena, *make_uv_sphere(radius=1.0, rings=10, sectors=14))
+    scene.add_instance(ModelInstance(model))
+    fw = fh = 128
+    batch = _batch(scene, _cam(2.0))
+    for origin in ((0, 0), (0, 64), (0, 0), (0, 64)):
+        probe = int(RE.measure_pair_demand(
+            batch, fw, fh // 2, full_width=fw, full_height=fh,
+            origin=origin))
+        _, _, _, required = RE.rasterize_exact(
+            batch, fw, fh // 2, full_width=fw, full_height=fh,
+            origin=origin, overflow_cond=False)
+        assert probe == int(required), (origin, probe, int(required))
