@@ -220,6 +220,53 @@ def sharded_render_frame_static(
     return (ldr, required) if return_required else ldr
 
 
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "rows", "cols", "do_culling"),
+)
+def measure_sharded_demand(
+    mapping,
+    instances: InstanceArrays,
+    tables: SceneTables,
+    camera: CameraMatrices,
+    slot_materials: jax.Array,
+    instance_visible: jax.Array,
+    *,
+    width: int,
+    height: int,
+    rows: int,
+    cols: int,
+    do_culling: bool = True,
+) -> jax.Array:
+    """Per-device pair/slot demand of sharded_render_frame_static
+    (use_pallas=True) WITHOUT compiling/running it: the capacity probe
+    (ops.raster_exact.measure_pair_demand) evaluated over every (rows x
+    cols) screen-tile window, maxed — the same scalar the sharded frame
+    returns replicated via pmax as ``required``. Runs on one device in
+    seconds at any scale; size ``work_capacity`` from it BEFORE paying the
+    sharded pipeline's compile (the reference sizes mesh-group buffers the
+    same way before rebuilding, IndirectDraw.cpp:44-125)."""
+    from ..ops.raster_exact import measure_pair_demand
+    from ..ops.static_batch import expand_static
+
+    tile_h, tile_w = height // rows, width // cols
+    batch, _vis = expand_static(
+        mapping, instances, tables, camera, slot_materials,
+        instance_visible, do_culling=do_culling, use_runs=False,
+    )
+    origins = jnp.asarray(
+        [(c * tile_w, r * tile_h) for r in range(rows) for c in range(cols)],
+        jnp.int32,
+    )
+    per_tile = jax.vmap(
+        lambda o: measure_pair_demand(
+            batch, tile_w, tile_h,
+            full_width=width, full_height=height, origin=o,
+        )
+    )(origins)
+    return jnp.max(per_tile)
+
+
 def sharded_rt_frame(
     mesh: Mesh,
     instances: InstanceArrays,

@@ -100,6 +100,50 @@ def test_sharded_exact_kernel_matches_single_device(monkeypatch):
     assert int(required) > 0
 
 
+def test_sharded_demand_probe_matches_pipeline(monkeypatch):
+    """measure_sharded_demand (windowed capacity probe, maxed over the
+    mesh's tile grid) == the replicated ``required`` the sharded exact-
+    kernel pipeline returns — callers size work_capacity from the probe
+    without paying the sharded pipeline's compile first."""
+    from paperrenderer_tpu.ops import raster_exact as RE
+    from paperrenderer_tpu.parallel import measure_sharded_demand
+
+    monkeypatch.setattr(RE, "INTERPRET", True)
+
+    scene = Scene()
+    registry = MaterialRegistry()
+    ground = Model.from_mesh(scene.arena, *make_plane(size=20.0))
+    cube = Model.from_mesh(scene.arena, *make_cube(size=1.0))
+    red = Material("red", albedo=(0.9, 0.1, 0.1), roughness=0.5)
+    w, h = 512, 32
+    rp = RenderPass(scene, registry, width=w, height=h)
+    rp.add_instance(ModelInstance(ground))
+    c = ModelInstance(cube)
+    c.set_transform(pos=(0.0, 0.0, 0.5))
+    rp.add_instance(c, {0: red.instance()})
+    cam = Camera(yfov_deg=60.0, aspect=w / h, near=0.1, far=100.0)
+    cam.look_at((0.0, -5.0, 3.0), (0.0, 0.0, 0.5), up=(0, 0, 1))
+
+    mesh = make_tile_mesh()
+    rows, cols = mesh.devices.shape
+    arrays = scene.flush()
+    slots, visible, table = rp._device_inputs(arrays.capacity)
+    mapping = build_static_mapping(scene)
+    tables = scene.tables()
+
+    probe = int(measure_sharded_demand(
+        mapping, arrays, tables, cam.matrices, slots, visible,
+        width=w, height=h, rows=rows, cols=cols,
+    ))
+    _, required = sharded_render_frame_static(
+        mesh, mapping, arrays, tables, table, rp.lights, cam.matrices,
+        slots, visible, rp.tonemap_params,
+        width=w, height=h, use_pallas=True, return_required=True,
+    )
+    assert probe == int(required)
+    assert probe > 0
+
+
 def test_sharded_textures_match_single_device():
     """Textured materials sample identically on the sharded path (atlas
     replicated across devices)."""
