@@ -28,6 +28,13 @@ SHADE_LEAF = 1       # alpha-cutout PBR (example leaf.frag / leaf.rahit)
 SHADE_EMISSIVE = 2   # pure emissive
 SHADE_TRANSLUCENT = 3  # sorted back-to-front blended (RenderPass sorted path)
 
+# Raster cull modes (the pipeline's rasterization state,
+# src/PaperRenderer/Pipeline.h:80: default VK_CULL_MODE_BACK_BIT with
+# VK_FRONT_FACE_CLOCKWISE; the example's foliage opts out with CULL_NONE,
+# example/src/main.cpp:543).
+CULL_NONE = 0
+CULL_BACK = 1
+
 _N_PARAMS = 12  # albedo(3) emissive(3) roughness metallic alpha shading_model pad(2)
 
 
@@ -42,6 +49,7 @@ class MaterialTable:
     metallic: jax.Array      # f32[M]
     alpha: jax.Array         # f32[M]
     shading_model: jax.Array  # i32[M]
+    cull_back: jax.Array     # bool[M] — raster back-face culling (CULL_BACK)
     base_tex: jax.Array      # i32[M] — atlas texture id, -1 = untextured
     emissive_tex: jax.Array  # i32[M]
     mr_tex: jax.Array        # i32[M] — metallicRoughness (linear; g=rough, b=metal)
@@ -61,6 +69,10 @@ class Material:
         metallic: float = 0.0,
         alpha: float = 1.0,
         shading_model: int = SHADE_PBR,
+        cull_mode: Optional[int] = None,  # CULL_BACK/CULL_NONE; None = auto:
+        #   BACK for opaque models (the reference pipeline default,
+        #   Pipeline.h:80), NONE for leaf/translucent (main.cpp:543 —
+        #   foliage and blended geometry render double-sided)
         base_texture=None,       # u8/f32 [H, W, C] image (sRGB) or None
         emissive_texture=None,
         mr_texture=None,         # linear metallicRoughness (glTF: g=rough, b=metal)
@@ -73,6 +85,7 @@ class Material:
         self.metallic = float(metallic)
         self.alpha = float(alpha)
         self.shading_model = int(shading_model)
+        self.cull_mode = cull_mode if cull_mode is None else int(cull_mode)
         self.base_texture = base_texture
         self.emissive_texture = emissive_texture
         self.mr_texture = mr_texture
@@ -97,6 +110,7 @@ class MaterialInstance:
             metallic=self.base.metallic,
             alpha=self.base.alpha,
             shading_model=self.base.shading_model,
+            cull_mode=self.base.cull_mode,
             base_texture=self.base.base_texture,
             emissive_texture=self.base.emissive_texture,
             mr_texture=self.base.mr_texture,
@@ -193,6 +207,7 @@ class MaterialRegistry:
         metallic = np.zeros((n,), np.float32)
         alpha = np.ones((n,), np.float32)
         shading = np.zeros((n,), np.int32)
+        cull_back = np.zeros((n,), bool)
         base_tex = np.full((n,), -1, np.int32)
         emissive_tex = np.full((n,), -1, np.int32)
         mr_tex = np.full((n,), -1, np.int32)
@@ -204,6 +219,15 @@ class MaterialRegistry:
             metallic[i] = vals["metallic"]
             alpha[i] = vals["alpha"]
             shading[i] = vals["shading_model"]
+            cm = vals.get("cull_mode")
+            if cm is None:
+                # auto: the reference defaults every pipeline to BACK
+                # (Pipeline.h:80) and double-sides foliage/blends explicitly
+                cm = (CULL_NONE
+                      if vals["shading_model"] in (SHADE_LEAF,
+                                                   SHADE_TRANSLUCENT)
+                      else CULL_BACK)
+            cull_back[i] = cm == CULL_BACK
             base_tex[i] = self._texture_id(vals.get("base_texture"))
             emissive_tex[i] = self._texture_id(vals.get("emissive_texture"))
             mr_tex[i] = self._texture_id(vals.get("mr_texture"), srgb=False)
@@ -216,6 +240,7 @@ class MaterialRegistry:
             metallic=jnp.asarray(metallic),
             alpha=jnp.asarray(alpha),
             shading_model=jnp.asarray(shading),
+            cull_back=jnp.asarray(cull_back),
             base_tex=jnp.asarray(base_tex),
             emissive_tex=jnp.asarray(emissive_tex),
             mr_tex=jnp.asarray(mr_tex),

@@ -50,10 +50,24 @@ class TriangleBatch:
     uv: jax.Array           # f32[T, 3, 2]
     material: jax.Array     # i32[T] — resolved material id
     valid: jax.Array        # bool[T]
+    # bool[T] — reject back-facing screen triangles (the pipeline's
+    # VK_CULL_MODE_BACK_BIT state, Pipeline.h:80); None = render two-sided.
+    # Set per-triangle from the material table via ``attach_cull``.
+    cull: "jax.Array | None" = None
 
     @property
     def capacity(self) -> int:
         return self.clip.shape[0]
+
+
+def attach_cull(batch: TriangleBatch, materials) -> TriangleBatch:
+    """Resolve per-material cull modes into the batch's per-triangle ``cull``
+    flags (MaterialTable.cull_back indexed by the batch's material ids —
+    unrolled selects, not a gather; the table is small)."""
+    from ..core.texture import select_rows
+
+    return dataclasses.replace(
+        batch, cull=select_rows(materials.cull_back, batch.material))
 
 
 @jax.tree_util.register_dataclass
@@ -185,6 +199,16 @@ def triangle_coefficients(batch: TriangleBatch, width: int, height: int):
     det = jnp.sum(v[:, 0] * e0, axis=-1)
 
     ok = batch.valid & (jnp.abs(det) > 1e-14)
+    if batch.cull is not None:
+        # Back-face culling (VK_CULL_MODE_BACK_BIT + VK_FRONT_FACE_CLOCKWISE,
+        # Pipeline.h:80-81). The reference renders with an unflipped viewport
+        # (its framebuffer is our vertical mirror — see the yh comment above),
+        # so its clockwise front face is counter-clockwise here: det < 0.
+        # Verified empirically: >99.98% of depth-winning pixels on the closed
+        # example meshes come from det < 0 triangles. Rejecting here (before
+        # edge orientation AND before AABB binning) removes back faces from
+        # every raster path and from the pair-demand probes alike.
+        ok &= ~(batch.cull & (det > 0))
     # Orient by sign(det) ONLY (an exact sign-bit flip): shared edges of
     # adjacent triangles then evaluate as exact IEEE negations of each other,
     # which makes the mesh watertight (one side's test always passes).

@@ -457,6 +457,10 @@ def measure_pair_demand(
     service. Unlike the in-pipeline ``required`` (whose per-cell histogram
     only sees pairs that fit the current capacity), this count never
     truncates, so one adoption lands the final capacity."""
+    assert width % TILE_W == 0 and height % TILE_H == 0, (
+        "probe window must be tile-aligned like rasterize_exact "
+        f"({TILE_W}x{TILE_H}); a misaligned window would silently floor the "
+        "bin grid and under-count demand")
     if quarter is None:
         quarter = QUARTER_DEFAULT
     fw = full_width or width
@@ -522,9 +526,12 @@ def rasterize_exact(
     contract, PaperRenderer.cpp:208-212, made per-frame-safe): when
     ``required`` exceeds ``pair_capacity``, a ``lax.cond`` branch re-bins and
     re-rasterizes at 4x capacity IN-GRAPH, so no frame ships with dropped
-    triangles up to a 4x demand jump in one frame; callers also grow the
+    triangles up to a 4x demand jump in one frame — but ONLY while the pair
+    coefficient table is <= 128 MiB (the cf_bytes guard below): past that the
+    untaken branch's buffers and compile time are too expensive, so a demand
+    spike degrades to one frame of dropped fragments. Callers also grow the
     persistent capacity off the returned scalar so the fallback stops being
-    taken (and >4x teleports are covered from the next frame on).
+    taken (and large-scene spikes are covered from the next frame on).
 
     Screen-tile sharding: render a (width x height) window of a
     (full_width x full_height) viewport at pixel offset ``origin`` (may be

@@ -138,6 +138,7 @@ def composite_translucency(
         uv=batch.uv,
         material=batch.material,
         valid=batch.valid & translucent,
+        cull=batch.cull,   # leaf/translucent materials default CULL_NONE
     )
 
     # collect up to `layers` nearest fragments per pixel (front-to-back)

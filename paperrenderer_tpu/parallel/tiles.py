@@ -85,6 +85,7 @@ def sharded_render_frame(
             slot_materials=slot_materials,
         )
         batch = R.build_triangle_batch(pre, geo, camera, capacity=tri_capacity)
+        batch = R.attach_cull(batch, materials)
         depth, tid, bary = R.rasterize(
             batch, tile_w, tile_h,
             full_width=width, full_height=height,
@@ -182,6 +183,7 @@ def sharded_render_frame_static(
         batch = jax.tree.map(
             lambda x: jax.lax.all_gather(x, ax, axis=0, tiled=True), local_batch
         )
+        batch = R.attach_cull(batch, materials)
         if use_pallas:
             from ..ops.raster_exact import (
                 rasterize_exact, resolve_gbuffer_pairs,
@@ -231,6 +233,7 @@ def measure_sharded_demand(
     camera: CameraMatrices,
     slot_materials: jax.Array,
     instance_visible: jax.Array,
+    materials: MaterialTable | None = None,
     *,
     width: int,
     height: int,
@@ -249,11 +252,18 @@ def measure_sharded_demand(
     from ..ops.raster_exact import measure_pair_demand
     from ..ops.static_batch import expand_static
 
+    # mirror sharded_render_frame_static's grid contract: an uneven grid
+    # would silently probe wrong windows and under-size capacity
+    assert height % rows == 0 and width % cols == 0
     tile_h, tile_w = height // rows, width // cols
     batch, _vis = expand_static(
         mapping, instances, tables, camera, slot_materials,
         instance_visible, do_culling=do_culling, use_runs=False,
     )
+    if materials is not None:
+        # match the pipeline's per-material back-face culling — omitting it
+        # would over-count demand (safe but breaks probe==pipeline pinning)
+        batch = R.attach_cull(batch, materials)
     origins = jnp.asarray(
         [(c * tile_w, r * tile_h) for r in range(rows) for c in range(cols)],
         jnp.int32,

@@ -90,6 +90,7 @@ def render_frame(
         slot_materials=slot_materials,
     )
     batch = R.build_triangle_batch(pre, geo, camera, capacity=tri_capacity)
+    batch = R.attach_cull(batch, materials)
     if use_pallas:
         from ..ops.raster_pallas import rasterize_tiles
 
@@ -169,6 +170,7 @@ def render_frame_static(
         mapping, instances, tables, camera, slot_materials, instance_visible,
         do_culling=do_culling,
     )
+    batch = R.attach_cull(batch, materials)
     full_batch = batch
     if translucent_layers > 0:
         # opaque pass must not z-write translucent/cutout geometry
@@ -269,6 +271,7 @@ def measure_frame_demand(
         mapping, instances, tables, camera, slot_materials, instance_visible,
         do_culling=do_culling,
     )
+    batch = R.attach_cull(batch, materials)
     if translucent_layers > 0:
         import dataclasses as _dc
 
@@ -441,9 +444,11 @@ class RenderPass:
     def _consume_overflow_signal(self, mapping) -> None:
         """Deferred per-frame overflow growth: consult the previous frame's
         ``required_work`` (device scalar) without stalling the pipeline —
-        if it isn't materialized yet, check again next frame. Frames are
-        never shipped with dropped triangles either way: the rasterizer's
-        lax.cond fallback covers demand up to 2x capacity in-graph."""
+        if it isn't materialized yet, check again next frame. While the pair
+        table is <= 128 MiB the rasterizer's in-graph lax.cond fallback
+        (4x capacity) keeps spiking frames complete; past that cap
+        (raster_exact.rasterize_exact's cf_bytes guard) a demand spike drops
+        fragments for ONE frame and this deferred growth recovers the next."""
         prev = self._last_required
         if prev is None:
             return
@@ -536,10 +541,12 @@ class RenderPass:
                 self._cached_textures, **kwargs,
             )
             if self.use_pallas:
-                # steady state: the kernel's in-graph 2x fallback keeps THIS
-                # frame complete even if the camera blew past capacity; keep
-                # the demand scalar so the next render call grows the
-                # persistent capacity (stops paying the fallback)
+                # steady state: below the 128 MiB pair-table cap the kernel's
+                # in-graph 4x fallback keeps THIS frame complete even if the
+                # camera blew past capacity (above the cap a spike frame may
+                # drop fragments — rasterize_exact's cf_bytes guard); either
+                # way keep the demand scalar so the next render call grows
+                # the persistent capacity
                 self._last_required = aux["required_work"]
             return ldr, aux
         need = self._required_tri_capacity()

@@ -66,6 +66,7 @@ def _table(m, rng):
         roughness=jnp.asarray(rng.uniform(size=m), jnp.float32),
         metallic=jnp.asarray(rng.uniform(size=m), jnp.float32),
         alpha=jnp.ones(m), shading_model=jnp.zeros(m, jnp.int32),
+        cull_back=jnp.zeros(m, bool),
         base_tex=jnp.asarray(rng.integers(-1, 5, size=m), jnp.int32),
         emissive_tex=jnp.asarray(rng.integers(-1, 5, size=m), jnp.int32),
         mr_tex=jnp.asarray(rng.integers(-1, 5, size=m), jnp.int32),

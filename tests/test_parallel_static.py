@@ -132,7 +132,7 @@ def test_sharded_demand_probe_matches_pipeline(monkeypatch):
     tables = scene.tables()
 
     probe = int(measure_sharded_demand(
-        mapping, arrays, tables, cam.matrices, slots, visible,
+        mapping, arrays, tables, cam.matrices, slots, visible, table,
         width=w, height=h, rows=rows, cols=cols,
     ))
     _, required = sharded_render_frame_static(
