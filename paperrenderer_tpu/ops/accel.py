@@ -602,17 +602,30 @@ def build_tlas_rows(
     return rows, codes, mats
 
 
+INST_ID_MASK = 0x007FFFFF    # self-id bits of the instance record word
+INST_OPAQUE_BIT = 1 << 23    # force-opaque flag (skip any-hit alpha test)
+#                              bits 24-31: the 8-bit visibility mask
+
+
 def make_instance_rows(
     instances: InstanceArrays,
     mats: jax.Array,          # f32[N, 3, 4] forward TRS
     inst_blas: jax.Array,     # i32[N]
     root_code: jax.Array,     # i32[B]
+    inst_mask: Optional[jax.Array] = None,   # i32[N] 8-bit, default 0xFF
+    inst_opaque: Optional[jax.Array] = None,  # bool[N] force-opaque
 ) -> Tuple[jax.Array, jax.Array]:
     """Instance rows for the unified node table: (inverse 3x4 f32[N, 12],
-    codes i32[N, 2] = [blas root code, self slot id]). Popping an instance
-    code gathers this row, switches the ray to object space, and pushes the
-    root code (the per-instance BLAS address in the reference's
-    VkAccelerationStructureInstanceKHR record, TLASInstBuild.comp:45-71)."""
+    codes i32[N, 2] = [blas root code, instance record word]). Popping an
+    instance code gathers this row, switches the ray to object space, and
+    pushes the root code (the per-instance BLAS address in the reference's
+    VkAccelerationStructureInstanceKHR record, TLASInstBuild.comp:45-71).
+
+    The record word packs [mask:8 | force_opaque:1 | self id:23] — the
+    reference's ``AccelerationStructureInstanceData{customIndex:24, mask:8,
+    flags}`` (RayTrace.h:19-35): traversal skips the instance when
+    ``mask & cull_mask == 0`` and the any-hit alpha test is skipped when the
+    opaque bit is set (VK_GEOMETRY_INSTANCE_FORCE_OPAQUE parity)."""
     # inverse TRS directly from components: M = T R S -> M^-1 = S^-1 R^T T^-1
     rot = quat_to_mat3(instances.quat)                   # [N, 3, 3]
     inv_s = 1.0 / jnp.maximum(jnp.abs(instances.scale), 1e-12) * jnp.sign(
@@ -620,10 +633,17 @@ def make_instance_rows(
     a_inv = rot.transpose(0, 2, 1) * inv_s[:, :, None]   # S^-1 R^T
     t_inv = -jnp.einsum("nij,nj->ni", a_inv, instances.pos)
     inv12 = jnp.concatenate([a_inv, t_inv[:, :, None]], axis=-1).reshape(-1, 12)
+    n = inv12.shape[0]
+    assert n <= INST_ID_MASK + 1, "instance capacity exceeds the 23-bit id"
     bid = jnp.clip(inst_blas, 0, root_code.shape[0] - 1)
-    codes = jnp.stack(
-        [root_code[bid], jnp.arange(inv12.shape[0], dtype=jnp.int32)],
-        axis=-1)
+    rec = jnp.arange(n, dtype=jnp.int32)
+    m8 = (jnp.full((n,), 0xFF, jnp.int32) if inst_mask is None
+          else jnp.asarray(inst_mask, jnp.int32) & 0xFF)
+    rec = rec | (m8 << 24)
+    if inst_opaque is not None:
+        rec = rec | jnp.where(jnp.asarray(inst_opaque, bool),
+                              jnp.int32(INST_OPAQUE_BIT), 0)
+    codes = jnp.stack([root_code[bid], rec], axis=-1)
     return inv12, codes
 
 
@@ -655,6 +675,8 @@ def assemble_scene(
     *,
     time: Optional[jax.Array] = None,
     animate: Optional[Callable] = None,
+    inst_mask: Optional[jax.Array] = None,    # i32[N] 8-bit visibility masks
+    inst_opaque: Optional[jax.Array] = None,  # bool[N] force-opaque flags
 ) -> Tuple[RTScene, List[int]]:
     """Assemble the unified node table for one frame.
 
@@ -707,7 +729,8 @@ def assemble_scene(
         tlas_off += rows.shape[0]
 
     inst_rows, inst_codes = make_instance_rows(
-        instances, mats, inst_blas, blasset.root_code)
+        instances, mats, inst_blas, blasset.root_code,
+        inst_mask=inst_mask, inst_opaque=inst_opaque)
     nodes = jnp.concatenate(parts + [inst_rows] + tlas_parts, axis=0)
     codes = jnp.concatenate(
         code_parts + [inst_codes] + tlas_code_parts, axis=0)
@@ -804,6 +827,8 @@ def assemble_scene_paged(
     *,
     time: Optional[jax.Array] = None,
     animate: Optional[Callable] = None,
+    inst_mask: Optional[jax.Array] = None,    # i32[N] 8-bit visibility masks
+    inst_opaque: Optional[jax.Array] = None,  # bool[N] force-opaque flags
 ) -> Tuple[PagedScene, int]:
     """Chunked-TLAS frame assembly. Returns (scene, root_code).
 
@@ -895,7 +920,8 @@ def assemble_scene_paged(
 
     # --- instance inverse rows + codes, gathered into chunk order ----------
     inv12, icodes = make_instance_rows(
-        instances, mats, inst_blas, blasset.root_code)   # [N,12], [N,2]
+        instances, mats, inst_blas, blasset.root_code,
+        inst_mask=inst_mask, inst_opaque=inst_opaque)    # [N,12], [N,2]
     safe = jnp.maximum(perm, 0)
     inst_rows = jnp.where(
         (perm >= 0)[:, None], inv12[safe], 0.0).reshape(nc, ch, 12)
@@ -1017,6 +1043,8 @@ def make_scene_tracer(
     animate: Optional[Callable] = None,
     image_shape=None,
     wide: bool = False,
+    inst_mask: Optional[jax.Array] = None,    # i32[N] 8-bit visibility masks
+    inst_opaque: Optional[jax.Array] = None,  # bool[N] force-opaque flags
 ):
     """Assemble this frame's acceleration structure and return a tracer.
 
@@ -1028,6 +1056,7 @@ def make_scene_tracer(
             blasset, meta, anim_rest, anim_rest_nodes, instances, inst_blas,
             masks[tlas_index], slot_materials, tri_attr,
             time=time, animate=animate,
+            inst_mask=inst_mask, inst_opaque=inst_opaque,
         )
         return PagedSceneTracer(
             scene, slot_materials, materials,
@@ -1038,6 +1067,7 @@ def make_scene_tracer(
     rt_scene, roots = assemble_scene(
         blasset, meta, anim_rest, anim_rest_nodes, instances, inst_blas,
         list(masks), tri_attr, time=time, animate=animate,
+        inst_mask=inst_mask, inst_opaque=inst_opaque,
     )
     return SceneTracer(
         rt_scene, slot_materials, materials,
@@ -1082,6 +1112,11 @@ def paged_to_flat(scene: PagedScene) -> Tuple[RTScene, Callable]:
         return c2
 
     flat_codes = remap(blocks_i)
+    # instance record words (rows CH-1..2CH-2, col 1) are NOT codes — they
+    # pack [mask:8 | opaque:1 | id:23] (make_instance_rows), and remap would
+    # misread the mask bits as type/locality flags; restore them verbatim
+    flat_codes = flat_codes.at[:, CHUNK - 1 : 2 * CHUNK - 1, 1].set(
+        blocks_i[:, CHUNK - 1 : 2 * CHUNK - 1, 1])
     # static rows may themselves hold CHUNK codes (root region)
     def remap_static(c):
         typ = (c >> _TYPE_SHIFT) & 3
@@ -1190,6 +1225,7 @@ def trace_scene(
     any_hit: bool = False,
     active: Optional[jax.Array] = None,
     alpha_test=None,     # fn(prim i32[R,K], slot i32[R,K], inst i32[R], u, v) -> bool[R,K]
+    cull_mask: int = 0xFF,   # per-trace 8-bit cull mask (traceRayEXT param)
 ) -> HitRecord2:
     """Unified two-level traversal (replaces vkCmdTraceRaysKHR's driver
     TLAS->BLAS walk, RayTrace.cpp:34-95). Lockstep over rays: each step pops
@@ -1258,8 +1294,11 @@ def trace_scene(
              for i in range(3)], axis=-1)
         o_obj = jnp.where(is_inst[:, None], o2, o_obj)
         d_obj = jnp.where(is_inst[:, None], d2, d_obj)
-        cur_inst = jnp.where(is_inst, cpair[:, 1], cur_inst)
+        cur_inst = jnp.where(is_inst, cpair[:, 1], cur_inst)  # record word
         rootc = cpair[:, 0]
+        # 8-bit visibility: skip instances whose mask misses the ray's cull
+        # mask (VkAccelerationStructureInstanceKHR.mask semantics)
+        mask_ok = ((cpair[:, 1] >> 24) & cull_mask) != 0
 
         def push(sp, stack, val, do):
             sel = (cols == sp[:, None]) & do[:, None]
@@ -1267,7 +1306,7 @@ def trace_scene(
             sp = jnp.where(do, sp + 1, sp)
             return sp, stack
 
-        sp, stack = push(sp, stack, rootc, is_inst)
+        sp, stack = push(sp, stack, rootc, is_inst & mask_ok)
 
         # ---- box row: slab-test both children in the row's space ----------
         use_obj = (obj == 1) & is_box
@@ -1304,8 +1343,13 @@ def trace_scene(
             tri[..., 0:3], tri[..., 3:6], tri[..., 6:9], t_min=t_min,
         )
         cand = is_leaf[:, None] & hit & (prim_tag >= 0) & (t < best_t[:, None])
+        inst_id = cur_inst & INST_ID_MASK
         if alpha_test is not None:
-            cand &= alpha_test(jnp.maximum(prim, 0), slot, cur_inst, u, v)
+            # force-opaque instances skip the any-hit test entirely
+            # (VK_GEOMETRY_INSTANCE_FORCE_OPAQUE_BIT semantics)
+            opq = (cur_inst & INST_OPAQUE_BIT) != 0
+            cand &= (alpha_test(jnp.maximum(prim, 0), slot, inst_id, u, v)
+                     | opq[:, None])
         t_m = jnp.where(cand, t, jnp.inf)
         best_k = jnp.argmin(t_m, axis=1)
         sel = jax.lax.broadcasted_iota(jnp.int32, (r, K), 1) == best_k[:, None]
@@ -1316,7 +1360,7 @@ def trace_scene(
         v_new = jnp.sum(jnp.where(sel, v, 0.0), axis=1)
         best_t = jnp.where(any_win, t_new, best_t)
         best_prim = jnp.where(any_win, prim_new, best_prim)
-        best_inst = jnp.where(any_win, cur_inst, best_inst)
+        best_inst = jnp.where(any_win, inst_id, best_inst)
         best_bary = jnp.where(
             any_win[:, None], jnp.stack([u_new, v_new], axis=-1), best_bary)
         if any_hit:
@@ -1420,7 +1464,8 @@ class SceneTracer:
 
         return traversal_step_bound(self.scene, self.slot_materials.shape[0])
 
-    def trace(self, o, d, t_max, *, any_hit=False, active=None, use_alpha=False):
+    def trace(self, o, d, t_max, *, any_hit=False, active=None,
+              use_alpha=False, cull_mask: int = 0xFF):
         alpha = self._alpha_test() if use_alpha else None
         if self.use_pallas and alpha is None:
             from .trace_kernel import (
@@ -1435,15 +1480,17 @@ class SceneTracer:
                     any_hit=any_hit, active=active,
                     max_steps=self._step_bound(),
                     image_shape=self._image_shape(o.shape[0]),
-                    wide=self.wide,
+                    wide=self.wide, cull_mask=cull_mask,
                 )
         return trace_scene(
             self.scene, o, d, t_max,
             root_code=self.root_code, stack_size=self.stack_size,
             any_hit=any_hit, active=active, alpha_test=alpha,
+            cull_mask=cull_mask,
         )
 
-    def trace_resolve(self, o, d, t_max, *, active=None, use_alpha=False):
+    def trace_resolve(self, o, d, t_max, *, active=None, use_alpha=False,
+                      cull_mask: int = 0xFF):
         """Closest hit + attribute resolve in one step -> SurfaceHits.
 
         On TPU, the fused Pallas kernel interpolates uv/normal and looks up
@@ -1467,7 +1514,7 @@ class SceneTracer:
                     shading_model=(self.materials.shading_model
                                    if alpha_needed else None),
                     image_shape=self._image_shape(o.shape[0]),
-                    wide=self.wide,
+                    wide=self.wide, cull_mask=cull_mask,
                 )
                 hit = out["prim"] >= 0
                 t = jnp.where(hit, out["t"], 0.0)
@@ -1484,7 +1531,8 @@ class SceneTracer:
                     valid=hit,
                     t=out["t"],
                 )
-        rec = self.trace(o, d, t_max, active=active, use_alpha=use_alpha)
+        rec = self.trace(o, d, t_max, active=active, use_alpha=use_alpha,
+                         cull_mask=cull_mask)
         return self.resolve(rec, o, d)
 
     def resolve(self, rec: HitRecord2, ray_o, ray_d):
@@ -1573,10 +1621,12 @@ class PagedSceneTracer:
         self.stack_size = stack_size
         self.leaf_cutout = leaf_cutout
         self.use_pallas = use_pallas
-        # accepted for protocol parity with SceneTracer but UNSUPPORTED:
-        # the paged kernels page one chunk at a time, and a grandchild step
-        # would read child rows that may live in a not-yet-resident chunk
-        self.wide = False
+        # 4-wide grandchild box steps (round-4: _wide_box_step_paged reads
+        # grandchild rows from the table the CHILD's locality bit names, so
+        # the not-yet-resident-chunk hazard that kept round 3 binary is
+        # gone: chunk codes are non-box children and are never dereferenced
+        # before their own pop runs the DMA)
+        self.wide = wide
         self.image_shape = tuple(image_shape) if image_shape else None
         self._flat = None
 
@@ -1606,15 +1656,20 @@ class PagedSceneTracer:
         n = self.slot_materials.shape[0]
         return min(2**31 - 2, 2 * n * (nl + 2) + nn + 64)
 
+    def _eff_stack(self) -> int:
+        # wide steps push up to 3 net entries per pop over half the depth
+        return ((self.stack_size * 3) // 2 + 2 if self.wide
+                else self.stack_size)
+
     def trace(self, o, d, t_max, *, any_hit=False, active=None,
-              use_alpha=False):
+              use_alpha=False, cull_mask: int = 0xFF):
         alpha = use_alpha and self.leaf_cutout
         if self.use_pallas and not alpha:
             from .trace_paged import (
                 _STACK, paged_traversal_ok, trace_scene_pallas_paged,
             )
 
-            if (self.stack_size <= _STACK
+            if (self._eff_stack() <= _STACK
                     and paged_traversal_ok(self.scene, o.shape[0])):
                 return trace_scene_pallas_paged(
                     self.scene, o, d, t_max,
@@ -1622,18 +1677,21 @@ class PagedSceneTracer:
                     any_hit=any_hit, active=active,
                     max_steps=self._step_bound(),
                     image_shape=self._image_shape(o.shape[0]),
+                    wide=self.wide, cull_mask=cull_mask,
                 )
         return self._flat_tracer().trace(
-            o, d, t_max, any_hit=any_hit, active=active, use_alpha=use_alpha)
+            o, d, t_max, any_hit=any_hit, active=active, use_alpha=use_alpha,
+            cull_mask=cull_mask)
 
-    def trace_resolve(self, o, d, t_max, *, active=None, use_alpha=False):
+    def trace_resolve(self, o, d, t_max, *, active=None, use_alpha=False,
+                      cull_mask: int = 0xFF):
         alpha_needed = use_alpha and self.leaf_cutout
         if self.use_pallas:
             from .trace_paged import (
                 _STACK, paged_resolve_ok, trace_resolve_scene_pallas_paged,
             )
 
-            if (self.stack_size <= _STACK
+            if (self._eff_stack() <= _STACK
                     and paged_resolve_ok(self.scene, o.shape[0])):
                 from .trace import SurfaceHits
 
@@ -1646,6 +1704,7 @@ class PagedSceneTracer:
                     shading_model=(self.materials.shading_model
                                    if alpha_needed else None),
                     image_shape=self._image_shape(o.shape[0]),
+                    wide=self.wide, cull_mask=cull_mask,
                 )
                 hit = out["prim"] >= 0
                 t = jnp.where(hit, out["t"], 0.0)
@@ -1663,7 +1722,8 @@ class PagedSceneTracer:
                     t=out["t"],
                 )
         return self._flat_tracer().trace_resolve(
-            o, d, t_max, active=active, use_alpha=use_alpha)
+            o, d, t_max, active=active, use_alpha=use_alpha,
+            cull_mask=cull_mask)
 
     def resolve(self, rec: HitRecord2, ray_o, ray_d):
         return self._flat_tracer().resolve(rec, ray_o, ray_d)

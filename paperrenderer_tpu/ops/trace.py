@@ -49,6 +49,14 @@ class RTParams:
     ao_samples: int = 1
     ao_radius: float = 2.0
     leaf_cutout: bool = False  # any-hit alpha cutout for SHADE_LEAF materials
+    # per-trace 8-bit cull masks tested against each instance's visibility
+    # mask (the traceRayEXT cullMask parameter, raytrace.rgen:33; instance
+    # masks come from AccelerationStructureInstanceData.mask,
+    # RayTrace.h:19-35). ``cull_mask`` applies to primary/reflection/AO
+    # rays; ``shadow_cull_mask`` to shadow rays (e.g. exclude non-shadow-
+    # casting geometry classes).
+    cull_mask: int = 0xFF
+    shadow_cull_mask: int = 0xFF
     # trace reflections for every other column and reconstruct by neighbor
     # averaging — a TPU perf option (reflections are ~70% of the RT frame;
     # secondary packets are incoherent), NOT reference parity. Off = the
@@ -271,7 +279,10 @@ class BatchTracer:
         self.textures = textures
 
     def trace(self, o, d, t_max, *, any_hit=False, active=None,
-              use_alpha=False):
+              use_alpha=False, cull_mask: int = 0xFF):
+        # cull_mask accepted for protocol parity with SceneTracer; the
+        # legacy world-batch structure has no instance records to mask
+        # (triangles are pre-transformed), so it is a no-op here
         alpha = (
             make_leaf_alpha_test(self.batch, self.materials)
             if (use_alpha and self.leaf_cutout and self.materials is not None)
@@ -287,8 +298,10 @@ class BatchTracer:
     def resolve(self, rec: HitRecord, o, d) -> SurfaceHits:
         return resolve_hits(self.batch, rec, o, d)
 
-    def trace_resolve(self, o, d, t_max, *, active=None, use_alpha=False):
-        rec = self.trace(o, d, t_max, active=active, use_alpha=use_alpha)
+    def trace_resolve(self, o, d, t_max, *, active=None, use_alpha=False,
+                      cull_mask: int = 0xFF):
+        rec = self.trace(o, d, t_max, active=active, use_alpha=use_alpha,
+                         cull_mask=cull_mask)
         return self.resolve(rec, o, d)
 
 
@@ -298,6 +311,7 @@ def shadow_visibility(
     lights: Lights,
     key: jax.Array,
     samples: int,
+    cull_mask: int = 0xFF,
 ) -> jax.Array:
     """Per-light soft-shadow visibility in [0,1], f32[L, R].
 
@@ -353,6 +367,7 @@ def shadow_visibility(
             sdir = jnp.where(lights.radius[li] > 0.0, sdir, ldir)
             rec = ctx.trace(
                 origin, sdir, dist, any_hit=True, active=active,
+                cull_mask=cull_mask,
             )
             unshadowed += jnp.where(rec.hit, 0.0, 1.0)
         v = unshadowed / n_s
@@ -368,6 +383,7 @@ def ambient_occlusion(
     key: jax.Array,
     samples: int,
     radius: float,
+    cull_mask: int = 0xFF,
 ) -> jax.Array:
     """RTAO factor in [0,1] (raytrace.rchit:175-219): cosine-hemisphere rays,
     occlusion weighted by 1 - t/radius, scaled by mix(1, roughness, metallic).
@@ -388,10 +404,12 @@ def ambient_occlusion(
             # trace_resolve so SceneTracer's packet kernel handles the leaf
             # any-hit cutout in-kernel (only .valid/.t are consumed)
             s2 = ctx.trace_resolve(o, d, jnp.full((r,), radius),
-                                   active=surf.valid, use_alpha=True)
+                                   active=surf.valid, use_alpha=True,
+                                   cull_mask=cull_mask)
             hit2, t2 = s2.valid, s2.t
         else:
-            rec = ctx.trace(o, d, jnp.full((r,), radius), active=surf.valid)
+            rec = ctx.trace(o, d, jnp.full((r,), radius), active=surf.valid,
+                            cull_mask=cull_mask)
             hit2, t2 = rec.hit, rec.t
         occ += jnp.where(hit2,
                          1.0 - jnp.minimum(t2, radius) / radius, 0.0)
@@ -489,15 +507,18 @@ def reflections(
         o = surf.world_pos + surf.normal * 1e-3
         hit2 = ctx.trace_resolve(o, rdir, jnp.full((r,), 1000.0),
                                  active=surf.valid,
-                                 use_alpha=params.leaf_cutout)
+                                 use_alpha=params.leaf_cutout,
+                                 cull_mask=params.cull_mask)
 
         svis = shadow_visibility(
             surf=hit2, ctx=ctx, lights=lights,
             key=jax.random.fold_in(k, 1), samples=max(1, params.shadow_samples),
+            cull_mask=params.shadow_cull_mask,
         )
         ao2 = ambient_occlusion(
             hit2, ctx, materials,
             jax.random.fold_in(k, 2), params.ao_samples, params.ao_radius,
+            cull_mask=params.cull_mask,
         )
         color2 = shade_surfaces(hit2, materials, lights, surf.world_pos,
                                 svis, ao2, getattr(ctx, "textures", None))
@@ -573,11 +594,15 @@ def trace_frame(
     )
     r = o.shape[0]
     surf = ctx.trace_resolve(o, d, jnp.full((r,), 1000.0),
-                             use_alpha=params.leaf_cutout)
+                             use_alpha=params.leaf_cutout,
+                             cull_mask=params.cull_mask)
 
-    svis = shadow_visibility(surf, ctx, lights, key, max(1, params.shadow_samples))
+    svis = shadow_visibility(surf, ctx, lights, key,
+                             max(1, params.shadow_samples),
+                             cull_mask=params.shadow_cull_mask)
     ao = ambient_occlusion(
         surf, ctx, materials, key, params.ao_samples, params.ao_radius,
+        cull_mask=params.cull_mask,
     )
     color = shade_surfaces(surf, materials, lights, camera.cam_pos, svis, ao,
                            getattr(ctx, "textures", None))

@@ -35,7 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .accel import (
-    _PAYLOAD_MASK, _POS, _TYPE_SHIFT, _UV, K,
+    _PAYLOAD_MASK, _POS, _TYPE_SHIFT, _UV, INST_ID_MASK, INST_OPAQUE_BIT, K,
     HitRecord2, RTScene, TYPE_BOX, TYPE_INST, TYPE_LEAF,
 )
 
@@ -195,15 +195,18 @@ def _wide_box_step(boxes_ref, codes_ref, flag_ref, payload, c0, c1,
         flag_ref[4 + k] = codes[e]
 
 
-def _wide_pushes(stack_ref, flag_ref, sp, is_box, is_inst, c0, S):
+def _wide_pushes(stack_ref, flag_ref, sp, is_box, is_inst, c0, S,
+                 inst_ok=None):
     """The 4 conditional pushes reported by ``_wide_box_step`` (instance
-    pops push their BLAS root as the single first entry)."""
+    pops push their BLAS root as the single first entry; ``inst_ok`` gates
+    that push on the instance's 8-bit visibility mask)."""
     box_i = is_box.astype(jnp.int32)
     for k in range(4):
         pf = flag_ref[k] * box_i
         pv = flag_ref[4 + k]
         if k == 0:
-            pf = jnp.where(is_inst, 1, pf)
+            ok = jnp.int32(1) if inst_ok is None else inst_ok
+            pf = jnp.where(is_inst, ok, pf)
             pv = jnp.where(is_inst, c0, pv)
         stack_ref[jnp.where(pf == 1, jnp.minimum(sp, S - 1), S)] = pv
         sp = sp + pf
@@ -212,7 +215,7 @@ def _wide_pushes(stack_ref, flag_ref, sp, is_box, is_inst, c0, S):
 
 def _make_kernel(root_code: int, max_steps: int, any_hit: bool,
                  debug_steps: bool = False, image_mode: bool = False,
-                 wide: bool = False):
+                 wide: bool = False, cull_mask: int = 0xFF):
     """Packet kernel. Vector state (best hit planes, object-space ray) lives
     in VMEM scratch refs mutated under ``pl.when`` — real branches with no
     state yields, so a step costs only its own branch's work. The while carry
@@ -283,6 +286,9 @@ def _make_kernel(root_code: int, max_steps: int, any_hit: bool,
             is_inst = typ == TYPE_INST
             c0 = codes_ref[payload * 2]
             c1 = codes_ref[payload * 2 + 1]
+            # instance record word c1 = [mask:8 | opaque:1 | id:23]; the
+            # BLAS-root push is gated on mask & cull_mask (RayTrace.h:19-35)
+            inst_ok = (((c1 >> 24) & cull_mask) != 0).astype(jnp.int32)
 
             @pl.when(is_box)
             def _box():
@@ -366,7 +372,7 @@ def _make_kernel(root_code: int, max_steps: int, any_hit: bool,
                 best_u = best_ref[3]
                 best_v = best_ref[4]
                 best_inst = pltpu.bitcast(best_ref[2], jnp.int32)
-                cur_inst = flag_ref[FI]
+                cur_inst = flag_ref[FI] & INST_ID_MASK
                 for k in range(K):
                     tb = b + k * 9
                     # leaf rows store (a, e1, e2) — edges read directly
@@ -429,7 +435,7 @@ def _make_kernel(root_code: int, max_steps: int, any_hit: bool,
             # functional pushes from the branch-reported scalars
             if wide:
                 sp = _wide_pushes(stack_ref, flag_ref, sp, is_box, is_inst,
-                                  c0, S)
+                                  c0, S, inst_ok)
             else:
                 box_i = is_box.astype(jnp.int32)
                 any0 = flag_ref[0] * box_i
@@ -439,8 +445,9 @@ def _make_kernel(root_code: int, max_steps: int, any_hit: bool,
                 far_c = jnp.where(first0 == 1, c1, c0)
                 near_ok = jnp.where(first0 == 1, any0, any1)
                 far_ok = jnp.where(first0 == 1, any1, any0)
-                # instance pop pushes its BLAS root (c0); box: far then near
-                p1 = jnp.where(is_inst, 1, far_ok)
+                # instance pop pushes its BLAS root (c0) if mask-visible;
+                # box: far then near
+                p1 = jnp.where(is_inst, inst_ok, far_ok)
                 p1_val = jnp.where(is_inst, c0, far_c)
                 stack_ref[
                     jnp.where(p1 == 1, jnp.minimum(sp, S - 1), S)] = p1_val
@@ -477,7 +484,7 @@ def _make_kernel(root_code: int, max_steps: int, any_hit: bool,
 def _make_resolve_kernel(root_code: int, max_steps: int, n_slots: int,
                          n_inst: int, alpha_test: bool = False,
                          n_mats: int = 1, image_mode: bool = False,
-                         wide: bool = False):
+                         wide: bool = False, cull_mask: int = 0xFF):
     """Fused trace+resolve packet kernel.
 
     Identical traversal to _make_kernel, but hit attributes are interpolated
@@ -552,6 +559,8 @@ def _make_resolve_kernel(root_code: int, max_steps: int, n_slots: int,
             is_inst = typ == TYPE_INST
             c0 = codes_ref[payload * 2]
             c1 = codes_ref[payload * 2 + 1]
+            # instance record word c1 = [mask:8 | opaque:1 | id:23]
+            inst_ok = (((c1 >> 24) & cull_mask) != 0).astype(jnp.int32)
 
             @pl.when(is_box)
             def _box():
@@ -641,7 +650,8 @@ def _make_resolve_kernel(root_code: int, max_steps: int, n_slots: int,
                 best_ny = best_ref[6]
                 best_nz = best_ref[7]
                 best_mat = pltpu.bitcast(best_ref[8], jnp.int32)
-                cur_inst = flag_ref[FI]
+                cur_raw = flag_ref[FI]
+                cur_inst = cur_raw & INST_ID_MASK
                 m = [minv_ref[k] for k in range(12)]
                 for k in range(K):
                     tb = b + k * 9
@@ -700,7 +710,9 @@ def _make_resolve_kernel(root_code: int, max_steps: int, n_slots: int,
                     if alpha_test:
                         # leaf cutout (leaf.glsl getAlpha): lens around
                         # v=0.5 with parabolic half-width in u — needs REAL
-                        # uv, so the cutout pays one divide per candidate
+                        # uv, so the cutout pays one divide per candidate.
+                        # Force-opaque instances (record bit 23) skip it
+                        # (VK_GEOMETRY_INSTANCE_FORCE_OPAQUE parity).
                         inv_a = 1.0 / jnp.where(ok, adet, 1.0)
                         ruvx = uvx * inv_a
                         ruvy = uvy * inv_a
@@ -709,7 +721,9 @@ def _make_resolve_kernel(root_code: int, max_steps: int, n_slots: int,
                             == _SHADE_LEAF)
                         curve = (1.0 - (1.0 - 2.0 * ruvx) ** 2) * 0.2
                         leaf_ok = jnp.abs(ruvy - 0.5) < curve
-                        hit = hit & (jnp.logical_not(is_leaf) | leaf_ok)
+                        forced = (cur_raw & INST_OPAQUE_BIT) != 0
+                        hit = hit & (jnp.logical_not(is_leaf) | leaf_ok
+                                     | forced)
                     best_prim = jnp.where(hit, ptag & 0x00FFFFFF, best_prim)
                     best_inst = jnp.where(hit, cur_inst, best_inst)
                     best_uvx = jnp.where(hit, uvx, best_uvx)
@@ -735,7 +749,7 @@ def _make_resolve_kernel(root_code: int, max_steps: int, n_slots: int,
 
             if wide:
                 sp = _wide_pushes(stack_ref, flag_ref, sp, is_box, is_inst,
-                                  c0, S)
+                                  c0, S, inst_ok)
             else:
                 box_i = is_box.astype(jnp.int32)
                 any0 = flag_ref[0] * box_i
@@ -745,7 +759,7 @@ def _make_resolve_kernel(root_code: int, max_steps: int, n_slots: int,
                 far_c = jnp.where(first0 == 1, c1, c0)
                 near_ok = jnp.where(first0 == 1, any0, any1)
                 far_ok = jnp.where(first0 == 1, any1, any0)
-                p1 = jnp.where(is_inst, 1, far_ok)
+                p1 = jnp.where(is_inst, inst_ok, far_ok)
                 p1_val = jnp.where(is_inst, c0, far_c)
                 stack_ref[
                     jnp.where(p1 == 1, jnp.minimum(sp, S - 1), S)] = p1_val
@@ -833,7 +847,7 @@ def _pack_rays(ray_o, ray_d, t_cap, image_shape):
 @partial(
     jax.jit,
     static_argnames=("root_code", "stack_size", "max_steps", "image_shape",
-                     "wide"),
+                     "wide", "cull_mask"),
 )
 def trace_resolve_scene_pallas(
     scene: RTScene,
@@ -849,6 +863,7 @@ def trace_resolve_scene_pallas(
     shading_model: Optional[jax.Array] = None,  # i32[M]: enables leaf cutout
     image_shape: Optional[Tuple[int, int]] = None,
     wide: bool = False,
+    cull_mask: int = 0xFF,
 ):
     """Fused closest-hit + attribute resolve. Returns a dict of flat arrays:
     t, prim, inst, uv f32[R, 2], normal f32[R, 3] (unnormalized world),
@@ -883,7 +898,8 @@ def trace_resolve_scene_pallas(
     n_mats = shading_model.shape[0] if alpha_test else 1
     kernel = _make_resolve_kernel(root_code, max_steps, n_slots, n_inst,
                                   alpha_test=alpha_test, n_mats=n_mats,
-                                  image_mode=image_mode, wide=wide)
+                                  image_mode=image_mode, wide=wide,
+                                  cull_mask=cull_mask)
 
     smem = lambda n: pl.BlockSpec(
         (n,), lambda i: (0,), memory_space=pltpu.SMEM)
@@ -940,7 +956,7 @@ def trace_resolve_scene_pallas(
 @partial(
     jax.jit,
     static_argnames=("root_code", "stack_size", "any_hit", "debug_steps",
-                     "max_steps", "image_shape", "wide"),
+                     "max_steps", "image_shape", "wide", "cull_mask"),
 )
 def trace_scene_pallas(
     scene: RTScene,
@@ -956,6 +972,7 @@ def trace_scene_pallas(
     debug_steps: bool = False,
     image_shape: Optional[Tuple[int, int]] = None,
     wide: bool = False,
+    cull_mask: int = 0xFF,
 ) -> HitRecord2:
     """Packet-traversal front end: rays run in their given order (pixel-major
     wavefronts are already strip-coherent — see ordering note above), or as
@@ -984,7 +1001,7 @@ def trace_scene_pallas(
 
     kernel = _make_kernel(root_code, max_steps, any_hit,
                           debug_steps=debug_steps, image_mode=image_mode,
-                          wide=wide)
+                          wide=wide, cull_mask=cull_mask)
 
     smem = lambda n: pl.BlockSpec(
         (n,), lambda i: (0,), memory_space=pltpu.SMEM)

@@ -32,7 +32,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .accel import (
-    _PAYLOAD_MASK_P, _POS, _TYPE_SHIFT, _UV, BROWS, CHUNK, K, LOCAL_FLAG,
+    _PAYLOAD_MASK_P, _POS, _TYPE_SHIFT, _UV, BROWS, CHUNK,
+    INST_ID_MASK, INST_OPAQUE_BIT, K, LOCAL_FLAG,
     TYPE_BOX, TYPE_CHUNK, TYPE_INST, TYPE_LEAF,
     HitRecord2, PagedScene, smat_block,
 )
@@ -50,6 +51,100 @@ _SMEM_BUDGET = 620 * 1024
 
 # test hook: run in the Pallas interpreter (CPU tests)
 INTERPRET = False
+
+
+def _wide_box_step_paged(sb_ref, sc_ref, cb, cc, flag_ref, payload, local,
+                         c0, c1, px, py, pz, ix, iy, iz, best_t, ns):
+    """4-wide grandchild box step for the paged kernel (port of
+    trace_kernel._wide_box_step with per-row LOCALITY selection).
+
+    Safe against the 'not-yet-resident chunk' hazard that kept the paged
+    tracer binary (round-3 accel.PagedSceneTracer comment): a box-typed
+    child's row lives where the CHILD's local bit says — static children
+    of the root tree are static rows, chunk-interior children are rows of
+    the CURRENT chunk block (LIFO-resident), and TYPE_CHUNK / TYPE_INST /
+    TYPE_LEAF children are non-box, so their rows are never dereferenced
+    here (the chunk DMA happens at the chunk code's own pop, exactly as in
+    the binary step)."""
+    inf = jnp.float32(3e38)
+
+    def slab(loc, bl, bg):
+        def ld(o):
+            return jnp.where(loc, cb[bl + o], sb_ref[bg + o])
+
+        lx, ly, lz = ld(0), ld(1), ld(2)
+        hx, hy, hz = ld(3), ld(4), ld(5)
+        tx0 = (lx - px) * ix
+        tx1 = (hx - px) * ix
+        ty0 = (ly - py) * iy
+        ty1 = (hy - py) * iy
+        tz0 = (lz - pz) * iz
+        tz1 = (hz - pz) * iz
+        tn = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.minimum(tz0, tz1))
+        tf = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.maximum(tz0, tz1))
+        hit = (tf >= jnp.maximum(tn, 0.0)) & (tn <= best_t) & (lx <= hx)
+        return jnp.min(jnp.where(hit, tn, inf))
+
+    par_l = jnp.clip(payload, 0, BROWS - 1) * 12
+    par_g = jnp.clip(payload, 0, ns - 1) * 12
+    keys = []
+    codes = []
+    for side, cs in ((0, c0), (1, c1)):
+        is_b = ((cs >> _TYPE_SHIFT) & 3) == TYPE_BOX
+        cl = ((cs >> 27) & 1) == 1           # CHILD row locality
+        gp = jnp.where(is_b, cs & _PAYLOAD_MASK_P, 0)
+        gl = jnp.clip(gp, 0, BROWS - 1)
+        gg = jnp.clip(gp, 0, ns - 1)
+        # box child -> its two grandchildren rows (child's table); other ->
+        # the child itself with the box stored in the popped row's side
+        keys.append(slab(
+            jnp.where(is_b, cl, local),
+            jnp.where(is_b, gl * 12, par_l + side * 6),
+            jnp.where(is_b, gg * 12, par_g + side * 6)))
+        codes.append(jnp.where(
+            is_b, jnp.where(cl, cc[gl * 2], sc_ref[gg * 2]), cs))
+        k1 = slab(cl, gl * 12 + 6, gg * 12 + 6)
+        keys.append(jnp.where(is_b, k1, inf))
+        codes.append(jnp.where(cl, cc[gl * 2 + 1], sc_ref[gg * 2 + 1]))
+
+    for i, j in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
+        a, b = keys[i], keys[j]
+        ca, cb_ = codes[i], codes[j]
+        sw = a > b
+        keys[i] = jnp.where(sw, b, a)
+        keys[j] = jnp.where(sw, a, b)
+        codes[i] = jnp.where(sw, cb_, ca)
+        codes[j] = jnp.where(sw, ca, cb_)
+
+    # push order: farthest (largest finite key) first
+    for k in range(4):
+        e = 3 - k
+        flag_ref[k] = (keys[e] < inf).astype(jnp.int32)
+        flag_ref[4 + k] = codes[e]
+
+
+def _wide_pushes_paged(stack_ref, flag_ref, sp, is_box, is_inst, is_chunk,
+                       c0, S, inst_ok=None):
+    """The 4 conditional pushes reported by ``_wide_box_step_paged``
+    (instance pops push their BLAS root — gated on the instance's 8-bit
+    visibility mask via ``inst_ok`` — and chunk pops the chunk-local
+    root)."""
+    box_i = is_box.astype(jnp.int32)
+    for k in range(4):
+        pf = flag_ref[k] * box_i
+        pv = flag_ref[4 + k]
+        if k == 0:
+            ok = jnp.int32(1) if inst_ok is None else inst_ok
+            pf = jnp.where(is_chunk, 1, jnp.where(is_inst, ok, pf))
+            pv = jnp.where(is_chunk, jnp.int32(_LOCAL_ROOT),
+                           jnp.where(is_inst, c0, pv))
+        stack_ref[jnp.where(pf == 1, jnp.minimum(sp, S - 1), S)] = pv
+        sp = sp + pf
+    return sp
 
 
 def paged_traversal_ok(scene: PagedScene, n_rays: int) -> bool:
@@ -84,13 +179,18 @@ def _split_static(scene: PagedScene):
 
 
 def _make_kernel_paged(root_code: int, max_steps: int, any_hit: bool,
-                       image_mode: bool = False):
+                       image_mode: bool = False, wide: bool = False,
+                       debug_steps: bool = False, cull_mask: int = 0xFF):
     """Paged closest/any-hit packet kernel (mirror of trace_kernel._make_kernel
-    with the chunk-DMA branch and dual-space row loads)."""
+    with the chunk-DMA branch and dual-space row loads). ``wide`` swaps in
+    the 4-wide grandchild box step (locality-aware — see
+    _wide_box_step_paged)."""
     from .trace_kernel import _io_helpers
 
     S = _STACK
     rd, stv = _io_helpers(image_mode)
+    FI = 8 if wide else 3    # flag slot: current instance id
+    FH = 9 if wide else 4    # flag slot: all-rays-hit (any-hit early exit)
 
     def kernel(sb_ref, sc_ref, lpos_ref, lprim_ref,
                cbox_hbm, ccode_hbm,
@@ -118,8 +218,8 @@ def _make_kernel_paged(root_code: int, max_steps: int, any_hit: bool,
         best_ref[6] = jnp.ones((8, 128), jnp.float32)
         for i, v in enumerate((wox, woy, woz, wdx, wdy, wdz, wix, wiy, wiz)):
             obj_ref[i] = v
-        flag_ref[3] = jnp.int32(0)    # cur_inst
-        flag_ref[4] = jnp.int32(0)    # all-hit (any_hit early exit)
+        flag_ref[FI] = jnp.int32(0)   # cur_inst
+        flag_ref[FH] = jnp.int32(0)   # all-hit (any_hit early exit)
 
         ns = sb_ref.shape[0] // 12
         # SMEM scalar stack (see trace_kernel._make_kernel): slot S = trash
@@ -146,6 +246,8 @@ def _make_kernel_paged(root_code: int, max_steps: int, any_hit: bool,
             lp = jnp.clip(payload, 0, BROWS - 1)
             c0 = jnp.where(local, cc[lp * 2], sc_ref[gp * 2])
             c1 = jnp.where(local, cc[lp * 2 + 1], sc_ref[gp * 2 + 1])
+            # instance record word c1 = [mask:8 | opaque:1 | id:23]
+            inst_ok = (((c1 >> 24) & cull_mask) != 0).astype(jnp.int32)
 
             @pl.when(is_chunk)
             def _chunk():
@@ -171,6 +273,11 @@ def _make_kernel_paged(root_code: int, max_steps: int, any_hit: bool,
                 ix = jnp.where(obj, obj_ref[6], wix)
                 iy = jnp.where(obj, obj_ref[7], wiy)
                 iz = jnp.where(obj, obj_ref[8], wiz)
+                if wide:
+                    _wide_box_step_paged(
+                        sb_ref, sc_ref, cb, cc, flag_ref, payload, local,
+                        c0, c1, px, py, pz, ix, iy, iz, best_t, ns)
+                    return
 
                 gb = gp * 12
                 lb = lp * 12
@@ -232,7 +339,7 @@ def _make_kernel_paged(root_code: int, max_steps: int, any_hit: bool,
                 obj_ref[6] = safe_inv(odx)
                 obj_ref[7] = safe_inv(ody)
                 obj_ref[8] = safe_inv(odz)
-                flag_ref[3] = c1    # global instance slot id
+                flag_ref[FI] = c1    # global instance slot id
 
             @pl.when(is_leaf)
             def _leaf():
@@ -246,7 +353,7 @@ def _make_kernel_paged(root_code: int, max_steps: int, any_hit: bool,
                 best_u = best_ref[3]
                 best_v = best_ref[4]
                 best_inst = pltpu.bitcast(best_ref[2], jnp.int32)
-                cur_inst = flag_ref[3]
+                cur_inst = flag_ref[FI] & INST_ID_MASK
                 for k in range(K):
                     tb = b + k * 9
                     # leaf rows store (a, e1, e2) — edges read directly
@@ -295,32 +402,39 @@ def _make_kernel_paged(root_code: int, max_steps: int, any_hit: bool,
                     # committed rays stop contributing to box tests entirely
                     best_ref[5] = jnp.where(best_prim >= 0,
                                             jnp.float32(-3e38), best_t)
-                    flag_ref[4] = jnp.all(best_prim >= 0).astype(jnp.int32)
+                    flag_ref[FH] = jnp.all(best_prim >= 0).astype(jnp.int32)
                 else:
                     best_ref[5] = best_t
 
-            box_i = is_box.astype(jnp.int32)
-            any0 = flag_ref[0] * box_i
-            any1 = flag_ref[1] * box_i
-            first0 = flag_ref[2]
-            near_c = jnp.where(first0 == 1, c0, c1)
-            far_c = jnp.where(first0 == 1, c1, c0)
-            near_ok = jnp.where(first0 == 1, any0, any1)
-            far_ok = jnp.where(first0 == 1, any1, any0)
-            # instance pushes its BLAS root (c0); chunk pushes the chunk-
-            # local root; box pushes far then near
-            p1 = jnp.where(is_inst | is_chunk, 1, far_ok)
-            p1_val = jnp.where(is_chunk, jnp.int32(_LOCAL_ROOT),
-                               jnp.where(is_inst, c0, far_c))
-            stack_ref[jnp.where(p1 == 1, jnp.minimum(sp, S - 1), S)] = p1_val
-            sp = sp + p1
-            stack_ref[
-                jnp.where(near_ok == 1, jnp.minimum(sp, S - 1), S)] = near_c
-            sp = sp + near_ok
-            done = flag_ref[4] if any_hit else jnp.int32(0)
+            if wide:
+                sp = _wide_pushes_paged(stack_ref, flag_ref, sp, is_box,
+                                        is_inst, is_chunk, c0, S, inst_ok)
+            else:
+                box_i = is_box.astype(jnp.int32)
+                any0 = flag_ref[0] * box_i
+                any1 = flag_ref[1] * box_i
+                first0 = flag_ref[2]
+                near_c = jnp.where(first0 == 1, c0, c1)
+                far_c = jnp.where(first0 == 1, c1, c0)
+                near_ok = jnp.where(first0 == 1, any0, any1)
+                far_ok = jnp.where(first0 == 1, any1, any0)
+                # instance pushes its BLAS root (c0) if mask-visible; chunk
+                # pushes the chunk-local root; box pushes far then near
+                p1 = jnp.where(is_chunk, 1,
+                               jnp.where(is_inst, inst_ok, far_ok))
+                p1_val = jnp.where(is_chunk, jnp.int32(_LOCAL_ROOT),
+                                   jnp.where(is_inst, c0, far_c))
+                stack_ref[
+                    jnp.where(p1 == 1, jnp.minimum(sp, S - 1), S)] = p1_val
+                sp = sp + p1
+                stack_ref[
+                    jnp.where(near_ok == 1, jnp.minimum(sp, S - 1), S)
+                ] = near_c
+                sp = sp + near_ok
+            done = flag_ref[FH] if any_hit else jnp.int32(0)
             return step + 1, sp, done
 
-        jax.lax.while_loop(
+        fin = jax.lax.while_loop(
             cond, body, (jnp.int32(0), jnp.int32(1), jnp.int32(0)))
 
         # the winner is carried as (numerator, |det|) — divide ONCE per ray
@@ -332,7 +446,11 @@ def _make_kernel_paged(root_code: int, max_steps: int, any_hit: bool,
         stv(t_out, jnp.where(miss, jnp.float32(jnp.inf), best_t))
         stv(prim_out, best_prim)
         stv(inst_out, jnp.where(miss, -1, best_inst))
-        stv(u_out, best_ref[3] * inv_den)
+        if debug_steps:
+            stv(u_out,
+                jnp.full((8, 128), fin[0], jnp.int32).astype(jnp.float32))
+        else:
+            stv(u_out, best_ref[3] * inv_den)
         stv(v_out, best_ref[4] * inv_den)
 
     return kernel
@@ -340,7 +458,8 @@ def _make_kernel_paged(root_code: int, max_steps: int, any_hit: bool,
 
 def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
                                alpha_test: bool = False, n_mats: int = 1,
-                               image_mode: bool = False):
+                               image_mode: bool = False, wide: bool = False,
+                               cull_mask: int = 0xFF):
     """Paged fused trace+resolve kernel (mirror of
     trace_kernel._make_resolve_kernel). Hit attributes interpolate at hit
     time from SMEM leaf tables; the material id comes from the CURRENT
@@ -351,6 +470,8 @@ def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
     S = _STACK
     sblk = smat_block(n_slots)
     rd, stv = _io_helpers(image_mode)
+    FI = 8 if wide else 3    # flag slot: current instance id
+    FLI = 10 if wide else 5  # flag slot: current chunk-local instance k
 
     def kernel(sb_ref, sc_ref, lpos_ref, lprim_ref, luv_ref, lnrm_ref,
                cbox_hbm, ccode_hbm, csmat_hbm, *rest):
@@ -384,8 +505,8 @@ def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
         best_ref[10] = rd(tmax_ref)
         for i, v in enumerate((wox, woy, woz, wdx, wdy, wdz, wix, wiy, wiz)):
             obj_ref[i] = v
-        flag_ref[3] = jnp.int32(0)    # cur_inst (global slot)
-        flag_ref[5] = jnp.int32(0)    # cur chunk-local instance k
+        flag_ref[FI] = jnp.int32(0)   # cur_inst (global slot)
+        flag_ref[FLI] = jnp.int32(0)  # cur chunk-local instance k
         for i in range(12):
             minv_ref[i] = jnp.float32(1.0 if i in (0, 5, 10) else 0.0)
 
@@ -414,6 +535,8 @@ def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
             lp = jnp.clip(payload, 0, BROWS - 1)
             c0 = jnp.where(local, cc[lp * 2], sc_ref[gp * 2])
             c1 = jnp.where(local, cc[lp * 2 + 1], sc_ref[gp * 2 + 1])
+            # instance record word c1 = [mask:8 | opaque:1 | id:23]
+            inst_ok = (((c1 >> 24) & cull_mask) != 0).astype(jnp.int32)
 
             @pl.when(is_chunk)
             def _chunk():
@@ -442,6 +565,11 @@ def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
                 ix = jnp.where(obj, obj_ref[6], wix)
                 iy = jnp.where(obj, obj_ref[7], wiy)
                 iz = jnp.where(obj, obj_ref[8], wiz)
+                if wide:
+                    _wide_box_step_paged(
+                        sb_ref, sc_ref, cb, cc, flag_ref, payload, local,
+                        c0, c1, px, py, pz, ix, iy, iz, best_t, ns)
+                    return
 
                 gb = gp * 12
                 lb = lp * 12
@@ -502,8 +630,8 @@ def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
                 obj_ref[6] = safe_inv(odx)
                 obj_ref[7] = safe_inv(ody)
                 obj_ref[8] = safe_inv(odz)
-                flag_ref[3] = c1
-                flag_ref[5] = lp - (CHUNK - 1)
+                flag_ref[FI] = c1
+                flag_ref[FLI] = lp - (CHUNK - 1)
                 for k in range(12):
                     minv_ref[k] = m[k]
 
@@ -525,8 +653,9 @@ def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
                 best_mat = pltpu.bitcast(best_ref[8], jnp.int32)
                 num_b = best_ref[0]
                 den_b = best_ref[9]
-                cur_inst = flag_ref[3]
-                cur_li = flag_ref[5]
+                cur_raw = flag_ref[FI]
+                cur_inst = cur_raw & INST_ID_MASK
+                cur_li = flag_ref[FLI]
                 m = [minv_ref[k] for k in range(12)]
                 for k in range(K):
                     tb = b + k * 9
@@ -592,7 +721,10 @@ def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
                             == _SHADE_LEAF)
                         curve = (1.0 - (1.0 - 2.0 * ruvx) ** 2) * 0.2
                         leaf_ok = jnp.abs(ruvy - 0.5) < curve
-                        hit = hit & (jnp.logical_not(is_leaf_m) | leaf_ok)
+                        # force-opaque instances skip the any-hit test
+                        forced = (cur_raw & INST_OPAQUE_BIT) != 0
+                        hit = hit & (jnp.logical_not(is_leaf_m) | leaf_ok
+                                     | forced)
                     best_prim = jnp.where(hit, ptag & 0x00FFFFFF, best_prim)
                     best_inst = jnp.where(hit, cur_inst, best_inst)
                     best_uvx = jnp.where(hit, uvx, best_uvx)
@@ -616,22 +748,29 @@ def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
                 # ONE divide per leaf step refreshes the box-test prune plane
                 best_ref[10] = num_b / den_b
 
-            box_i = is_box.astype(jnp.int32)
-            any0 = flag_ref[0] * box_i
-            any1 = flag_ref[1] * box_i
-            first0 = flag_ref[2]
-            near_c = jnp.where(first0 == 1, c0, c1)
-            far_c = jnp.where(first0 == 1, c1, c0)
-            near_ok = jnp.where(first0 == 1, any0, any1)
-            far_ok = jnp.where(first0 == 1, any1, any0)
-            p1 = jnp.where(is_inst | is_chunk, 1, far_ok)
-            p1_val = jnp.where(is_chunk, jnp.int32(_LOCAL_ROOT),
-                               jnp.where(is_inst, c0, far_c))
-            stack_ref[jnp.where(p1 == 1, jnp.minimum(sp, S - 1), S)] = p1_val
-            sp = sp + p1
-            stack_ref[
-                jnp.where(near_ok == 1, jnp.minimum(sp, S - 1), S)] = near_c
-            sp = sp + near_ok
+            if wide:
+                sp = _wide_pushes_paged(stack_ref, flag_ref, sp, is_box,
+                                        is_inst, is_chunk, c0, S, inst_ok)
+            else:
+                box_i = is_box.astype(jnp.int32)
+                any0 = flag_ref[0] * box_i
+                any1 = flag_ref[1] * box_i
+                first0 = flag_ref[2]
+                near_c = jnp.where(first0 == 1, c0, c1)
+                far_c = jnp.where(first0 == 1, c1, c0)
+                near_ok = jnp.where(first0 == 1, any0, any1)
+                far_ok = jnp.where(first0 == 1, any1, any0)
+                p1 = jnp.where(is_chunk, 1,
+                               jnp.where(is_inst, inst_ok, far_ok))
+                p1_val = jnp.where(is_chunk, jnp.int32(_LOCAL_ROOT),
+                                   jnp.where(is_inst, c0, far_c))
+                stack_ref[
+                    jnp.where(p1 == 1, jnp.minimum(sp, S - 1), S)] = p1_val
+                sp = sp + p1
+                stack_ref[
+                    jnp.where(near_ok == 1, jnp.minimum(sp, S - 1), S)
+                ] = near_c
+                sp = sp + near_ok
             return step + 1, sp
 
         jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(1)))
@@ -659,7 +798,7 @@ def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
 @partial(
     jax.jit,
     static_argnames=("root_code", "stack_size", "max_steps", "n_slots",
-                     "image_shape"),
+                     "image_shape", "wide", "cull_mask"),
 )
 def trace_resolve_scene_pallas_paged(
     scene: PagedScene,
@@ -674,6 +813,8 @@ def trace_resolve_scene_pallas_paged(
     active: Optional[jax.Array] = None,
     shading_model: Optional[jax.Array] = None,
     image_shape=None,
+    wide: bool = False,
+    cull_mask: int = 0xFF,
 ):
     """Paged fused closest-hit + attribute resolve (mirror of
     trace_resolve_scene_pallas). ``n_slots`` must match the slot_materials
@@ -692,13 +833,15 @@ def trace_resolve_scene_pallas_paged(
     sb, sc, lpos, lprim = _split_static(scene)
     luv = scene.leaf_rows[:, _UV:].reshape(-1)
     lnrm = scene.leaf_nrm.reshape(-1)
-    assert stack_size <= _STACK, "scene too deep for the packet kernel"
+    # wide steps push up to 3 net entries per pop over half the depth
+    eff_stack = (stack_size * 3) // 2 + 2 if wide else stack_size
+    assert eff_stack <= _STACK, "scene too deep for the packet kernel"
 
     alpha_test = shading_model is not None
     n_mats = shading_model.shape[0] if alpha_test else 1
     kernel = _make_resolve_kernel_paged(
         root_code, max_steps, n_slots, alpha_test=alpha_test, n_mats=n_mats,
-        image_mode=image_mode)
+        image_mode=image_mode, wide=wide, cull_mask=cull_mask)
 
     smem = lambda n: pl.BlockSpec(
         (n,), lambda i: (0,), memory_space=pltpu.SMEM)
@@ -723,7 +866,7 @@ def trace_resolve_scene_pallas_paged(
         scratch_shapes=[
             pltpu.VMEM((9, 8, 128), jnp.float32),   # object-space ray planes
             pltpu.VMEM((11, 8, 128), jnp.float32),  # best planes (+den+prune)
-            pltpu.SMEM((8,), jnp.int32),            # cross-branch scalars
+            pltpu.SMEM((12 if wide else 8,), jnp.int32),  # cross-branch
             pltpu.SMEM((12,), jnp.float32),         # current instance inverse
             pltpu.SMEM((_BF,), jnp.float32),        # chunk box scratch
             pltpu.SMEM((_CI,), jnp.int32),          # chunk code scratch
@@ -749,7 +892,7 @@ def trace_resolve_scene_pallas_paged(
 @partial(
     jax.jit,
     static_argnames=("root_code", "stack_size", "any_hit", "max_steps",
-                     "image_shape"),
+                     "image_shape", "wide", "debug_steps", "cull_mask"),
 )
 def trace_scene_pallas_paged(
     scene: PagedScene,
@@ -763,6 +906,9 @@ def trace_scene_pallas_paged(
     any_hit: bool = False,
     active: Optional[jax.Array] = None,
     image_shape=None,
+    wide: bool = False,
+    debug_steps: bool = False,
+    cull_mask: int = 0xFF,
 ) -> HitRecord2:
     """Paged packet traversal front end (mirror of trace_scene_pallas)."""
     from .trace_kernel import _pack_rays, image_mode_ok
@@ -777,10 +923,14 @@ def trace_scene_pallas_paged(
         ray_o, ray_d, t_cap, image_shape)
 
     sb, sc, lpos, lprim = _split_static(scene)
-    assert stack_size <= _STACK, "scene too deep for the packet kernel"
+    # wide steps push up to 3 net entries per pop over half the depth
+    eff_stack = (stack_size * 3) // 2 + 2 if wide else stack_size
+    assert eff_stack <= _STACK, "scene too deep for the packet kernel"
 
     kernel = _make_kernel_paged(root_code, max_steps, any_hit,
-                                image_mode=image_mode)
+                                image_mode=image_mode, wide=wide,
+                                debug_steps=debug_steps,
+                                cull_mask=cull_mask)
 
     smem = lambda n: pl.BlockSpec(
         (n,), lambda i: (0,), memory_space=pltpu.SMEM)
@@ -801,7 +951,7 @@ def trace_scene_pallas_paged(
         scratch_shapes=[
             pltpu.VMEM((9, 8, 128), jnp.float32),   # object-space ray planes
             pltpu.VMEM((7, 8, 128), jnp.float32),   # best-hit + prune + den
-            pltpu.SMEM((8,), jnp.int32),            # cross-branch scalars
+            pltpu.SMEM((12 if wide else 8,), jnp.int32),  # cross-branch
             pltpu.SMEM((_BF,), jnp.float32),        # chunk box scratch
             pltpu.SMEM((_CI,), jnp.int32),          # chunk code scratch
             pltpu.SemaphoreType.DMA((2,)),

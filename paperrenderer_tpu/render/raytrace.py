@@ -211,7 +211,8 @@ def make_rt_frame(meta, animate: Optional[Callable], n_tlas: int,
         static_argnames=(
             "width", "height", "stack_size", "shadow_samples",
             "reflection_samples", "ao_samples", "ao_radius", "leaf_cutout",
-            "tlas_index", "reflection_half_rate",
+            "tlas_index", "reflection_half_rate", "cull_mask",
+            "shadow_cull_mask",
         ),
     )
     def rt_frame2(
@@ -230,6 +231,8 @@ def make_rt_frame(meta, animate: Optional[Callable], n_tlas: int,
         key: jax.Array,
         time: jax.Array,
         textures=None,
+        inst_mask=None,             # i32[N] 8-bit visibility masks
+        inst_opaque=None,           # bool[N] force-opaque flags
         *,
         width: int,
         height: int,
@@ -241,6 +244,8 @@ def make_rt_frame(meta, animate: Optional[Callable], n_tlas: int,
         leaf_cutout: bool,
         tlas_index: int = 0,
         reflection_half_rate: bool = False,
+        cull_mask: int = 0xFF,
+        shadow_cull_mask: int = 0xFF,
     ):
         ctx = ACC.make_scene_tracer(
             blasset, meta, anim_rest, anim_nodes, instances, inst_blas,
@@ -248,6 +253,7 @@ def make_rt_frame(meta, animate: Optional[Callable], n_tlas: int,
             tlas_index=tlas_index, stack_size=stack_size,
             leaf_cutout=leaf_cutout, use_pallas=use_pallas, paged=paged,
             textures=textures, time=time, animate=animate, wide=wide,
+            inst_mask=inst_mask, inst_opaque=inst_opaque,
         )
         params = RTParams(
             shadow_samples=shadow_samples,
@@ -256,6 +262,8 @@ def make_rt_frame(meta, animate: Optional[Callable], n_tlas: int,
             ao_radius=ao_radius,
             leaf_cutout=leaf_cutout,
             reflection_half_rate=reflection_half_rate,
+            cull_mask=cull_mask,
+            shadow_cull_mask=shadow_cull_mask,
         )
         hdr = trace_frame(
             ctx, materials, lights, camera, key,
@@ -294,11 +302,16 @@ class RayTraceRender:
         use_pallas: Optional[bool] = None,
         reflection_half_rate: bool = False,
         bvh_wide: bool = True,
+        cull_mask: int = 0xFF,          # traceRayEXT cullMask for camera/
+        #                                 reflection/AO rays (rgen:33)
+        shadow_cull_mask: int = 0xFF,   # cullMask for shadow rays
     ):
         self.scene = scene
         self.materials = materials
         self.width = width
         self.height = height
+        self.cull_mask = int(cull_mask) & 0xFF
+        self.shadow_cull_mask = int(shadow_cull_mask) & 0xFF
         self.lights = lights or Lights.make(
             [{"position": (3.0, -4.0, 5.0), "color": (40.0, 40.0, 40.0), "bounds": 100.0}]
         )
@@ -320,6 +333,10 @@ class RayTraceRender:
         self._frame = 0
         # per-TLAS instance sets: index -> {slot: material id}
         self._tlas_bindings: List[Dict[int, Dict[int, int]]] = [{}]
+        # per-instance RT visibility masks + force-opaque flags
+        # (AccelerationStructureInstanceData parity, RayTrace.h:19-35)
+        self._inst_masks: Dict[int, int] = {}
+        self._inst_opaque: set = set()
         self.accel = AccelCache(scene)
         self._frame_fn = None
         self._frame_key = None
@@ -329,6 +346,7 @@ class RayTraceRender:
         self._cached_masks = None
         self._cached_table = None
         self._cached_textures = None
+        self._cached_inst_mask = None
         self._cached_capacity = -1
 
     # -- TLAS management (addNewTLAS parity) ---------------------------------
@@ -347,13 +365,28 @@ class RayTraceRender:
         instance: ModelInstance,
         materials: Optional[Dict[int, MaterialInstance]] = None,
         tlas: int = 0,
+        *,
+        mask: int = 0xFF,
+        force_opaque: bool = False,
     ) -> None:
+        """Register an instance in TLAS ``tlas``.
+
+        ``mask`` is the instance's 8-bit visibility mask and
+        ``force_opaque`` skips the any-hit alpha test on it — the
+        reference's ``AccelerationStructureInstanceData{mask:8, flags}``
+        (RayTrace.h:19-35; example usage main.cpp:611-612). A trace sees
+        the instance only when ``mask & cull_mask != 0``."""
         if instance.index < 0:
             self.scene.add_instance(instance)
         binds: Dict[int, int] = {}
         for slot, mat in (materials or {}).items():
             binds[slot] = self.materials.register(mat)
         self._tlas_bindings[tlas][instance.index] = binds
+        self._inst_masks[instance.index] = int(mask) & 0xFF
+        if force_opaque:
+            self._inst_opaque.add(instance.index)
+        else:
+            self._inst_opaque.discard(instance.index)
         self._cache_dirty = True
 
     def add_instances_from(self, render_pass, tlas: int = 0) -> None:
@@ -374,6 +407,16 @@ class RayTraceRender:
         sets = self._tlas_bindings if tlas is None else [self._tlas_bindings[tlas]]
         for b in sets:
             b.pop(instance.index, None)
+        if tlas is None or not any(
+                instance.index in b for b in self._tlas_bindings):
+            self._inst_masks.pop(instance.index, None)
+            self._inst_opaque.discard(instance.index)
+        self._cache_dirty = True
+
+    def set_instance_mask(self, instance: ModelInstance, mask: int) -> None:
+        """Update an instance's 8-bit RT visibility mask live (the
+        reference re-stages the instance record on change)."""
+        self._inst_masks[instance.index] = int(mask) & 0xFF
         self._cache_dirty = True
 
     def invalidate(self) -> None:
@@ -402,12 +445,24 @@ class RayTraceRender:
             masks.append(jnp.asarray(m))
         return tuple(masks)
 
+    def _inst_mask_arrays(self, capacity: int):
+        m = np.full(capacity, 0xFF, np.int32)
+        for idx, v in self._inst_masks.items():
+            if 0 <= idx < capacity:
+                m[idx] = v
+        o = np.zeros(capacity, bool)
+        for idx in self._inst_opaque:
+            if 0 <= idx < capacity:
+                o[idx] = True
+        return jnp.asarray(m), jnp.asarray(o)
+
     def _device_inputs(self, capacity: int):
         if self._cache_dirty or capacity != self._cached_capacity:
             self._cached_slots = self._slot_material_array(capacity)
             self._cached_masks = self._mask_arrays(capacity)
             self._cached_table = self.materials.table()
             self._cached_textures = self.materials.texture_arrays()
+            self._cached_inst_mask = self._inst_mask_arrays(capacity)
             self._cached_capacity = capacity
             self._cache_dirty = False
         return self._cached_slots, self._cached_masks, self._cached_table
@@ -428,6 +483,7 @@ class RayTraceRender:
             )
             self._frame_key = key_sig
         slots, masks, table = self._device_inputs(instances.capacity)
+        inst_mask, inst_opaque = self._cached_inst_mask
         self._frame += 1
         key = jax.random.fold_in(self._key, self._frame)
         return self._frame_fn(
@@ -436,6 +492,7 @@ class RayTraceRender:
             self.accel.tri_attr(),
             table, self.lights, cam, slots, self.tonemap_params, key,
             jnp.float32(time), self._cached_textures,
+            inst_mask, inst_opaque,
             width=self.width,
             height=self.height,
             stack_size=self.accel.stack_size(instances.capacity),
@@ -446,4 +503,6 @@ class RayTraceRender:
             leaf_cutout=self.materials.has_leaf,
             tlas_index=tlas,
             reflection_half_rate=self.reflection_half_rate,
+            cull_mask=self.cull_mask,
+            shadow_cull_mask=self.shadow_cull_mask,
         )

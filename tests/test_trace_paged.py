@@ -77,12 +77,14 @@ def test_paged_assembly_has_chunks(paged_scene):
     assert nc >= 2, "fixture must exercise multi-chunk paging"
 
 
-def test_paged_matches_flat_xla(paged_scene):
+@pytest.mark.parametrize("wide", [False, True])
+def test_paged_matches_flat_xla(paged_scene, wide):
     (rp, paged, proot, flat, froot, ss, instances, slots,
      o, d, t_max) = paged_scene
     bound = 2 * instances.capacity * (flat.leaf_rows.shape[0] + 2) + 4096
     rec_p = TP.trace_scene_pallas_paged(
-        paged, o, d, t_max, root_code=proot, stack_size=ss, max_steps=bound)
+        paged, o, d, t_max, root_code=proot, stack_size=ss, max_steps=bound,
+        wide=wide)
     rec_x = A.trace_scene(flat, o, d, t_max, root_code=froot, stack_size=ss)
     hp = np.asarray(rec_p.hit)
     hx = np.asarray(rec_x.hit)
@@ -98,14 +100,15 @@ def test_paged_matches_flat_xla(paged_scene):
         np.asarray(rec_p.inst)[both], np.asarray(rec_x.inst)[both])
 
 
-def test_paged_fused_resolve(paged_scene):
+@pytest.mark.parametrize("wide", [False, True])
+def test_paged_fused_resolve(paged_scene, wide):
     (rp, paged, proot, flat, froot, ss, instances, slots,
      o, d, t_max) = paged_scene
     bound = 2 * instances.capacity * (flat.leaf_rows.shape[0] + 2) + 4096
     table = rp.materials.table()
     out = TP.trace_resolve_scene_pallas_paged(
         paged, o, d, t_max, root_code=proot, stack_size=ss, max_steps=bound,
-        n_slots=slots.shape[1])
+        n_slots=slots.shape[1], wide=wide)
     tracer = A.SceneTracer(flat, slots, table, root_code=froot,
                            stack_size=ss, use_pallas=False)
     rec = tracer.trace(o, d, t_max)
@@ -127,13 +130,14 @@ def test_paged_fused_resolve(paged_scene):
         n, np.asarray(surf.normal)[h], rtol=1e-3, atol=2e-3)
 
 
-def test_paged_any_hit(paged_scene):
+@pytest.mark.parametrize("wide", [False, True])
+def test_paged_any_hit(paged_scene, wide):
     (rp, paged, proot, flat, froot, ss, instances, slots,
      o, d, t_max) = paged_scene
     bound = 2 * instances.capacity * (flat.leaf_rows.shape[0] + 2) + 4096
     rec_a = TP.trace_scene_pallas_paged(
         paged, o, d, t_max, root_code=proot, stack_size=ss, max_steps=bound,
-        any_hit=True)
+        any_hit=True, wide=wide)
     rec_x = A.trace_scene(flat, o, d, t_max, root_code=froot, stack_size=ss)
     np.testing.assert_array_equal(
         np.asarray(rec_a.hit), np.asarray(rec_x.hit))
