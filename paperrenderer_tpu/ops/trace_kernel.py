@@ -40,6 +40,15 @@ from .accel import (
 )
 
 PACKET = 1024            # rays per packet: one (8, 128) tile per plane
+# packets per GRID STEP (flat mode): grouping SUB packets per step amortizes
+# per-grid-step block plumbing; the traversal still runs one 1024-ray packet
+# at a time (same footprint, same vector width). MEASURED NEUTRAL on TPU
+# (composed RT frame 87.7/87.8/86.8 ms at sub=1/4/8; raw block plumbing is
+# ~0.03 ms/wave — an identity kernel over the same blocks — so there was
+# nothing to amortize; the ~1.3 us/packet dead floor is kernel init + the
+# root step + while-loop scalar overhead, which grouping cannot remove).
+# Kept as a sweepable knob; read at call time (_pack_rays sub_cap=0).
+SUBPACKETS = 1
 # test hook: run the packet kernels in the Pallas interpreter (CPU tests
 # monkeypatch this — mirrors raster_exact.INTERPRET)
 INTERPRET = False
@@ -108,23 +117,26 @@ def _split_scene(scene: RTScene):
 def _io_helpers(image_mode: bool):
     """Block load/store for the two packet groupings.
 
-    flat mode: per-component (g, 8, 128) arrays, block (1, 8, 128) — packets
-    are 1024 consecutive rays (row strips for row-major wavefronts).
+    flat mode: per-component (g*SUB, 8, 128) arrays, block (SUB, 8, 128) —
+    packets are 1024 consecutive rays (pixel tiles for tile-order
+    wavefronts); each grid step processes SUB packets sequentially
+    (``sub`` selects the packet within the block) to amortize the
+    per-grid-step block plumbing.
     image mode: per-component [H, W] arrays, block (8, 128) with a
     tile-walking index_map — packets are (8, 128) PIXEL TILES with ZERO
     relayout, because T(8,128) physical tiling stores exactly these blocks
     contiguously (this sidesteps the transpose-input trap below: the tile
     permutation happens in the index_map, never in XLA)."""
     if image_mode:
-        ld = lambda ref: ref[...]
+        ld = lambda ref, sub: ref[...]
 
-        def st(ref, v):
+        def st(ref, sub, v):
             ref[...] = v
     else:
-        ld = lambda ref: ref[0]
+        ld = lambda ref, sub: ref[sub]
 
-        def st(ref, v):
-            ref[0] = v
+        def st(ref, sub, v):
+            ref[sub] = v
     return ld, st
 
 
@@ -215,7 +227,8 @@ def _wide_pushes(stack_ref, flag_ref, sp, is_box, is_inst, c0, S,
 
 def _make_kernel(root_code: int, max_steps: int, any_hit: bool,
                  debug_steps: bool = False, image_mode: bool = False,
-                 wide: bool = False, cull_mask: int = 0xFF):
+                 wide: bool = False, cull_mask: int = 0xFF,
+                 sub_n: int = 1):
     """Packet kernel. Vector state (best hit planes, object-space ray) lives
     in VMEM scratch refs mutated under ``pl.when`` — real branches with no
     state yields, so a step costs only its own branch's work. The while carry
@@ -233,250 +246,258 @@ def _make_kernel(root_code: int, max_steps: int, any_hit: bool,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                t_out, prim_out, inst_out, u_out, v_out,
                obj_ref, best_ref, flag_ref, stack_ref):
-        wox, woy, woz = ld(ox_ref), ld(oy_ref), ld(oz_ref)
-        wdx, wdy, wdz = ld(dx_ref), ld(dy_ref), ld(dz_ref)
+        def run(sub, carry):
+            wox, woy, woz = ld(ox_ref, sub), ld(oy_ref, sub), ld(oz_ref, sub)
+            wdx, wdy, wdz = ld(dx_ref, sub), ld(dy_ref, sub), ld(dz_ref, sub)
 
-        def safe_inv(x):
-            return 1.0 / jnp.where(jnp.abs(x) < 1e-12, 1e-12, x)
+            def safe_inv(x):
+                return 1.0 / jnp.where(jnp.abs(x) < 1e-12, 1e-12, x)
 
-        wix, wiy, wiz = safe_inv(wdx), safe_inv(wdy), safe_inv(wdz)
+            wix, wiy, wiz = safe_inv(wdx), safe_inv(wdy), safe_inv(wdz)
 
-        # best planes: [0]=t NUMERATOR [1]=prim(bits) [2]=inst(bits)
-        # [3]=u num [4]=v num [6]=shared DENOMINATOR (|det| of the winner;
-        # 1.0 = "no fragment", so num/den = the plain t). Ratio state lets
-        # the Möller-Trumbore loop compare depths by cross-multiplication
-        # (dt*den_b < num_b*adet, all operands >= 0) — the per-candidate
-        # divide drops out; u/v/t divide ONCE per packet at the end.
-        # [5]=prune bound for box tests (an actual t, one divide per leaf
-        # step): closest mode tracks best t; any-hit mode drops to -3e38
-        # once a ray commits, removing it from every later slab-test union.
-        neg1 = pltpu.bitcast(jnp.full((8, 128), -1, jnp.int32), jnp.float32)
-        best_ref[0] = ld(tmax_ref)
-        best_ref[1] = neg1
-        best_ref[2] = neg1
-        best_ref[3] = jnp.zeros((8, 128), jnp.float32)
-        best_ref[4] = jnp.zeros((8, 128), jnp.float32)
-        best_ref[5] = ld(tmax_ref)
-        best_ref[6] = jnp.ones((8, 128), jnp.float32)
-        # object-space ray planes: o(3) d(3) inv(3)
-        for i, v in enumerate((wox, woy, woz, wdx, wdy, wdz, wix, wiy, wiz)):
-            obj_ref[i] = v
-        flag_ref[FI] = jnp.int32(0)   # cur_inst
-        flag_ref[FH] = jnp.int32(0)   # all-hit (any_hit early exit)
+            # best planes: [0]=t NUMERATOR [1]=prim(bits) [2]=inst(bits)
+            # [3]=u num [4]=v num [6]=shared DENOMINATOR (|det| of the winner;
+            # 1.0 = "no fragment", so num/den = the plain t). Ratio state lets
+            # the Möller-Trumbore loop compare depths by cross-multiplication
+            # (dt*den_b < num_b*adet, all operands >= 0) — the per-candidate
+            # divide drops out; u/v/t divide ONCE per packet at the end.
+            # [5]=prune bound for box tests (an actual t, one divide per leaf
+            # step): closest mode tracks best t; any-hit mode drops to -3e38
+            # once a ray commits, removing it from every later slab-test union.
+            neg1 = pltpu.bitcast(jnp.full((8, 128), -1, jnp.int32), jnp.float32)
+            best_ref[0] = ld(tmax_ref, sub)
+            best_ref[1] = neg1
+            best_ref[2] = neg1
+            best_ref[3] = jnp.zeros((8, 128), jnp.float32)
+            best_ref[4] = jnp.zeros((8, 128), jnp.float32)
+            best_ref[5] = ld(tmax_ref, sub)
+            best_ref[6] = jnp.ones((8, 128), jnp.float32)
+            # object-space ray planes: o(3) d(3) inv(3)
+            for i, v in enumerate((wox, woy, woz, wdx, wdy, wdz, wix, wiy, wiz)):
+                obj_ref[i] = v
+            flag_ref[FI] = jnp.int32(0)   # cur_inst
+            flag_ref[FH] = jnp.int32(0)   # all-hit (any_hit early exit)
 
-        # SMEM scalar stack: push/pop are pure scalar-domain loads/stores —
-        # no per-step (1, S) vector selects and no vector->scalar reduction
-        # on the sequential critical path. Slot S is a trash slot absorbing
-        # non-pushes (unconditional stores, no predicated lowering).
-        stack_ref[0] = jnp.int32(root_code)
+            # SMEM scalar stack: push/pop are pure scalar-domain loads/stores —
+            # no per-step (1, S) vector selects and no vector->scalar reduction
+            # on the sequential critical path. Slot S is a trash slot absorbing
+            # non-pushes (unconditional stores, no predicated lowering).
+            stack_ref[0] = jnp.int32(root_code)
 
-        def cond(st):
-            step, sp, done = st
-            return (sp > 0) & (step < max_steps) & (done == 0)
+            def cond(st):
+                step, sp, done = st
+                return (sp > 0) & (step < max_steps) & (done == 0)
 
-        def body(st):
-            step, sp, done = st
-            sp = sp - 1
-            code = stack_ref[sp]
-            typ = (code >> _TYPE_SHIFT) & 3
-            payload = code & _PAYLOAD_MASK
-            obj = ((code >> 30) & 1) == 1
-            is_box = typ == TYPE_BOX
-            is_leaf = typ == TYPE_LEAF
-            is_inst = typ == TYPE_INST
-            c0 = codes_ref[payload * 2]
-            c1 = codes_ref[payload * 2 + 1]
-            # instance record word c1 = [mask:8 | opaque:1 | id:23]; the
-            # BLAS-root push is gated on mask & cull_mask (RayTrace.h:19-35)
-            inst_ok = (((c1 >> 24) & cull_mask) != 0).astype(jnp.int32)
+            def body(st):
+                step, sp, done = st
+                sp = sp - 1
+                code = stack_ref[sp]
+                typ = (code >> _TYPE_SHIFT) & 3
+                payload = code & _PAYLOAD_MASK
+                obj = ((code >> 30) & 1) == 1
+                is_box = typ == TYPE_BOX
+                is_leaf = typ == TYPE_LEAF
+                is_inst = typ == TYPE_INST
+                c0 = codes_ref[payload * 2]
+                c1 = codes_ref[payload * 2 + 1]
+                # instance record word c1 = [mask:8 | opaque:1 | id:23]; the
+                # BLAS-root push is gated on mask & cull_mask (RayTrace.h:19-35)
+                inst_ok = (((c1 >> 24) & cull_mask) != 0).astype(jnp.int32)
 
-            @pl.when(is_box)
-            def _box():
-                b = payload * 12
-                best_t = best_ref[5]
-                # one scalar-predicate select per plane (the old
-                # obj_f*a + (1-obj_f)*b lerp cost 3 vector ops per plane)
-                px = jnp.where(obj, obj_ref[0], wox)
-                py = jnp.where(obj, obj_ref[1], woy)
-                pz = jnp.where(obj, obj_ref[2], woz)
-                ix = jnp.where(obj, obj_ref[6], wix)
-                iy = jnp.where(obj, obj_ref[7], wiy)
-                iz = jnp.where(obj, obj_ref[8], wiz)
+                @pl.when(is_box)
+                def _box():
+                    b = payload * 12
+                    best_t = best_ref[5]
+                    # one scalar-predicate select per plane (the old
+                    # obj_f*a + (1-obj_f)*b lerp cost 3 vector ops per plane)
+                    px = jnp.where(obj, obj_ref[0], wox)
+                    py = jnp.where(obj, obj_ref[1], woy)
+                    pz = jnp.where(obj, obj_ref[2], woz)
+                    ix = jnp.where(obj, obj_ref[6], wix)
+                    iy = jnp.where(obj, obj_ref[7], wiy)
+                    iz = jnp.where(obj, obj_ref[8], wiz)
+                    if wide:
+                        _wide_box_step(boxes_ref, codes_ref, flag_ref, payload,
+                                       c0, c1, px, py, pz, ix, iy, iz, best_t)
+                        return
+
+                    def slab(o6):
+                        lx, ly, lz = boxes_ref[b + o6], boxes_ref[b + o6 + 1], boxes_ref[b + o6 + 2]
+                        hx, hy, hz = boxes_ref[b + o6 + 3], boxes_ref[b + o6 + 4], boxes_ref[b + o6 + 5]
+                        tx0 = (lx - px) * ix
+                        tx1 = (hx - px) * ix
+                        ty0 = (ly - py) * iy
+                        ty1 = (hy - py) * iy
+                        tz0 = (lz - pz) * iz
+                        tz1 = (hz - pz) * iz
+                        tn = jnp.maximum(
+                            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                            jnp.minimum(tz0, tz1))
+                        tf = jnp.minimum(
+                            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                            jnp.maximum(tz0, tz1))
+                        # reject dead children (marked min > max; the min/max
+                        # normalization above would otherwise always-hit them)
+                        hit = (tf >= jnp.maximum(tn, 0.0)) & (tn <= best_t) & (lx <= hx)
+                        return hit, tn
+
+                    h0, tn0 = slab(0)
+                    h1, tn1 = slab(6)
+                    inf = jnp.float32(3e38)
+                    t0m = jnp.min(jnp.where(h0, tn0, inf))
+                    t1m = jnp.min(jnp.where(h1, tn1, inf))
+                    # any(h) == (min entry < inf): hit lanes satisfy tn <= best_t
+                    # <= t_max << 3e38, so the two any() cross-lane reductions
+                    # fold into the min-reductions already needed for ordering
+                    flag_ref[0] = (t0m < inf).astype(jnp.int32)
+                    flag_ref[1] = (t1m < inf).astype(jnp.int32)
+                    flag_ref[2] = (t0m <= t1m).astype(jnp.int32)
+
+                @pl.when(is_inst)
+                def _inst():
+                    b = payload * 12
+                    m = [boxes_ref[b + k] for k in range(12)]
+                    oox = m[0] * wox + m[1] * woy + m[2] * woz + m[3]
+                    ooy = m[4] * wox + m[5] * woy + m[6] * woz + m[7]
+                    ooz = m[8] * wox + m[9] * woy + m[10] * woz + m[11]
+                    odx = m[0] * wdx + m[1] * wdy + m[2] * wdz
+                    ody = m[4] * wdx + m[5] * wdy + m[6] * wdz
+                    odz = m[8] * wdx + m[9] * wdy + m[10] * wdz
+                    obj_ref[0] = oox
+                    obj_ref[1] = ooy
+                    obj_ref[2] = ooz
+                    obj_ref[3] = odx
+                    obj_ref[4] = ody
+                    obj_ref[5] = odz
+                    obj_ref[6] = safe_inv(odx)
+                    obj_ref[7] = safe_inv(ody)
+                    obj_ref[8] = safe_inv(odz)
+                    flag_ref[FI] = c1    # instance slot id
+
+                @pl.when(is_leaf)
+                def _leaf():
+                    b = payload * 72
+                    pb = payload * K
+                    oox, ooy, ooz = obj_ref[0], obj_ref[1], obj_ref[2]
+                    odx, ody, odz = obj_ref[3], obj_ref[4], obj_ref[5]
+                    num_b = best_ref[0]
+                    den_b = best_ref[6]
+                    best_prim = pltpu.bitcast(best_ref[1], jnp.int32)
+                    best_u = best_ref[3]
+                    best_v = best_ref[4]
+                    best_inst = pltpu.bitcast(best_ref[2], jnp.int32)
+                    cur_inst = flag_ref[FI] & INST_ID_MASK
+                    for k in range(K):
+                        tb = b + k * 9
+                        # leaf rows store (a, e1, e2) — edges read directly
+                        ax, ay, az = lpos_ref[tb], lpos_ref[tb + 1], lpos_ref[tb + 2]
+                        e1x, e1y, e1z = (lpos_ref[tb + 3], lpos_ref[tb + 4],
+                                         lpos_ref[tb + 5])
+                        e2x, e2y, e2z = (lpos_ref[tb + 6], lpos_ref[tb + 7],
+                                         lpos_ref[tb + 8])
+                        ptag = lprim_ref[pb + k]
+                        px_ = ody * e2z - odz * e2y
+                        py_ = odz * e2x - odx * e2z
+                        pz_ = odx * e2y - ody * e2x
+                        det = e1x * px_ + e1y * py_ + e1z * pz_
+                        # division-free: fold the triangle's orientation into the
+                        # numerators (du = u*det*s etc., s = sign(det)) and test
+                        # against |det|; depth compares cross-multiply with the
+                        # carried (num, den) winner — no divide in the loop.
+                        # Range: dets are OBJECT-space (instance scale s only
+                        # enters via the 1/s-scaled object ray), so the products
+                        # stay ~ t*det_a*det_b — ~1e15 even at s=1e-6 — and the
+                        # 1e-12 adet floor bounds the small side at ~1e-27;
+                        # overflow/denormal-flush needs |combined scale| ~ 1e-17
+                        s = jnp.where(det >= 0.0, 1.0, -1.0)
+                        adet = jnp.abs(det)
+                        ok = adet > 1e-12
+                        sx, sy, sz = oox - ax, ooy - ay, ooz - az
+                        du = (sx * px_ + sy * py_ + sz * pz_) * s
+                        qx = sy * e1z - sz * e1y
+                        qy = sz * e1x - sx * e1z
+                        qz = sx * e1y - sy * e1x
+                        dv = (odx * qx + ody * qy + odz * qz) * s
+                        dt = (e2x * qx + e2y * qy + e2z * qz) * s
+                        hit = (
+                            ok & (du >= 0.0) & (dv >= 0.0) & (du + dv <= adet)
+                            & (dt > 1e-3 * adet) & (dt * den_b < num_b * adet)
+                            & (ptag >= 0)
+                        )
+                        best_prim = jnp.where(hit, ptag & 0x00FFFFFF, best_prim)
+                        best_inst = jnp.where(hit, cur_inst, best_inst)
+                        best_u = jnp.where(hit, du, best_u)
+                        best_v = jnp.where(hit, dv, best_v)
+                        num_b = jnp.where(hit, dt, num_b)
+                        den_b = jnp.where(hit, adet, den_b)
+                    best_ref[0] = num_b
+                    best_ref[6] = den_b
+                    best_ref[1] = pltpu.bitcast(best_prim, jnp.float32)
+                    best_ref[2] = pltpu.bitcast(best_inst, jnp.float32)
+                    best_ref[3] = best_u
+                    best_ref[4] = best_v
+                    # ONE divide per leaf step refreshes the box-test prune plane
+                    best_t = num_b / den_b
+                    if any_hit:
+                        # committed rays stop contributing to box tests entirely
+                        best_ref[5] = jnp.where(best_prim >= 0,
+                                                jnp.float32(-3e38), best_t)
+                        flag_ref[FH] = jnp.all(best_prim >= 0).astype(jnp.int32)
+                    else:
+                        best_ref[5] = best_t
+
+                # functional pushes from the branch-reported scalars
                 if wide:
-                    _wide_box_step(boxes_ref, codes_ref, flag_ref, payload,
-                                   c0, c1, px, py, pz, ix, iy, iz, best_t)
-                    return
-
-                def slab(o6):
-                    lx, ly, lz = boxes_ref[b + o6], boxes_ref[b + o6 + 1], boxes_ref[b + o6 + 2]
-                    hx, hy, hz = boxes_ref[b + o6 + 3], boxes_ref[b + o6 + 4], boxes_ref[b + o6 + 5]
-                    tx0 = (lx - px) * ix
-                    tx1 = (hx - px) * ix
-                    ty0 = (ly - py) * iy
-                    ty1 = (hy - py) * iy
-                    tz0 = (lz - pz) * iz
-                    tz1 = (hz - pz) * iz
-                    tn = jnp.maximum(
-                        jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-                        jnp.minimum(tz0, tz1))
-                    tf = jnp.minimum(
-                        jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-                        jnp.maximum(tz0, tz1))
-                    # reject dead children (marked min > max; the min/max
-                    # normalization above would otherwise always-hit them)
-                    hit = (tf >= jnp.maximum(tn, 0.0)) & (tn <= best_t) & (lx <= hx)
-                    return hit, tn
-
-                h0, tn0 = slab(0)
-                h1, tn1 = slab(6)
-                inf = jnp.float32(3e38)
-                t0m = jnp.min(jnp.where(h0, tn0, inf))
-                t1m = jnp.min(jnp.where(h1, tn1, inf))
-                # any(h) == (min entry < inf): hit lanes satisfy tn <= best_t
-                # <= t_max << 3e38, so the two any() cross-lane reductions
-                # fold into the min-reductions already needed for ordering
-                flag_ref[0] = (t0m < inf).astype(jnp.int32)
-                flag_ref[1] = (t1m < inf).astype(jnp.int32)
-                flag_ref[2] = (t0m <= t1m).astype(jnp.int32)
-
-            @pl.when(is_inst)
-            def _inst():
-                b = payload * 12
-                m = [boxes_ref[b + k] for k in range(12)]
-                oox = m[0] * wox + m[1] * woy + m[2] * woz + m[3]
-                ooy = m[4] * wox + m[5] * woy + m[6] * woz + m[7]
-                ooz = m[8] * wox + m[9] * woy + m[10] * woz + m[11]
-                odx = m[0] * wdx + m[1] * wdy + m[2] * wdz
-                ody = m[4] * wdx + m[5] * wdy + m[6] * wdz
-                odz = m[8] * wdx + m[9] * wdy + m[10] * wdz
-                obj_ref[0] = oox
-                obj_ref[1] = ooy
-                obj_ref[2] = ooz
-                obj_ref[3] = odx
-                obj_ref[4] = ody
-                obj_ref[5] = odz
-                obj_ref[6] = safe_inv(odx)
-                obj_ref[7] = safe_inv(ody)
-                obj_ref[8] = safe_inv(odz)
-                flag_ref[FI] = c1    # instance slot id
-
-            @pl.when(is_leaf)
-            def _leaf():
-                b = payload * 72
-                pb = payload * K
-                oox, ooy, ooz = obj_ref[0], obj_ref[1], obj_ref[2]
-                odx, ody, odz = obj_ref[3], obj_ref[4], obj_ref[5]
-                num_b = best_ref[0]
-                den_b = best_ref[6]
-                best_prim = pltpu.bitcast(best_ref[1], jnp.int32)
-                best_u = best_ref[3]
-                best_v = best_ref[4]
-                best_inst = pltpu.bitcast(best_ref[2], jnp.int32)
-                cur_inst = flag_ref[FI] & INST_ID_MASK
-                for k in range(K):
-                    tb = b + k * 9
-                    # leaf rows store (a, e1, e2) — edges read directly
-                    ax, ay, az = lpos_ref[tb], lpos_ref[tb + 1], lpos_ref[tb + 2]
-                    e1x, e1y, e1z = (lpos_ref[tb + 3], lpos_ref[tb + 4],
-                                     lpos_ref[tb + 5])
-                    e2x, e2y, e2z = (lpos_ref[tb + 6], lpos_ref[tb + 7],
-                                     lpos_ref[tb + 8])
-                    ptag = lprim_ref[pb + k]
-                    px_ = ody * e2z - odz * e2y
-                    py_ = odz * e2x - odx * e2z
-                    pz_ = odx * e2y - ody * e2x
-                    det = e1x * px_ + e1y * py_ + e1z * pz_
-                    # division-free: fold the triangle's orientation into the
-                    # numerators (du = u*det*s etc., s = sign(det)) and test
-                    # against |det|; depth compares cross-multiply with the
-                    # carried (num, den) winner — no divide in the loop.
-                    # Range: dets are OBJECT-space (instance scale s only
-                    # enters via the 1/s-scaled object ray), so the products
-                    # stay ~ t*det_a*det_b — ~1e15 even at s=1e-6 — and the
-                    # 1e-12 adet floor bounds the small side at ~1e-27;
-                    # overflow/denormal-flush needs |combined scale| ~ 1e-17
-                    s = jnp.where(det >= 0.0, 1.0, -1.0)
-                    adet = jnp.abs(det)
-                    ok = adet > 1e-12
-                    sx, sy, sz = oox - ax, ooy - ay, ooz - az
-                    du = (sx * px_ + sy * py_ + sz * pz_) * s
-                    qx = sy * e1z - sz * e1y
-                    qy = sz * e1x - sx * e1z
-                    qz = sx * e1y - sy * e1x
-                    dv = (odx * qx + ody * qy + odz * qz) * s
-                    dt = (e2x * qx + e2y * qy + e2z * qz) * s
-                    hit = (
-                        ok & (du >= 0.0) & (dv >= 0.0) & (du + dv <= adet)
-                        & (dt > 1e-3 * adet) & (dt * den_b < num_b * adet)
-                        & (ptag >= 0)
-                    )
-                    best_prim = jnp.where(hit, ptag & 0x00FFFFFF, best_prim)
-                    best_inst = jnp.where(hit, cur_inst, best_inst)
-                    best_u = jnp.where(hit, du, best_u)
-                    best_v = jnp.where(hit, dv, best_v)
-                    num_b = jnp.where(hit, dt, num_b)
-                    den_b = jnp.where(hit, adet, den_b)
-                best_ref[0] = num_b
-                best_ref[6] = den_b
-                best_ref[1] = pltpu.bitcast(best_prim, jnp.float32)
-                best_ref[2] = pltpu.bitcast(best_inst, jnp.float32)
-                best_ref[3] = best_u
-                best_ref[4] = best_v
-                # ONE divide per leaf step refreshes the box-test prune plane
-                best_t = num_b / den_b
-                if any_hit:
-                    # committed rays stop contributing to box tests entirely
-                    best_ref[5] = jnp.where(best_prim >= 0,
-                                            jnp.float32(-3e38), best_t)
-                    flag_ref[FH] = jnp.all(best_prim >= 0).astype(jnp.int32)
+                    sp = _wide_pushes(stack_ref, flag_ref, sp, is_box, is_inst,
+                                      c0, S, inst_ok)
                 else:
-                    best_ref[5] = best_t
+                    box_i = is_box.astype(jnp.int32)
+                    any0 = flag_ref[0] * box_i
+                    any1 = flag_ref[1] * box_i
+                    first0 = flag_ref[2]
+                    near_c = jnp.where(first0 == 1, c0, c1)
+                    far_c = jnp.where(first0 == 1, c1, c0)
+                    near_ok = jnp.where(first0 == 1, any0, any1)
+                    far_ok = jnp.where(first0 == 1, any1, any0)
+                    # instance pop pushes its BLAS root (c0) if mask-visible;
+                    # box: far then near
+                    p1 = jnp.where(is_inst, inst_ok, far_ok)
+                    p1_val = jnp.where(is_inst, c0, far_c)
+                    stack_ref[
+                        jnp.where(p1 == 1, jnp.minimum(sp, S - 1), S)] = p1_val
+                    sp = sp + p1
+                    stack_ref[
+                        jnp.where(near_ok == 1, jnp.minimum(sp, S - 1), S)
+                    ] = near_c
+                    sp = sp + near_ok
+                done = flag_ref[FH] if any_hit else jnp.int32(0)
+                return step + 1, sp, done
 
-            # functional pushes from the branch-reported scalars
-            if wide:
-                sp = _wide_pushes(stack_ref, flag_ref, sp, is_box, is_inst,
-                                  c0, S, inst_ok)
+            fin = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), jnp.int32(1), jnp.int32(0)))
+
+            # the winner is carried as (numerator, |det|) — divide ONCE per ray
+            inv_den = 1.0 / best_ref[6]
+            best_t = best_ref[0] * inv_den
+            best_prim = pltpu.bitcast(best_ref[1], jnp.int32)
+            best_inst = pltpu.bitcast(best_ref[2], jnp.int32)
+            miss = best_prim < 0
+            st(t_out, sub, jnp.where(miss, jnp.float32(jnp.inf), best_t))
+            st(prim_out, sub, best_prim)
+            st(inst_out, sub, jnp.where(miss, -1, best_inst))
+            if debug_steps:
+                st(u_out, sub,
+                   jnp.full((8, 128), fin[0], jnp.int32).astype(jnp.float32))
             else:
-                box_i = is_box.astype(jnp.int32)
-                any0 = flag_ref[0] * box_i
-                any1 = flag_ref[1] * box_i
-                first0 = flag_ref[2]
-                near_c = jnp.where(first0 == 1, c0, c1)
-                far_c = jnp.where(first0 == 1, c1, c0)
-                near_ok = jnp.where(first0 == 1, any0, any1)
-                far_ok = jnp.where(first0 == 1, any1, any0)
-                # instance pop pushes its BLAS root (c0) if mask-visible;
-                # box: far then near
-                p1 = jnp.where(is_inst, inst_ok, far_ok)
-                p1_val = jnp.where(is_inst, c0, far_c)
-                stack_ref[
-                    jnp.where(p1 == 1, jnp.minimum(sp, S - 1), S)] = p1_val
-                sp = sp + p1
-                stack_ref[
-                    jnp.where(near_ok == 1, jnp.minimum(sp, S - 1), S)
-                ] = near_c
-                sp = sp + near_ok
-            done = flag_ref[FH] if any_hit else jnp.int32(0)
-            return step + 1, sp, done
+                st(u_out, sub, best_ref[3] * inv_den)
+            st(v_out, sub, best_ref[4] * inv_den)
+            return carry
 
-        fin = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), jnp.int32(1), jnp.int32(0)))
-
-        # the winner is carried as (numerator, |det|) — divide ONCE per ray
-        inv_den = 1.0 / best_ref[6]
-        best_t = best_ref[0] * inv_den
-        best_prim = pltpu.bitcast(best_ref[1], jnp.int32)
-        best_inst = pltpu.bitcast(best_ref[2], jnp.int32)
-        miss = best_prim < 0
-        st(t_out, jnp.where(miss, jnp.float32(jnp.inf), best_t))
-        st(prim_out, best_prim)
-        st(inst_out, jnp.where(miss, -1, best_inst))
-        if debug_steps:
-            st(u_out,
-               jnp.full((8, 128), fin[0], jnp.int32).astype(jnp.float32))
+        if sub_n == 1:
+            run(0, 0)
         else:
-            st(u_out, best_ref[3] * inv_den)
-        st(v_out, best_ref[4] * inv_den)
+            jax.lax.fori_loop(0, sub_n, run, 0)
+
 
     return kernel
 
@@ -484,7 +505,8 @@ def _make_kernel(root_code: int, max_steps: int, any_hit: bool,
 def _make_resolve_kernel(root_code: int, max_steps: int, n_slots: int,
                          n_inst: int, alpha_test: bool = False,
                          n_mats: int = 1, image_mode: bool = False,
-                         wide: bool = False, cull_mask: int = 0xFF):
+                         wide: bool = False, cull_mask: int = 0xFF,
+                         sub_n: int = 1):
     """Fused trace+resolve packet kernel.
 
     Identical traversal to _make_kernel, but hit attributes are interpolated
@@ -513,281 +535,289 @@ def _make_resolve_kernel(root_code: int, max_steps: int, n_slots: int,
          t_out, prim_out, inst_out, uvx_out, uvy_out,
          nx_out, ny_out, nz_out, mat_out,
          obj_ref, best_ref, flag_ref, minv_ref, stack_ref) = rest
-        wox, woy, woz = ld(ox_ref), ld(oy_ref), ld(oz_ref)
-        wdx, wdy, wdz = ld(dx_ref), ld(dy_ref), ld(dz_ref)
+        def run(sub, carry):
+            wox, woy, woz = ld(ox_ref, sub), ld(oy_ref, sub), ld(oz_ref, sub)
+            wdx, wdy, wdz = ld(dx_ref, sub), ld(dy_ref, sub), ld(dz_ref, sub)
 
-        def safe_inv(x):
-            return 1.0 / jnp.where(jnp.abs(x) < 1e-12, 1e-12, x)
+            def safe_inv(x):
+                return 1.0 / jnp.where(jnp.abs(x) < 1e-12, 1e-12, x)
 
-        wix, wiy, wiz = safe_inv(wdx), safe_inv(wdy), safe_inv(wdz)
+            wix, wiy, wiz = safe_inv(wdx), safe_inv(wdy), safe_inv(wdz)
 
-        neg1 = pltpu.bitcast(jnp.full((8, 128), -1, jnp.int32), jnp.float32)
-        # ratio winner state (see _make_kernel): [0]=t num, [3..7]=uv/normal
-        # NUMERATORS, [9]=|det| den (1.0 = none), [10]=prune t plane for the
-        # box tests (one divide per leaf step, not per candidate)
-        best_ref[0] = ld(tmax_ref)
-        best_ref[1] = neg1
-        best_ref[2] = neg1
-        for i in range(3, 8):
-            best_ref[i] = jnp.zeros((8, 128), jnp.float32)
-        best_ref[8] = pltpu.bitcast(jnp.zeros((8, 128), jnp.int32), jnp.float32)
-        best_ref[9] = jnp.ones((8, 128), jnp.float32)
-        best_ref[10] = ld(tmax_ref)
-        for i, v in enumerate((wox, woy, woz, wdx, wdy, wdz, wix, wiy, wiz)):
-            obj_ref[i] = v
-        flag_ref[FI] = jnp.int32(0)   # cur_inst
-        # identity inverse until the first instance switch
-        for i in range(12):
-            minv_ref[i] = jnp.float32(1.0 if i in (0, 5, 10) else 0.0)
+            neg1 = pltpu.bitcast(jnp.full((8, 128), -1, jnp.int32), jnp.float32)
+            # ratio winner state (see _make_kernel): [0]=t num, [3..7]=uv/normal
+            # NUMERATORS, [9]=|det| den (1.0 = none), [10]=prune t plane for the
+            # box tests (one divide per leaf step, not per candidate)
+            best_ref[0] = ld(tmax_ref, sub)
+            best_ref[1] = neg1
+            best_ref[2] = neg1
+            for i in range(3, 8):
+                best_ref[i] = jnp.zeros((8, 128), jnp.float32)
+            best_ref[8] = pltpu.bitcast(jnp.zeros((8, 128), jnp.int32), jnp.float32)
+            best_ref[9] = jnp.ones((8, 128), jnp.float32)
+            best_ref[10] = ld(tmax_ref, sub)
+            for i, v in enumerate((wox, woy, woz, wdx, wdy, wdz, wix, wiy, wiz)):
+                obj_ref[i] = v
+            flag_ref[FI] = jnp.int32(0)   # cur_inst
+            # identity inverse until the first instance switch
+            for i in range(12):
+                minv_ref[i] = jnp.float32(1.0 if i in (0, 5, 10) else 0.0)
 
-        # SMEM scalar stack (see _make_kernel): slot S = trash slot
-        stack_ref[0] = jnp.int32(root_code)
+            # SMEM scalar stack (see _make_kernel): slot S = trash slot
+            stack_ref[0] = jnp.int32(root_code)
 
-        def cond(st):
-            step, sp = st
-            return (sp > 0) & (step < max_steps)
+            def cond(st):
+                step, sp = st
+                return (sp > 0) & (step < max_steps)
 
-        def body(st):
-            step, sp = st
-            sp = sp - 1
-            code = stack_ref[sp]
-            typ = (code >> _TYPE_SHIFT) & 3
-            payload = code & _PAYLOAD_MASK
-            obj = ((code >> 30) & 1) == 1
-            is_box = typ == TYPE_BOX
-            is_leaf = typ == TYPE_LEAF
-            is_inst = typ == TYPE_INST
-            c0 = codes_ref[payload * 2]
-            c1 = codes_ref[payload * 2 + 1]
-            # instance record word c1 = [mask:8 | opaque:1 | id:23]
-            inst_ok = (((c1 >> 24) & cull_mask) != 0).astype(jnp.int32)
+            def body(st):
+                step, sp = st
+                sp = sp - 1
+                code = stack_ref[sp]
+                typ = (code >> _TYPE_SHIFT) & 3
+                payload = code & _PAYLOAD_MASK
+                obj = ((code >> 30) & 1) == 1
+                is_box = typ == TYPE_BOX
+                is_leaf = typ == TYPE_LEAF
+                is_inst = typ == TYPE_INST
+                c0 = codes_ref[payload * 2]
+                c1 = codes_ref[payload * 2 + 1]
+                # instance record word c1 = [mask:8 | opaque:1 | id:23]
+                inst_ok = (((c1 >> 24) & cull_mask) != 0).astype(jnp.int32)
 
-            @pl.when(is_box)
-            def _box():
-                b = payload * 12
-                best_t = best_ref[10]
-                # one scalar-predicate select per plane (the old
-                # obj_f*a + (1-obj_f)*b lerp cost 3 vector ops per plane)
-                px = jnp.where(obj, obj_ref[0], wox)
-                py = jnp.where(obj, obj_ref[1], woy)
-                pz = jnp.where(obj, obj_ref[2], woz)
-                ix = jnp.where(obj, obj_ref[6], wix)
-                iy = jnp.where(obj, obj_ref[7], wiy)
-                iz = jnp.where(obj, obj_ref[8], wiz)
+                @pl.when(is_box)
+                def _box():
+                    b = payload * 12
+                    best_t = best_ref[10]
+                    # one scalar-predicate select per plane (the old
+                    # obj_f*a + (1-obj_f)*b lerp cost 3 vector ops per plane)
+                    px = jnp.where(obj, obj_ref[0], wox)
+                    py = jnp.where(obj, obj_ref[1], woy)
+                    pz = jnp.where(obj, obj_ref[2], woz)
+                    ix = jnp.where(obj, obj_ref[6], wix)
+                    iy = jnp.where(obj, obj_ref[7], wiy)
+                    iz = jnp.where(obj, obj_ref[8], wiz)
+                    if wide:
+                        _wide_box_step(boxes_ref, codes_ref, flag_ref, payload,
+                                       c0, c1, px, py, pz, ix, iy, iz, best_t)
+                        return
+
+                    def slab(o6):
+                        lx, ly, lz = boxes_ref[b + o6], boxes_ref[b + o6 + 1], boxes_ref[b + o6 + 2]
+                        hx, hy, hz = boxes_ref[b + o6 + 3], boxes_ref[b + o6 + 4], boxes_ref[b + o6 + 5]
+                        tx0 = (lx - px) * ix
+                        tx1 = (hx - px) * ix
+                        ty0 = (ly - py) * iy
+                        ty1 = (hy - py) * iy
+                        tz0 = (lz - pz) * iz
+                        tz1 = (hz - pz) * iz
+                        tn = jnp.maximum(
+                            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                            jnp.minimum(tz0, tz1))
+                        tf = jnp.minimum(
+                            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                            jnp.maximum(tz0, tz1))
+                        hit = (tf >= jnp.maximum(tn, 0.0)) & (tn <= best_t) & (lx <= hx)
+                        return hit, tn
+
+                    h0, tn0 = slab(0)
+                    h1, tn1 = slab(6)
+                    inf = jnp.float32(3e38)
+                    t0m = jnp.min(jnp.where(h0, tn0, inf))
+                    t1m = jnp.min(jnp.where(h1, tn1, inf))
+                    # any(h) == (min entry < inf): hit lanes satisfy tn <= best_t
+                    # <= t_max << 3e38, so the two any() cross-lane reductions
+                    # fold into the min-reductions already needed for ordering
+                    flag_ref[0] = (t0m < inf).astype(jnp.int32)
+                    flag_ref[1] = (t1m < inf).astype(jnp.int32)
+                    flag_ref[2] = (t0m <= t1m).astype(jnp.int32)
+
+                @pl.when(is_inst)
+                def _inst():
+                    b = payload * 12
+                    m = [boxes_ref[b + k] for k in range(12)]
+                    oox = m[0] * wox + m[1] * woy + m[2] * woz + m[3]
+                    ooy = m[4] * wox + m[5] * woy + m[6] * woz + m[7]
+                    ooz = m[8] * wox + m[9] * woy + m[10] * woz + m[11]
+                    odx = m[0] * wdx + m[1] * wdy + m[2] * wdz
+                    ody = m[4] * wdx + m[5] * wdy + m[6] * wdz
+                    odz = m[8] * wdx + m[9] * wdy + m[10] * wdz
+                    obj_ref[0] = oox
+                    obj_ref[1] = ooy
+                    obj_ref[2] = ooz
+                    obj_ref[3] = odx
+                    obj_ref[4] = ody
+                    obj_ref[5] = odz
+                    obj_ref[6] = safe_inv(odx)
+                    obj_ref[7] = safe_inv(ody)
+                    obj_ref[8] = safe_inv(odz)
+                    flag_ref[FI] = c1    # instance slot id
+                    for k in range(12):
+                        minv_ref[k] = m[k]
+
+                @pl.when(is_leaf)
+                def _leaf():
+                    b = payload * 72
+                    ub = payload * 48
+                    nb = payload * 72
+                    pb = payload * K
+                    oox, ooy, ooz = obj_ref[0], obj_ref[1], obj_ref[2]
+                    odx, ody, odz = obj_ref[3], obj_ref[4], obj_ref[5]
+                    num_b = best_ref[0]
+                    den_b = best_ref[9]
+                    best_prim = pltpu.bitcast(best_ref[1], jnp.int32)
+                    best_inst = pltpu.bitcast(best_ref[2], jnp.int32)
+                    best_uvx = best_ref[3]
+                    best_uvy = best_ref[4]
+                    best_nx = best_ref[5]
+                    best_ny = best_ref[6]
+                    best_nz = best_ref[7]
+                    best_mat = pltpu.bitcast(best_ref[8], jnp.int32)
+                    cur_raw = flag_ref[FI]
+                    cur_inst = cur_raw & INST_ID_MASK
+                    m = [minv_ref[k] for k in range(12)]
+                    for k in range(K):
+                        tb = b + k * 9
+                        # leaf rows store (a, e1, e2) — edges read directly
+                        ax, ay, az = lpos_ref[tb], lpos_ref[tb + 1], lpos_ref[tb + 2]
+                        e1x, e1y, e1z = (lpos_ref[tb + 3], lpos_ref[tb + 4],
+                                         lpos_ref[tb + 5])
+                        e2x, e2y, e2z = (lpos_ref[tb + 6], lpos_ref[tb + 7],
+                                         lpos_ref[tb + 8])
+                        ptag = lprim_ref[pb + k]
+                        px_ = ody * e2z - odz * e2y
+                        py_ = odz * e2x - odx * e2z
+                        pz_ = odx * e2y - ody * e2x
+                        det = e1x * px_ + e1y * py_ + e1z * pz_
+                        # division-free Möller-Trumbore (see _make_kernel._leaf);
+                        # attributes interpolate in RATIO space: numerators with
+                        # barycentric weights (adet-du-dv, du, dv), one divide
+                        # per ray at the end
+                        s = jnp.where(det >= 0.0, 1.0, -1.0)
+                        adet = jnp.abs(det)
+                        ok = adet > 1e-12
+                        sx, sy, sz = oox - ax, ooy - ay, ooz - az
+                        du = (sx * px_ + sy * py_ + sz * pz_) * s
+                        qx = sy * e1z - sz * e1y
+                        qy = sz * e1x - sx * e1z
+                        qz = sx * e1y - sy * e1x
+                        dv = (odx * qx + ody * qy + odz * qz) * s
+                        dt = (e2x * qx + e2y * qy + e2z * qz) * s
+                        hit = (
+                            ok & (du >= 0.0) & (dv >= 0.0) & (du + dv <= adet)
+                            & (dt > 1e-3 * adet) & (dt * den_b < num_b * adet)
+                            & (ptag >= 0)
+                        )
+                        # ---- attribute interpolation at hit time (ratio) -------
+                        dw0 = adet - du - dv
+                        kb = ub + k * 6
+                        uvx = (dw0 * luv_ref[kb] + du * luv_ref[kb + 2]
+                               + dv * luv_ref[kb + 4])
+                        uvy = (dw0 * luv_ref[kb + 1] + du * luv_ref[kb + 3]
+                               + dv * luv_ref[kb + 5])
+                        kn = nb + k * 9
+                        n0x, n0y, n0z = lnrm_ref[kn], lnrm_ref[kn + 1], lnrm_ref[kn + 2]
+                        n1x, n1y, n1z = lnrm_ref[kn + 3], lnrm_ref[kn + 4], lnrm_ref[kn + 5]
+                        n2x, n2y, n2z = lnrm_ref[kn + 6], lnrm_ref[kn + 7], lnrm_ref[kn + 8]
+                        nox = dw0 * n0x + du * n1x + dv * n2x
+                        noy = dw0 * n0y + du * n1y + dv * n2y
+                        noz = dw0 * n0z + du * n1z + dv * n2z
+                        # world normal = (M^-1)^T n_obj
+                        nwx = m[0] * nox + m[4] * noy + m[8] * noz
+                        nwy = m[1] * nox + m[5] * noy + m[9] * noz
+                        nwz = m[2] * nox + m[6] * noy + m[10] * noz
+                        slot_k = jnp.maximum(ptag, 0) >> 24
+                        midx = (jnp.clip(cur_inst, 0, n_inst - 1) * n_slots
+                                + jnp.clip(slot_k, 0, n_slots - 1))
+                        mat_k = smat_ref[midx]
+                        if alpha_test:
+                            # leaf cutout (leaf.glsl getAlpha): lens around
+                            # v=0.5 with parabolic half-width in u — needs REAL
+                            # uv, so the cutout pays one divide per candidate.
+                            # Force-opaque instances (record bit 23) skip it
+                            # (VK_GEOMETRY_INSTANCE_FORCE_OPAQUE parity).
+                            inv_a = 1.0 / jnp.where(ok, adet, 1.0)
+                            ruvx = uvx * inv_a
+                            ruvy = uvy * inv_a
+                            is_leaf = (
+                                smodel_ref[jnp.clip(mat_k, 0, n_mats - 1)]
+                                == _SHADE_LEAF)
+                            curve = (1.0 - (1.0 - 2.0 * ruvx) ** 2) * 0.2
+                            leaf_ok = jnp.abs(ruvy - 0.5) < curve
+                            forced = (cur_raw & INST_OPAQUE_BIT) != 0
+                            hit = hit & (jnp.logical_not(is_leaf) | leaf_ok
+                                         | forced)
+                        best_prim = jnp.where(hit, ptag & 0x00FFFFFF, best_prim)
+                        best_inst = jnp.where(hit, cur_inst, best_inst)
+                        best_uvx = jnp.where(hit, uvx, best_uvx)
+                        best_uvy = jnp.where(hit, uvy, best_uvy)
+                        best_nx = jnp.where(hit, nwx, best_nx)
+                        best_ny = jnp.where(hit, nwy, best_ny)
+                        best_nz = jnp.where(hit, nwz, best_nz)
+                        best_mat = jnp.where(hit, mat_k, best_mat)
+                        num_b = jnp.where(hit, dt, num_b)
+                        den_b = jnp.where(hit, adet, den_b)
+                    best_ref[0] = num_b
+                    best_ref[9] = den_b
+                    best_ref[1] = pltpu.bitcast(best_prim, jnp.float32)
+                    best_ref[2] = pltpu.bitcast(best_inst, jnp.float32)
+                    best_ref[3] = best_uvx
+                    best_ref[4] = best_uvy
+                    best_ref[5] = best_nx
+                    best_ref[6] = best_ny
+                    best_ref[7] = best_nz
+                    best_ref[8] = pltpu.bitcast(best_mat, jnp.float32)
+                    # ONE divide per leaf step refreshes the box-test prune plane
+                    best_ref[10] = num_b / den_b
+
                 if wide:
-                    _wide_box_step(boxes_ref, codes_ref, flag_ref, payload,
-                                   c0, c1, px, py, pz, ix, iy, iz, best_t)
-                    return
+                    sp = _wide_pushes(stack_ref, flag_ref, sp, is_box, is_inst,
+                                      c0, S, inst_ok)
+                else:
+                    box_i = is_box.astype(jnp.int32)
+                    any0 = flag_ref[0] * box_i
+                    any1 = flag_ref[1] * box_i
+                    first0 = flag_ref[2]
+                    near_c = jnp.where(first0 == 1, c0, c1)
+                    far_c = jnp.where(first0 == 1, c1, c0)
+                    near_ok = jnp.where(first0 == 1, any0, any1)
+                    far_ok = jnp.where(first0 == 1, any1, any0)
+                    p1 = jnp.where(is_inst, inst_ok, far_ok)
+                    p1_val = jnp.where(is_inst, c0, far_c)
+                    stack_ref[
+                        jnp.where(p1 == 1, jnp.minimum(sp, S - 1), S)] = p1_val
+                    sp = sp + p1
+                    stack_ref[
+                        jnp.where(near_ok == 1, jnp.minimum(sp, S - 1), S)
+                    ] = near_c
+                    sp = sp + near_ok
+                return step + 1, sp
 
-                def slab(o6):
-                    lx, ly, lz = boxes_ref[b + o6], boxes_ref[b + o6 + 1], boxes_ref[b + o6 + 2]
-                    hx, hy, hz = boxes_ref[b + o6 + 3], boxes_ref[b + o6 + 4], boxes_ref[b + o6 + 5]
-                    tx0 = (lx - px) * ix
-                    tx1 = (hx - px) * ix
-                    ty0 = (ly - py) * iy
-                    ty1 = (hy - py) * iy
-                    tz0 = (lz - pz) * iz
-                    tz1 = (hz - pz) * iz
-                    tn = jnp.maximum(
-                        jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-                        jnp.minimum(tz0, tz1))
-                    tf = jnp.minimum(
-                        jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-                        jnp.maximum(tz0, tz1))
-                    hit = (tf >= jnp.maximum(tn, 0.0)) & (tn <= best_t) & (lx <= hx)
-                    return hit, tn
+            jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(1)))
 
-                h0, tn0 = slab(0)
-                h1, tn1 = slab(6)
-                inf = jnp.float32(3e38)
-                t0m = jnp.min(jnp.where(h0, tn0, inf))
-                t1m = jnp.min(jnp.where(h1, tn1, inf))
-                # any(h) == (min entry < inf): hit lanes satisfy tn <= best_t
-                # <= t_max << 3e38, so the two any() cross-lane reductions
-                # fold into the min-reductions already needed for ordering
-                flag_ref[0] = (t0m < inf).astype(jnp.int32)
-                flag_ref[1] = (t1m < inf).astype(jnp.int32)
-                flag_ref[2] = (t0m <= t1m).astype(jnp.int32)
+            # ratio state: divide ONCE per ray (t, uv, unnormalized normal)
+            inv_den = 1.0 / best_ref[9]
+            best_t = best_ref[0] * inv_den
+            best_prim = pltpu.bitcast(best_ref[1], jnp.int32)
+            best_inst = pltpu.bitcast(best_ref[2], jnp.int32)
+            miss = best_prim < 0
+            st(t_out, sub, jnp.where(miss, jnp.float32(jnp.inf), best_t))
+            st(prim_out, sub, best_prim)
+            st(inst_out, sub, jnp.where(miss, -1, best_inst))
+            st(uvx_out, sub, best_ref[3] * inv_den)
+            st(uvy_out, sub, best_ref[4] * inv_den)
+            st(nx_out, sub, best_ref[5] * inv_den)
+            st(ny_out, sub, best_ref[6] * inv_den)
+            st(nz_out, sub, best_ref[7] * inv_den)
+            st(mat_out, sub,
+               jnp.where(miss, 0, pltpu.bitcast(best_ref[8], jnp.int32)))
+            return carry
 
-            @pl.when(is_inst)
-            def _inst():
-                b = payload * 12
-                m = [boxes_ref[b + k] for k in range(12)]
-                oox = m[0] * wox + m[1] * woy + m[2] * woz + m[3]
-                ooy = m[4] * wox + m[5] * woy + m[6] * woz + m[7]
-                ooz = m[8] * wox + m[9] * woy + m[10] * woz + m[11]
-                odx = m[0] * wdx + m[1] * wdy + m[2] * wdz
-                ody = m[4] * wdx + m[5] * wdy + m[6] * wdz
-                odz = m[8] * wdx + m[9] * wdy + m[10] * wdz
-                obj_ref[0] = oox
-                obj_ref[1] = ooy
-                obj_ref[2] = ooz
-                obj_ref[3] = odx
-                obj_ref[4] = ody
-                obj_ref[5] = odz
-                obj_ref[6] = safe_inv(odx)
-                obj_ref[7] = safe_inv(ody)
-                obj_ref[8] = safe_inv(odz)
-                flag_ref[FI] = c1    # instance slot id
-                for k in range(12):
-                    minv_ref[k] = m[k]
+        if sub_n == 1:
+            run(0, 0)
+        else:
+            jax.lax.fori_loop(0, sub_n, run, 0)
 
-            @pl.when(is_leaf)
-            def _leaf():
-                b = payload * 72
-                ub = payload * 48
-                nb = payload * 72
-                pb = payload * K
-                oox, ooy, ooz = obj_ref[0], obj_ref[1], obj_ref[2]
-                odx, ody, odz = obj_ref[3], obj_ref[4], obj_ref[5]
-                num_b = best_ref[0]
-                den_b = best_ref[9]
-                best_prim = pltpu.bitcast(best_ref[1], jnp.int32)
-                best_inst = pltpu.bitcast(best_ref[2], jnp.int32)
-                best_uvx = best_ref[3]
-                best_uvy = best_ref[4]
-                best_nx = best_ref[5]
-                best_ny = best_ref[6]
-                best_nz = best_ref[7]
-                best_mat = pltpu.bitcast(best_ref[8], jnp.int32)
-                cur_raw = flag_ref[FI]
-                cur_inst = cur_raw & INST_ID_MASK
-                m = [minv_ref[k] for k in range(12)]
-                for k in range(K):
-                    tb = b + k * 9
-                    # leaf rows store (a, e1, e2) — edges read directly
-                    ax, ay, az = lpos_ref[tb], lpos_ref[tb + 1], lpos_ref[tb + 2]
-                    e1x, e1y, e1z = (lpos_ref[tb + 3], lpos_ref[tb + 4],
-                                     lpos_ref[tb + 5])
-                    e2x, e2y, e2z = (lpos_ref[tb + 6], lpos_ref[tb + 7],
-                                     lpos_ref[tb + 8])
-                    ptag = lprim_ref[pb + k]
-                    px_ = ody * e2z - odz * e2y
-                    py_ = odz * e2x - odx * e2z
-                    pz_ = odx * e2y - ody * e2x
-                    det = e1x * px_ + e1y * py_ + e1z * pz_
-                    # division-free Möller-Trumbore (see _make_kernel._leaf);
-                    # attributes interpolate in RATIO space: numerators with
-                    # barycentric weights (adet-du-dv, du, dv), one divide
-                    # per ray at the end
-                    s = jnp.where(det >= 0.0, 1.0, -1.0)
-                    adet = jnp.abs(det)
-                    ok = adet > 1e-12
-                    sx, sy, sz = oox - ax, ooy - ay, ooz - az
-                    du = (sx * px_ + sy * py_ + sz * pz_) * s
-                    qx = sy * e1z - sz * e1y
-                    qy = sz * e1x - sx * e1z
-                    qz = sx * e1y - sy * e1x
-                    dv = (odx * qx + ody * qy + odz * qz) * s
-                    dt = (e2x * qx + e2y * qy + e2z * qz) * s
-                    hit = (
-                        ok & (du >= 0.0) & (dv >= 0.0) & (du + dv <= adet)
-                        & (dt > 1e-3 * adet) & (dt * den_b < num_b * adet)
-                        & (ptag >= 0)
-                    )
-                    # ---- attribute interpolation at hit time (ratio) -------
-                    dw0 = adet - du - dv
-                    kb = ub + k * 6
-                    uvx = (dw0 * luv_ref[kb] + du * luv_ref[kb + 2]
-                           + dv * luv_ref[kb + 4])
-                    uvy = (dw0 * luv_ref[kb + 1] + du * luv_ref[kb + 3]
-                           + dv * luv_ref[kb + 5])
-                    kn = nb + k * 9
-                    n0x, n0y, n0z = lnrm_ref[kn], lnrm_ref[kn + 1], lnrm_ref[kn + 2]
-                    n1x, n1y, n1z = lnrm_ref[kn + 3], lnrm_ref[kn + 4], lnrm_ref[kn + 5]
-                    n2x, n2y, n2z = lnrm_ref[kn + 6], lnrm_ref[kn + 7], lnrm_ref[kn + 8]
-                    nox = dw0 * n0x + du * n1x + dv * n2x
-                    noy = dw0 * n0y + du * n1y + dv * n2y
-                    noz = dw0 * n0z + du * n1z + dv * n2z
-                    # world normal = (M^-1)^T n_obj
-                    nwx = m[0] * nox + m[4] * noy + m[8] * noz
-                    nwy = m[1] * nox + m[5] * noy + m[9] * noz
-                    nwz = m[2] * nox + m[6] * noy + m[10] * noz
-                    slot_k = jnp.maximum(ptag, 0) >> 24
-                    midx = (jnp.clip(cur_inst, 0, n_inst - 1) * n_slots
-                            + jnp.clip(slot_k, 0, n_slots - 1))
-                    mat_k = smat_ref[midx]
-                    if alpha_test:
-                        # leaf cutout (leaf.glsl getAlpha): lens around
-                        # v=0.5 with parabolic half-width in u — needs REAL
-                        # uv, so the cutout pays one divide per candidate.
-                        # Force-opaque instances (record bit 23) skip it
-                        # (VK_GEOMETRY_INSTANCE_FORCE_OPAQUE parity).
-                        inv_a = 1.0 / jnp.where(ok, adet, 1.0)
-                        ruvx = uvx * inv_a
-                        ruvy = uvy * inv_a
-                        is_leaf = (
-                            smodel_ref[jnp.clip(mat_k, 0, n_mats - 1)]
-                            == _SHADE_LEAF)
-                        curve = (1.0 - (1.0 - 2.0 * ruvx) ** 2) * 0.2
-                        leaf_ok = jnp.abs(ruvy - 0.5) < curve
-                        forced = (cur_raw & INST_OPAQUE_BIT) != 0
-                        hit = hit & (jnp.logical_not(is_leaf) | leaf_ok
-                                     | forced)
-                    best_prim = jnp.where(hit, ptag & 0x00FFFFFF, best_prim)
-                    best_inst = jnp.where(hit, cur_inst, best_inst)
-                    best_uvx = jnp.where(hit, uvx, best_uvx)
-                    best_uvy = jnp.where(hit, uvy, best_uvy)
-                    best_nx = jnp.where(hit, nwx, best_nx)
-                    best_ny = jnp.where(hit, nwy, best_ny)
-                    best_nz = jnp.where(hit, nwz, best_nz)
-                    best_mat = jnp.where(hit, mat_k, best_mat)
-                    num_b = jnp.where(hit, dt, num_b)
-                    den_b = jnp.where(hit, adet, den_b)
-                best_ref[0] = num_b
-                best_ref[9] = den_b
-                best_ref[1] = pltpu.bitcast(best_prim, jnp.float32)
-                best_ref[2] = pltpu.bitcast(best_inst, jnp.float32)
-                best_ref[3] = best_uvx
-                best_ref[4] = best_uvy
-                best_ref[5] = best_nx
-                best_ref[6] = best_ny
-                best_ref[7] = best_nz
-                best_ref[8] = pltpu.bitcast(best_mat, jnp.float32)
-                # ONE divide per leaf step refreshes the box-test prune plane
-                best_ref[10] = num_b / den_b
-
-            if wide:
-                sp = _wide_pushes(stack_ref, flag_ref, sp, is_box, is_inst,
-                                  c0, S, inst_ok)
-            else:
-                box_i = is_box.astype(jnp.int32)
-                any0 = flag_ref[0] * box_i
-                any1 = flag_ref[1] * box_i
-                first0 = flag_ref[2]
-                near_c = jnp.where(first0 == 1, c0, c1)
-                far_c = jnp.where(first0 == 1, c1, c0)
-                near_ok = jnp.where(first0 == 1, any0, any1)
-                far_ok = jnp.where(first0 == 1, any1, any0)
-                p1 = jnp.where(is_inst, inst_ok, far_ok)
-                p1_val = jnp.where(is_inst, c0, far_c)
-                stack_ref[
-                    jnp.where(p1 == 1, jnp.minimum(sp, S - 1), S)] = p1_val
-                sp = sp + p1
-                stack_ref[
-                    jnp.where(near_ok == 1, jnp.minimum(sp, S - 1), S)
-                ] = near_c
-                sp = sp + near_ok
-            return step + 1, sp
-
-        jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(1)))
-
-        # ratio state: divide ONCE per ray (t, uv, unnormalized normal)
-        inv_den = 1.0 / best_ref[9]
-        best_t = best_ref[0] * inv_den
-        best_prim = pltpu.bitcast(best_ref[1], jnp.int32)
-        best_inst = pltpu.bitcast(best_ref[2], jnp.int32)
-        miss = best_prim < 0
-        st(t_out, jnp.where(miss, jnp.float32(jnp.inf), best_t))
-        st(prim_out, best_prim)
-        st(inst_out, jnp.where(miss, -1, best_inst))
-        st(uvx_out, best_ref[3] * inv_den)
-        st(uvy_out, best_ref[4] * inv_den)
-        st(nx_out, best_ref[5] * inv_den)
-        st(ny_out, best_ref[6] * inv_den)
-        st(nz_out, best_ref[7] * inv_den)
-        st(mat_out,
-           jnp.where(miss, 0, pltpu.bitcast(best_ref[8], jnp.int32)))
 
     return kernel
 
@@ -802,13 +832,16 @@ def image_mode_ok(image_shape, n_rays: int) -> bool:
     return h % 8 == 0 and w % 128 == 0 and h * w == n_rays
 
 
-def _pack_rays(ray_o, ray_d, t_cap, image_shape):
+def _pack_rays(ray_o, ray_d, t_cap, image_shape, sub_cap: int = 0):
     """Ray wavefront -> per-component packet blocks + specs.
 
-    Returns (args, ray_spec, out_spec, grid, out_shape_fn, unflatten):
+    Returns (args, ray_spec, out_spec, grid, out_shape_fn, unflatten, sub_n):
     7 component arrays (ox oy oz dx dy dz tmax), the input/output BlockSpecs,
-    the packet grid size, a dtype->ShapeDtypeStruct maker for outputs, and a
-    fn mapping a kernel output back to a flat [r] array.
+    the packet grid size, a dtype->ShapeDtypeStruct maker for outputs, a fn
+    mapping a kernel output back to a flat [r] array, and the number of
+    packets per grid step (flat mode groups SUBPACKETS packets per step to
+    amortize the ~2.4 us/step block plumbing; image mode runs one tile per
+    step, its blocks are already zero-relayout).
 
     In image mode the tile permutation lives entirely in the index_map over
     (8, 128) blocks of the row-major [H, W] arrays — no transposed arrays
@@ -825,29 +858,34 @@ def _pack_rays(ray_o, ray_d, t_cap, image_shape):
         args.append(t_cap.reshape(h, w))
         out_shape = lambda dt: jax.ShapeDtypeStruct((h, w), dt)
         unflatten = lambda x: x.reshape(r)
-        return args, spec, spec, g, out_shape, unflatten
+        return args, spec, spec, g, out_shape, unflatten, 1
 
-    r_pad = -(-r // PACKET) * PACKET
-    g = r_pad // PACKET
-    spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+    # group SUBPACKETS packets per grid step; a short wavefront degrades
+    # gracefully to fewer packets per step (pad rays park dead — see below).
+    # sub_cap=0 -> module default, read at call time (bench sweeps patch it)
+    sub = max(1, min(sub_cap or SUBPACKETS, -(-r // PACKET)))
+    step = sub * PACKET
+    r_pad = -(-r // step) * step
+    g = r_pad // step
+    spec = pl.BlockSpec((sub, 8, 128), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
 
     def comp(x, fill):
         return jnp.pad(x, (0, r_pad - r),
-                       constant_values=fill).reshape(g, 8, 128)
+                       constant_values=fill).reshape(g * sub, 8, 128)
 
     args = [comp(ray_o[:, k], 0.0) for k in range(3)]
     args += [comp(ray_d[:, k], 1.0) for k in range(3)]
     args.append(comp(t_cap, -3e38))   # pad rays park at origin: see above
-    out_shape = lambda dt: jax.ShapeDtypeStruct((g, 8, 128), dt)
+    out_shape = lambda dt: jax.ShapeDtypeStruct((g * sub, 8, 128), dt)
     unflatten = lambda x: x.reshape(r_pad)[:r]
-    return args, spec, spec, g, out_shape, unflatten
+    return args, spec, spec, g, out_shape, unflatten, sub
 
 
 @partial(
     jax.jit,
     static_argnames=("root_code", "stack_size", "max_steps", "image_shape",
-                     "wide", "cull_mask"),
+                     "wide", "cull_mask", "sub_cap"),
 )
 def trace_resolve_scene_pallas(
     scene: RTScene,
@@ -864,6 +902,7 @@ def trace_resolve_scene_pallas(
     image_shape: Optional[Tuple[int, int]] = None,
     wide: bool = False,
     cull_mask: int = 0xFF,
+    sub_cap: int = 0,
 ):
     """Fused closest-hit + attribute resolve. Returns a dict of flat arrays:
     t, prim, inst, uv f32[R, 2], normal f32[R, 3] (unnormalized world),
@@ -880,8 +919,8 @@ def trace_resolve_scene_pallas(
         t_cap = jnp.where(active, t_cap, -3e38)
 
     image_mode = image_mode_ok(image_shape, r)
-    ray_args, ray_spec, out_spec, g, out_shape, unflatten = _pack_rays(
-        ray_o, ray_d, t_cap, image_shape)
+    ray_args, ray_spec, out_spec, g, out_shape, unflatten, sub = _pack_rays(
+        ray_o, ray_d, t_cap, image_shape, sub_cap=sub_cap)
 
     boxes, codes, lpos, lprim = _split_scene(scene)
     luv = scene.leaf_rows[:, _UV:].reshape(-1)
@@ -899,7 +938,7 @@ def trace_resolve_scene_pallas(
     kernel = _make_resolve_kernel(root_code, max_steps, n_slots, n_inst,
                                   alpha_test=alpha_test, n_mats=n_mats,
                                   image_mode=image_mode, wide=wide,
-                                  cull_mask=cull_mask)
+                                  cull_mask=cull_mask, sub_n=sub)
 
     smem = lambda n: pl.BlockSpec(
         (n,), lambda i: (0,), memory_space=pltpu.SMEM)
@@ -956,7 +995,8 @@ def trace_resolve_scene_pallas(
 @partial(
     jax.jit,
     static_argnames=("root_code", "stack_size", "any_hit", "debug_steps",
-                     "max_steps", "image_shape", "wide", "cull_mask"),
+                     "max_steps", "image_shape", "wide", "cull_mask",
+                     "sub_cap"),
 )
 def trace_scene_pallas(
     scene: RTScene,
@@ -973,6 +1013,7 @@ def trace_scene_pallas(
     image_shape: Optional[Tuple[int, int]] = None,
     wide: bool = False,
     cull_mask: int = 0xFF,
+    sub_cap: int = 0,
 ) -> HitRecord2:
     """Packet-traversal front end: rays run in their given order (pixel-major
     wavefronts are already strip-coherent — see ordering note above), or as
@@ -987,8 +1028,8 @@ def trace_scene_pallas(
         t_cap = jnp.where(active, t_cap, -3e38)   # never hits, never pushes
 
     image_mode = image_mode_ok(image_shape, r)
-    ray_args, ray_spec, out_spec, g, out_shape, unflatten = _pack_rays(
-        ray_o, ray_d, t_cap, image_shape)
+    ray_args, ray_spec, out_spec, g, out_shape, unflatten, sub = _pack_rays(
+        ray_o, ray_d, t_cap, image_shape, sub_cap=sub_cap)
 
     boxes, codes, lpos, lprim = _split_scene(scene)
     if max_steps is None:
@@ -1001,7 +1042,7 @@ def trace_scene_pallas(
 
     kernel = _make_kernel(root_code, max_steps, any_hit,
                           debug_steps=debug_steps, image_mode=image_mode,
-                          wide=wide, cull_mask=cull_mask)
+                          wide=wide, cull_mask=cull_mask, sub_n=sub)
 
     smem = lambda n: pl.BlockSpec(
         (n,), lambda i: (0,), memory_space=pltpu.SMEM)

@@ -197,8 +197,8 @@ def _make_kernel_paged(root_code: int, max_steps: int, any_hit: bool,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                t_out, prim_out, inst_out, u_out, v_out,
                obj_ref, best_ref, flag_ref, cb, cc, sems, stack_ref):
-        wox, woy, woz = rd(ox_ref), rd(oy_ref), rd(oz_ref)
-        wdx, wdy, wdz = rd(dx_ref), rd(dy_ref), rd(dz_ref)
+        wox, woy, woz = rd(ox_ref, 0), rd(oy_ref, 0), rd(oz_ref, 0)
+        wdx, wdy, wdz = rd(dx_ref, 0), rd(dy_ref, 0), rd(dz_ref, 0)
 
         def safe_inv(x):
             return 1.0 / jnp.where(jnp.abs(x) < 1e-12, 1e-12, x)
@@ -208,13 +208,13 @@ def _make_kernel_paged(root_code: int, max_steps: int, any_hit: bool,
         neg1 = pltpu.bitcast(jnp.full((8, 128), -1, jnp.int32), jnp.float32)
         # ratio winner state (see trace_kernel._make_kernel): [0]=t num,
         # [3]/[4]=u/v num, [6]=|det| den (1.0 = none), [5]=prune t plane
-        best_ref[0] = rd(tmax_ref)
+        best_ref[0] = rd(tmax_ref, 0)
         best_ref[1] = neg1
         best_ref[2] = neg1
         best_ref[3] = jnp.zeros((8, 128), jnp.float32)
         best_ref[4] = jnp.zeros((8, 128), jnp.float32)
         # [5] = box-test prune bound: any-hit drops committed rays to -3e38
-        best_ref[5] = rd(tmax_ref)
+        best_ref[5] = rd(tmax_ref, 0)
         best_ref[6] = jnp.ones((8, 128), jnp.float32)
         for i, v in enumerate((wox, woy, woz, wdx, wdy, wdz, wix, wiy, wiz)):
             obj_ref[i] = v
@@ -443,15 +443,15 @@ def _make_kernel_paged(root_code: int, max_steps: int, any_hit: bool,
         best_prim = pltpu.bitcast(best_ref[1], jnp.int32)
         best_inst = pltpu.bitcast(best_ref[2], jnp.int32)
         miss = best_prim < 0
-        stv(t_out, jnp.where(miss, jnp.float32(jnp.inf), best_t))
-        stv(prim_out, best_prim)
-        stv(inst_out, jnp.where(miss, -1, best_inst))
+        stv(t_out, 0, jnp.where(miss, jnp.float32(jnp.inf), best_t))
+        stv(prim_out, 0, best_prim)
+        stv(inst_out, 0, jnp.where(miss, -1, best_inst))
         if debug_steps:
-            stv(u_out,
+            stv(u_out, 0,
                 jnp.full((8, 128), fin[0], jnp.int32).astype(jnp.float32))
         else:
-            stv(u_out, best_ref[3] * inv_den)
-        stv(v_out, best_ref[4] * inv_den)
+            stv(u_out, 0, best_ref[3] * inv_den)
+        stv(v_out, 0, best_ref[4] * inv_den)
 
     return kernel
 
@@ -483,8 +483,8 @@ def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
          nx_out, ny_out, nz_out, mat_out,
          obj_ref, best_ref, flag_ref, minv_ref, cb, cc, cs, sems,
          stack_ref) = rest
-        wox, woy, woz = rd(ox_ref), rd(oy_ref), rd(oz_ref)
-        wdx, wdy, wdz = rd(dx_ref), rd(dy_ref), rd(dz_ref)
+        wox, woy, woz = rd(ox_ref, 0), rd(oy_ref, 0), rd(oz_ref, 0)
+        wdx, wdy, wdz = rd(dx_ref, 0), rd(dy_ref, 0), rd(dz_ref, 0)
 
         def safe_inv(x):
             return 1.0 / jnp.where(jnp.abs(x) < 1e-12, 1e-12, x)
@@ -494,7 +494,7 @@ def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
         neg1 = pltpu.bitcast(jnp.full((8, 128), -1, jnp.int32), jnp.float32)
         # ratio winner state (see trace_kernel._make_resolve_kernel):
         # [0]=t num, [3..7]=uv/normal numerators, [9]=|det| den, [10]=prune t
-        best_ref[0] = rd(tmax_ref)
+        best_ref[0] = rd(tmax_ref, 0)
         best_ref[1] = neg1
         best_ref[2] = neg1
         for i in range(3, 8):
@@ -502,7 +502,7 @@ def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
         best_ref[8] = pltpu.bitcast(
             jnp.zeros((8, 128), jnp.int32), jnp.float32)
         best_ref[9] = jnp.ones((8, 128), jnp.float32)
-        best_ref[10] = rd(tmax_ref)
+        best_ref[10] = rd(tmax_ref, 0)
         for i, v in enumerate((wox, woy, woz, wdx, wdy, wdz, wix, wiy, wiz)):
             obj_ref[i] = v
         flag_ref[FI] = jnp.int32(0)   # cur_inst (global slot)
@@ -781,15 +781,15 @@ def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
         best_prim = pltpu.bitcast(best_ref[1], jnp.int32)
         best_inst = pltpu.bitcast(best_ref[2], jnp.int32)
         miss = best_prim < 0
-        stv(t_out, jnp.where(miss, jnp.float32(jnp.inf), best_t))
-        stv(prim_out, best_prim)
-        stv(inst_out, jnp.where(miss, -1, best_inst))
-        stv(uvx_out, best_ref[3] * inv_den)
-        stv(uvy_out, best_ref[4] * inv_den)
-        stv(nx_out, best_ref[5] * inv_den)
-        stv(ny_out, best_ref[6] * inv_den)
-        stv(nz_out, best_ref[7] * inv_den)
-        stv(mat_out,
+        stv(t_out, 0, jnp.where(miss, jnp.float32(jnp.inf), best_t))
+        stv(prim_out, 0, best_prim)
+        stv(inst_out, 0, jnp.where(miss, -1, best_inst))
+        stv(uvx_out, 0, best_ref[3] * inv_den)
+        stv(uvy_out, 0, best_ref[4] * inv_den)
+        stv(nx_out, 0, best_ref[5] * inv_den)
+        stv(ny_out, 0, best_ref[6] * inv_den)
+        stv(nz_out, 0, best_ref[7] * inv_den)
+        stv(mat_out, 0,
             jnp.where(miss, 0, pltpu.bitcast(best_ref[8], jnp.int32)))
 
     return kernel
@@ -827,8 +827,8 @@ def trace_resolve_scene_pallas_paged(
         t_cap = jnp.where(active, t_cap, -3e38)  # see trace_kernel: origin-inside boxes
 
     image_mode = image_mode_ok(image_shape, r)
-    ray_args, ray_spec, out_spec, g, out_shape, unflatten = _pack_rays(
-        ray_o, ray_d, t_cap, image_shape)
+    ray_args, ray_spec, out_spec, g, out_shape, unflatten, _sub = _pack_rays(
+        ray_o, ray_d, t_cap, image_shape, sub_cap=1)
 
     sb, sc, lpos, lprim = _split_static(scene)
     luv = scene.leaf_rows[:, _UV:].reshape(-1)
@@ -919,8 +919,8 @@ def trace_scene_pallas_paged(
         t_cap = jnp.where(active, t_cap, -3e38)  # see trace_kernel: origin-inside boxes
 
     image_mode = image_mode_ok(image_shape, r)
-    ray_args, ray_spec, out_spec, g, out_shape, unflatten = _pack_rays(
-        ray_o, ray_d, t_cap, image_shape)
+    ray_args, ray_spec, out_spec, g, out_shape, unflatten, _sub = _pack_rays(
+        ray_o, ray_d, t_cap, image_shape, sub_cap=1)
 
     sb, sc, lpos, lprim = _split_static(scene)
     # wide steps push up to 3 net entries per pop over half the depth

@@ -248,3 +248,42 @@ def test_image_mode_resolve_matches_flat(example):
                                np.asarray(out_f["normal"]), atol=1e-6)
     np.testing.assert_allclose(np.asarray(out_i["uv"]),
                                np.asarray(out_f["uv"]), atol=1e-6)
+
+
+def test_subpacket_grouping_matches_flat(example):
+    """sub_cap>1 groups several packets per grid step (fori_loop over the
+    sub index); results must be bit-identical to the one-packet-per-step
+    layout, including the trailing partial group (pad rays park dead).
+    sub_cap is a jit STATIC (a module-var sweep would hit the jit cache
+    and compare a result against itself)."""
+    rp, cam, rts, roots, ss, instances, o, d, t_max = example
+    from examples.render_scene import build_example_scene
+
+    # 40x64 = 2560 rays: 3 packets -> one sub=2 group + one partial group
+    _, cam2 = build_example_scene(64, 40)
+    o2, d2 = raygen(cam2.matrices, 64, 40)
+    tm = jnp.full(o2.shape[0], 1000.0)
+    kw = dict(root_code=roots[0], stack_size=ss,
+              max_steps=TK.traversal_step_bound(rts, instances.capacity))
+
+    rec1 = TK.trace_scene_pallas(rts, o2, d2, tm, sub_cap=1, **kw)
+    rec2 = TK.trace_scene_pallas(rts, o2, d2, tm, sub_cap=2, **kw)
+
+    np.testing.assert_array_equal(np.asarray(rec1.hit), np.asarray(rec2.hit))
+    np.testing.assert_array_equal(np.asarray(rec1.prim),
+                                  np.asarray(rec2.prim))
+    np.testing.assert_array_equal(np.asarray(rec1.inst),
+                                  np.asarray(rec2.inst))
+    h = np.asarray(rec1.hit)
+    np.testing.assert_allclose(np.asarray(rec1.t)[h], np.asarray(rec2.t)[h],
+                               rtol=0, atol=0)
+
+    # fused resolve path too
+    slots = rp._slot_material_array(instances.capacity)
+    out1 = TK.trace_resolve_scene_pallas(rts, slots, o2, d2, tm,
+                                         sub_cap=1, **kw)
+    out2 = TK.trace_resolve_scene_pallas(rts, slots, o2, d2, tm,
+                                         sub_cap=2, **kw)
+    for k in ("t", "prim", "inst", "material"):
+        np.testing.assert_array_equal(np.asarray(out1[k]),
+                                      np.asarray(out2[k]))
