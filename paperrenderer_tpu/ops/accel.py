@@ -452,6 +452,7 @@ def refit_anim_blases(
     anim_rest: jax.Array,     # f32[LA, 128] rest-pose leaf rows
     time: jax.Array,
     animate: Callable,        # f(v f32[..., 3], time) -> f32[..., 3]
+    anim_prim: Optional[jax.Array] = None,  # i32[LA, K] (resplit-permuted)
 ):
     """Animate unique-geometry vertices and refit their BLAS rows in-graph.
 
@@ -459,7 +460,10 @@ def refit_anim_blases(
     root_lo f32[A, 3], root_hi f32[A, 3]). The morton ordering is the rest
     pose's (refit keeps topology — TLAS::updateTLAS refit semantics). Child
     codes are static (meta.anim_node_codes) — nothing integer flows through
-    the f32 refit math."""
+    the f32 refit math. ``anim_prim`` supplies the leaf-validity mask when
+    the caller permuted the leaf order (``resplit_anim_tables``); the
+    implicit complete tree pairs ADJACENT leaves, so box quality tracks
+    whatever order the rows arrive in."""
     if not meta.anim:
         z = jnp.zeros((0, 12), jnp.float32)
         return (z, jnp.zeros((0, LEAF_ROW), jnp.float32),
@@ -486,7 +490,11 @@ def refit_anim_blases(
         rows = rows.at[:, _POS:_UV].set(edges9.reshape(a.num_leaves, K * 9))
         leaf_parts.append(rows)
 
-        ok = jnp.asarray(a.rest_prim >= 0)[..., None]           # [L, K, 1]
+        if anim_prim is not None:
+            ok = (anim_prim[a.leaf_off : a.leaf_off + a.num_leaves]
+                  >= 0)[..., None]                              # [L, K, 1]
+        else:
+            ok = jnp.asarray(a.rest_prim >= 0)[..., None]       # [L, K, 1]
         tri_min = jnp.minimum(
             jnp.minimum(pos9[..., 0:3], pos9[..., 3:6]), pos9[..., 6:9])
         tri_max = jnp.maximum(
@@ -518,6 +526,92 @@ def refit_anim_blases(
              else jnp.zeros((0, 12), jnp.float32))
     return (nodes, jnp.concatenate(leaf_parts, axis=0),
             jnp.stack(roots_lo), jnp.stack(roots_hi))
+
+
+def _median_perm(cen: jax.Array, valid: jax.Array,
+                 stop_seg: int = 1) -> jax.Array:
+    """Slot permutation by recursive widest-axis median splits, in-graph.
+
+    The implicit complete tree over L (power-of-two) slots makes
+    median-split reordering a sequence of SEGMENTED sorts: level l sorts
+    within each of the 2^l nested segments along that segment's widest
+    centroid axis, which is exactly ``_median_order``'s recursion expressed
+    as static-shape [segments, seg_len] argsorts (no host loop over data).
+    Invalid (pad) slots sink to each segment's right. ``stop_seg`` stops the
+    recursion once segments reach that size (= K for triangle->leaf
+    grouping, where within-leaf order is irrelevant)."""
+    L = cen.shape[0]
+    assert L & (L - 1) == 0, "slot count must be a power of two"
+    perm = jnp.arange(L, dtype=jnp.int32)
+    levels = max(L // max(stop_seg, 1) - 1, 1).bit_length() - 1
+    for lvl in range(levels):
+        seg = L >> lvl
+        c = cen[perm].reshape(-1, seg, 3)
+        v = valid[perm].reshape(-1, seg)
+        lo = jnp.where(v[..., None], c, jnp.inf).min(axis=1)
+        hi = jnp.where(v[..., None], c, -jnp.inf).max(axis=1)
+        ext = hi - lo
+        ext = jnp.where(jnp.isfinite(ext), ext, 0.0)
+        ax = jnp.argmax(ext, axis=-1)                      # [S]
+        key = jnp.take_along_axis(c, ax[:, None, None], axis=-1)[..., 0]
+        key = jnp.where(v, key, jnp.inf)                   # pads sink right
+        order = jnp.argsort(key, axis=1)                   # [S, seg]
+        perm = jnp.take_along_axis(
+            perm.reshape(-1, seg), order, axis=1).reshape(L)
+    return perm
+
+
+def resplit_anim_tables(
+    meta: BLASSetMeta,
+    anim_rest: jax.Array,     # f32[LA, 128] rest-pose leaf rows
+    time: jax.Array,
+    animate: Callable,
+):
+    """In-graph RE-SPLIT of the anim BLAS leaf order at the ANIMATED pose.
+    Returns permuted (anim_rest, anim_prim i32[LA, K], anim_nrm f32[LA, K*9]).
+
+    ``refit_anim_blases`` keeps the rest pose's leaf order forever, so box
+    quality (and traversal cost) degrades under large deformation. The
+    reference instead re-queues a full BLAS *build* on the animated vertices
+    every frame (example/src/main.cpp:908-921). TPU equivalent: re-partition
+    each model's leaves by recursive widest-axis median splits of their
+    animated centroids (``_median_perm`` — the same quality scheme the host
+    build uses, NOT raw morton, which measurably loses to the host order) —
+    log2(L) small segmented argsorts + row gathers in-graph, no host
+    rebuild, no recompile — and let the refit build its implicit-tree boxes
+    over the new adjacency. Feed the outputs to
+    ``assemble_scene(..., resplit=True)`` / ``refit_anim_blases(anim_prim=)``.
+    """
+    prim = jnp.asarray(meta.anim_leaf_prim)
+    nrm = jnp.asarray(meta.anim_leaf_nrm)
+    rest_parts, prim_parts, nrm_parts = [], [], []
+    for a in meta.anim:
+        sl = slice(a.leaf_off, a.leaf_off + a.num_leaves)
+        L = a.num_leaves
+        rows = anim_rest[sl]
+        # TRIANGLE-level regroup (not just leaf reorder): leaf CONTENT is
+        # what a rebuild improves — a deformation that separates a leaf's K
+        # rest-neighbors fattens its box no matter how leaves are ordered
+        pos = rows[:, _POS:_UV].reshape(L * K, 9)       # rest (a, e1, e2)
+        uv = rows[:, _UV:].reshape(L * K, 6)
+        nr = nrm[sl].reshape(L * K, 9)
+        pr = prim[sl].reshape(L * K)
+        a0 = pos[:, 0:3]
+        verts = jnp.concatenate(
+            [a0, a0 + pos[:, 3:6], a0 + pos[:, 6:9]], axis=-1)
+        pos9 = animate(verts.reshape(-1, 3),
+                       time + a.phase).reshape(L * K, 9)
+        valid = pr >= 0
+        cen = (pos9[:, 0:3] + pos9[:, 3:6] + pos9[:, 6:9]) / 3.0
+        order = _median_perm(cen, valid, stop_seg=K)
+        rest_parts.append(jnp.concatenate(
+            [pos[order].reshape(L, K * 9), uv[order].reshape(L, K * 6)],
+            axis=-1))
+        prim_parts.append(pr[order].reshape(L, K))
+        nrm_parts.append(nr[order].reshape(L, K * 9))
+    return (jnp.concatenate(rest_parts, axis=0),
+            jnp.concatenate(prim_parts, axis=0),
+            jnp.concatenate(nrm_parts, axis=0))
 
 
 def build_tlas_rows(
@@ -677,21 +771,30 @@ def assemble_scene(
     animate: Optional[Callable] = None,
     inst_mask: Optional[jax.Array] = None,    # i32[N] 8-bit visibility masks
     inst_opaque: Optional[jax.Array] = None,  # bool[N] force-opaque flags
+    resplit: bool = False,
 ) -> Tuple[RTScene, List[int]]:
     """Assemble the unified node table for one frame.
 
     Row layout: [static BLAS | anim BLAS | instance rows | TLAS 0 | TLAS 1...].
     Returns (scene, [root codes per TLAS]). All offsets are static python
-    ints (shapes are capacities), so root codes are jit-static."""
+    ints (shapes are capacities), so root codes are jit-static.
+
+    ``resplit=True`` re-sorts anim leaf order at the animated pose before the
+    refit (``resplit_anim_tables`` — the reference's per-frame BLAS rebuild
+    quality, main.cpp:908-921)."""
     n = instances.capacity
     l = _next_pow2(n)
     nb = meta.num_static_nodes
     na = meta.num_anim_nodes
     inst_off = nb + na
 
+    rs_prim = rs_nrm = None
     if meta.anim and animate is not None and time is not None:
+        if resplit:
+            anim_rest, rs_prim, rs_nrm = resplit_anim_tables(
+                meta, anim_rest, time, animate)
         anim_nodes, anim_leaves, a_lo, a_hi = refit_anim_blases(
-            meta, anim_rest, time, animate)
+            meta, anim_rest, time, animate, anim_prim=rs_prim)
         root_min = jnp.concatenate(
             [blasset.root_min[: meta.num_blas - len(meta.anim)], a_lo], axis=0)
         root_max = jnp.concatenate(
@@ -705,12 +808,14 @@ def assemble_scene(
                 if meta.anim_node_codes is not None and
                 len(meta.anim_node_codes)
                 else jnp.zeros((anim_nodes.shape[0], 2), jnp.int32))
-    na_prim = (jnp.asarray(meta.anim_leaf_prim)
-               if meta.anim_leaf_prim is not None and len(meta.anim_leaf_prim)
-               else jnp.zeros((anim_leaves.shape[0], K), jnp.int32))
-    na_nrm = (jnp.asarray(meta.anim_leaf_nrm)
-              if meta.anim_leaf_nrm is not None and len(meta.anim_leaf_nrm)
-              else jnp.zeros((anim_leaves.shape[0], K * 9), jnp.float32))
+    na_prim = rs_prim if rs_prim is not None else (
+        jnp.asarray(meta.anim_leaf_prim)
+        if meta.anim_leaf_prim is not None and len(meta.anim_leaf_prim)
+        else jnp.zeros((anim_leaves.shape[0], K), jnp.int32))
+    na_nrm = rs_nrm if rs_nrm is not None else (
+        jnp.asarray(meta.anim_leaf_nrm)
+        if meta.anim_leaf_nrm is not None and len(meta.anim_leaf_nrm)
+        else jnp.zeros((anim_leaves.shape[0], K * 9), jnp.float32))
     parts = [blasset.nodes, anim_nodes]
     code_parts = [blasset.codes, na_codes]
     mats = None
@@ -829,6 +934,7 @@ def assemble_scene_paged(
     animate: Optional[Callable] = None,
     inst_mask: Optional[jax.Array] = None,    # i32[N] 8-bit visibility masks
     inst_opaque: Optional[jax.Array] = None,  # bool[N] force-opaque flags
+    resplit: bool = False,
 ) -> Tuple[PagedScene, int]:
     """Chunked-TLAS frame assembly. Returns (scene, root_code).
 
@@ -845,9 +951,13 @@ def assemble_scene_paged(
     root_off = nb + na
 
     # --- anim BLAS refit (same as assemble_scene) --------------------------
+    rs_prim = rs_nrm = None
     if meta.anim and animate is not None and time is not None:
+        if resplit:
+            anim_rest, rs_prim, rs_nrm = resplit_anim_tables(
+                meta, anim_rest, time, animate)
         anim_nodes, anim_leaves, a_lo, a_hi = refit_anim_blases(
-            meta, anim_rest, time, animate)
+            meta, anim_rest, time, animate, anim_prim=rs_prim)
         root_min = jnp.concatenate(
             [blasset.root_min[: meta.num_blas - len(meta.anim)], a_lo], axis=0)
         root_max = jnp.concatenate(
@@ -861,12 +971,14 @@ def assemble_scene_paged(
                 if meta.anim_node_codes is not None
                 and len(meta.anim_node_codes)
                 else jnp.zeros((anim_nodes.shape[0], 2), jnp.int32))
-    na_prim = (jnp.asarray(meta.anim_leaf_prim)
-               if meta.anim_leaf_prim is not None and len(meta.anim_leaf_prim)
-               else jnp.zeros((anim_leaves.shape[0], K), jnp.int32))
-    na_nrm = (jnp.asarray(meta.anim_leaf_nrm)
-              if meta.anim_leaf_nrm is not None and len(meta.anim_leaf_nrm)
-              else jnp.zeros((anim_leaves.shape[0], K * 9), jnp.float32))
+    na_prim = rs_prim if rs_prim is not None else (
+        jnp.asarray(meta.anim_leaf_prim)
+        if meta.anim_leaf_prim is not None and len(meta.anim_leaf_prim)
+        else jnp.zeros((anim_leaves.shape[0], K), jnp.int32))
+    na_nrm = rs_nrm if rs_nrm is not None else (
+        jnp.asarray(meta.anim_leaf_nrm)
+        if meta.anim_leaf_nrm is not None and len(meta.anim_leaf_nrm)
+        else jnp.zeros((anim_leaves.shape[0], K * 9), jnp.float32))
 
     # --- instance world AABBs + morton order (build_tlas_rows math) --------
     alive = instances.alive & mask
@@ -1045,18 +1157,21 @@ def make_scene_tracer(
     wide: bool = False,
     inst_mask: Optional[jax.Array] = None,    # i32[N] 8-bit visibility masks
     inst_opaque: Optional[jax.Array] = None,  # bool[N] force-opaque flags
+    resplit: bool = False,
 ):
     """Assemble this frame's acceleration structure and return a tracer.
 
     ``paged`` (a STATIC host decision, see ``prefer_paged``) selects the
     chunked-TLAS layout + PagedSceneTracer; otherwise the flat RTScene +
-    SceneTracer. Shared by the RT, hybrid, and sharded frame factories."""
+    SceneTracer. Shared by the RT, hybrid, and sharded frame factories.
+    ``resplit`` re-sorts anim BLAS leaf order at the animated pose
+    (reference per-frame-rebuild quality, main.cpp:908-921)."""
     if paged:
         scene, root = assemble_scene_paged(
             blasset, meta, anim_rest, anim_rest_nodes, instances, inst_blas,
             masks[tlas_index], slot_materials, tri_attr,
             time=time, animate=animate,
-            inst_mask=inst_mask, inst_opaque=inst_opaque,
+            inst_mask=inst_mask, inst_opaque=inst_opaque, resplit=resplit,
         )
         return PagedSceneTracer(
             scene, slot_materials, materials,
@@ -1067,7 +1182,7 @@ def make_scene_tracer(
     rt_scene, roots = assemble_scene(
         blasset, meta, anim_rest, anim_rest_nodes, instances, inst_blas,
         list(masks), tri_attr, time=time, animate=animate,
-        inst_mask=inst_mask, inst_opaque=inst_opaque,
+        inst_mask=inst_mask, inst_opaque=inst_opaque, resplit=resplit,
     )
     return SceneTracer(
         rt_scene, slot_materials, materials,

@@ -196,7 +196,7 @@ class AccelCache:
 
 def make_rt_frame(meta, animate: Optional[Callable], n_tlas: int,
                   use_pallas: bool = False, paged: bool = False,
-                  wide: bool = False):
+                  wide: bool = False, resplit: bool = False):
     """Build the jitted two-level RT frame for one scene topology.
 
     ``meta``/``animate`` are host-side (closed over; anim node codes become
@@ -253,7 +253,7 @@ def make_rt_frame(meta, animate: Optional[Callable], n_tlas: int,
             tlas_index=tlas_index, stack_size=stack_size,
             leaf_cutout=leaf_cutout, use_pallas=use_pallas, paged=paged,
             textures=textures, time=time, animate=animate, wide=wide,
-            inst_mask=inst_mask, inst_opaque=inst_opaque,
+            inst_mask=inst_mask, inst_opaque=inst_opaque, resplit=resplit,
         )
         params = RTParams(
             shadow_samples=shadow_samples,
@@ -299,6 +299,7 @@ class RayTraceRender:
         ao_radius: float = 2.0,
         seed: int = 0,
         animate: Optional[Callable] = None,
+        anim_resplit: bool = False,
         use_pallas: Optional[bool] = None,
         reflection_half_rate: bool = False,
         bvh_wide: bool = True,
@@ -322,6 +323,10 @@ class RayTraceRender:
         self.ao_radius = ao_radius
         self.reflection_half_rate = reflection_half_rate
         self.animate = animate
+        # re-sort anim BLAS leaf order at the animated pose each frame (the
+        # reference's per-frame BLAS rebuild quality, main.cpp:908-921);
+        # refit-only keeps rest-pose adjacency (updateTLAS refit semantics)
+        self.anim_resplit = anim_resplit
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
         self.use_pallas = use_pallas
@@ -475,11 +480,12 @@ class RayTraceRender:
         paged = self.use_pallas and ACC.prefer_paged(
             meta, instances.capacity, max(1, self.scene.max_slots))
         key_sig = (self.accel._blas_key, len(self._tlas_bindings), paged,
-                   self.bvh_wide)
+                   self.bvh_wide, self.anim_resplit)
         if self._frame_fn is None or self._frame_key != key_sig:
             self._frame_fn = make_rt_frame(
                 meta, self.animate, len(self._tlas_bindings),
                 use_pallas=self.use_pallas, paged=paged, wide=self.bvh_wide,
+                resplit=self.anim_resplit,
             )
             self._frame_key = key_sig
         slots, masks, table = self._device_inputs(instances.capacity)

@@ -261,3 +261,125 @@ def test_resolve_attributes():
     t = np.asarray(rec.t)[hit]
     np.testing.assert_allclose(
         w, o[hit] + t[:, None] * d[hit], rtol=1e-4, atol=1e-4)
+
+
+def _node_sa(meta, nodes):
+    """Total surface area of the anim BLAS child boxes (quality metric)."""
+    rows = np.asarray(nodes)  # [NA, 12]: min0 max0 min1 max1
+    sa = 0.0
+    for lo_c, hi_c in ((rows[:, 0:3], rows[:, 3:6]),
+                       (rows[:, 6:9], rows[:, 9:12])):
+        e = np.maximum(hi_c - lo_c, 0.0)
+        ok = np.all(np.isfinite(e), axis=-1)
+        s = e[:, 0] * e[:, 1] + e[:, 1] * e[:, 2] + e[:, 0] * e[:, 2]
+        sa += float(np.where(ok, s, 0.0).sum())
+    return sa
+
+
+def test_anim_resplit_matches_refit_hits_and_tightens_boxes():
+    """resplit_anim_tables (reference per-frame BLAS rebuild quality,
+    main.cpp:908-921): under a large piecewise-rigid-like deformation (the
+    character-limb case the per-frame rebuild exists for), (a) traced hits
+    are identical to the refit-only tree (the regroup is a pure triangle
+    permutation), (b) total node box surface area is materially smaller
+    than refit-only, and (c) within a bounded factor of a from-scratch
+    host median-split rebuild at the deformed pose."""
+    scene = Scene(use_native=False)
+    model = Model.from_mesh(scene.arena, *make_plane(4.0, 12), name="sheet")
+    scene.register_model(model)
+    inst = ModelInstance(model, unique_geometry=True)
+    scene.add_instance(inst)
+    inst.set_transform(pos=(0.0, 0.0, 0.0))
+
+    def animate(v, t):
+        # radius-proportional swirl: rest-adjacent triangles at different
+        # radii end far apart, so rest-order leaves fatten (refit), while a
+        # regroup at the deformed pose stays tight
+        x, y, z = v[..., 0], v[..., 1], v[..., 2]
+        th = 2.5 * jnp.sqrt(x * x + y * y) + 0.0 * t
+        return jnp.stack(
+            [x * jnp.cos(th) - y * jnp.sin(th),
+             x * jnp.sin(th) + y * jnp.cos(th), z], axis=-1)
+
+    t0 = jnp.float32(0.7)
+    blasset, meta, anim_rest, anim_nodes = A.build_blas_set(scene)
+    assert len(meta.anim) == 1 and meta.anim[0].num_leaves >= 16
+
+    # (b) box quality: refit-only vs resplit node SA
+    nodes_refit, _, _, _ = A.refit_anim_blases(meta, anim_rest, t0, animate)
+    rest_p, prim_p, _ = A.resplit_anim_tables(meta, anim_rest, t0, animate)
+    nodes_rs, _, _, _ = A.refit_anim_blases(
+        meta, rest_p, t0, animate, anim_prim=prim_p)
+    sa_refit = _node_sa(meta, nodes_refit)
+    sa_rs = _node_sa(meta, nodes_rs)
+    assert sa_rs < 0.8 * sa_refit, (sa_rs, sa_refit)
+
+    # (c) bounded vs a from-scratch host rebuild at the deformed pose:
+    # reorder triangles with the host _median_order on animated centroids,
+    # then build the same implicit-tree boxes
+    a = meta.anim[0]
+    L = a.num_leaves
+    pos = np.asarray(anim_rest[a.leaf_off:a.leaf_off + L,
+                               A._POS:A._UV]).reshape(L * A.K, 9)
+    va = pos[:, 0:3]
+    verts = np.concatenate([va, va + pos[:, 3:6], va + pos[:, 6:9]], axis=-1)
+    pos9 = np.asarray(animate(jnp.asarray(verts.reshape(-1, 3)),
+                              t0 + a.phase)).reshape(L * A.K, 9)
+    pr = np.asarray(a.rest_prim).reshape(L * A.K)
+    liv = pr >= 0
+    cen = (pos9[:, 0:3] + pos9[:, 3:6] + pos9[:, 6:9]) / 3.0
+    order = A._median_order(cen[liv], L * A.K)
+    live_ids = np.nonzero(liv)[0]
+    # apply the host order to the rest tables and build boxes through the
+    # SAME refit path, so the SA accounting is identical to (b)
+    hperm = np.full(L * A.K, -1, np.int64)
+    for s, idx in enumerate(order):
+        hperm[s] = live_ids[idx] if idx >= 0 else -1
+    # fill pad slots with the unused (dead) triangle slots
+    dead = [i for i in range(L * A.K) if i not in set(hperm[hperm >= 0])]
+    di = iter(dead)
+    for s in range(L * A.K):
+        if hperm[s] < 0:
+            hperm[s] = next(di)
+    uv = np.asarray(anim_rest[a.leaf_off:a.leaf_off + L,
+                              A._UV:]).reshape(L * A.K, 6)
+    nrm = np.asarray(meta.anim_leaf_nrm[a.leaf_off:a.leaf_off + L]
+                     ).reshape(L * A.K, 9)
+    rest_h = jnp.asarray(np.concatenate(
+        [pos[hperm].reshape(L, A.K * 9), uv[hperm].reshape(L, A.K * 6)],
+        axis=-1))
+    prim_h = jnp.asarray(pr[hperm].reshape(L, A.K))
+    nodes_h, _, _, _ = A.refit_anim_blases(
+        meta, rest_h, t0, animate, anim_prim=prim_h)
+    sa_rebuild = _node_sa(meta, nodes_h)
+    assert sa_rs <= 1.25 * max(sa_rebuild, 1e-6), (sa_rs, sa_rebuild)
+
+    # (a) hit parity: assemble both ways, trace the same rays
+    instances = scene.flush()
+    inst_blas = np.zeros(instances.capacity, np.int32)
+    for a in meta.anim:
+        inst_blas[a.instance_index] = a.blas_id
+    masks = [jnp.ones(instances.capacity, bool)]
+    tri_attr = A.build_tri_attr(scene)
+    kw = dict(time=t0, animate=animate)
+    rts0, roots0 = A.assemble_scene(
+        blasset, meta, anim_rest, anim_nodes, instances,
+        jnp.asarray(inst_blas), masks, tri_attr, **kw)
+    rts1, roots1 = A.assemble_scene(
+        blasset, meta, anim_rest, anim_nodes, instances,
+        jnp.asarray(inst_blas), masks, tri_attr, resplit=True, **kw)
+    ss = A.required_stack_size(meta, instances.capacity)
+    o, d = _rays(seed=3, r=128)
+    rec0 = A.trace_scene(rts0, jnp.asarray(o), jnp.asarray(d),
+                         jnp.full(o.shape[0], 1e9),
+                         root_code=roots0[0], stack_size=ss)
+    rec1 = A.trace_scene(rts1, jnp.asarray(o), jnp.asarray(d),
+                         jnp.full(o.shape[0], 1e9),
+                         root_code=roots1[0], stack_size=ss)
+    np.testing.assert_array_equal(np.asarray(rec0.hit), np.asarray(rec1.hit))
+    h = np.asarray(rec0.hit)
+    np.testing.assert_allclose(np.asarray(rec0.t)[h], np.asarray(rec1.t)[h],
+                               rtol=1e-5, atol=1e-5)
+    # prim ids are GLOBAL (travel with the permuted leaf rows) — identical
+    np.testing.assert_array_equal(np.asarray(rec0.prim)[h],
+                                  np.asarray(rec1.prim)[h])
