@@ -1604,6 +1604,35 @@ class SceneTracer:
             cull_mask=cull_mask,
         )
 
+    def trace_occlusion_bundle(self, o, dirs, t_caps, *, active=None,
+                               cull_mask: int = 0xFF):
+        """S origin-shared any-hit rays in ONE traversal -> i32[R] bitmask
+        (bit s = sample s occluded). Soft-shadow samples toward one light
+        share origins and near-identical footprints, so the bundle costs
+        ~one wavefront instead of S (trace_kernel._make_bundle_kernel).
+        Falls back to S any-hit traces (CPU/XLA path — the correctness
+        reference)."""
+        if self.use_pallas:
+            from .trace_kernel import (
+                _STACK, pallas_traversal_ok, trace_shadow_bundle_pallas,
+            )
+
+            if (self.stack_size <= _STACK
+                    and pallas_traversal_ok(self.scene, o.shape[0])):
+                return trace_shadow_bundle_pallas(
+                    self.scene, o, tuple(dirs), tuple(t_caps),
+                    root_code=self.root_code, stack_size=self.stack_size,
+                    active=active, max_steps=self._step_bound(),
+                    wide=self.wide, cull_mask=cull_mask,
+                )
+        bits = jnp.zeros((o.shape[0],), jnp.int32)
+        for s, (d, tc) in enumerate(zip(dirs, t_caps)):
+            rec = self.trace(o, d, tc, any_hit=True, active=active,
+                             cull_mask=cull_mask)
+            occ = rec.hit if active is None else (rec.hit | ~active)
+            bits = bits | (occ.astype(jnp.int32) << s)
+        return bits
+
     def trace_resolve(self, o, d, t_max, *, active=None, use_alpha=False,
                       cull_mask: int = 0xFF):
         """Closest hit + attribute resolve in one step -> SurfaceHits.
@@ -1797,6 +1826,19 @@ class PagedSceneTracer:
         return self._flat_tracer().trace(
             o, d, t_max, any_hit=any_hit, active=active, use_alpha=use_alpha,
             cull_mask=cull_mask)
+
+    def trace_occlusion_bundle(self, o, dirs, t_caps, *, active=None,
+                               cull_mask: int = 0xFF):
+        """S origin-shared any-hit samples -> i32[R] occlusion bitmask.
+        The paged kernel has no bundle variant yet: loop S any-hit paged
+        traces (still the paged fast path per sample)."""
+        bits = jnp.zeros((o.shape[0],), jnp.int32)
+        for s, (d, tc) in enumerate(zip(dirs, t_caps)):
+            rec = self.trace(o, d, tc, any_hit=True, active=active,
+                             cull_mask=cull_mask)
+            occ = rec.hit if active is None else (rec.hit | ~active)
+            bits = bits | (occ.astype(jnp.int32) << s)
+        return bits
 
     def trace_resolve(self, o, d, t_max, *, active=None, use_alpha=False,
                       cull_mask: int = 0xFF):

@@ -298,6 +298,19 @@ class BatchTracer:
     def resolve(self, rec: HitRecord, o, d) -> SurfaceHits:
         return resolve_hits(self.batch, rec, o, d)
 
+    def trace_occlusion_bundle(self, o, dirs, t_caps, *, active=None,
+                               cull_mask: int = 0xFF):
+        """Protocol parity with SceneTracer: S any-hit traces -> i32[R]
+        occlusion bitmask (bit s = sample s occluded; inactive lanes report
+        all-occluded, callers mask with ``active``)."""
+        bits = jnp.zeros((o.shape[0],), jnp.int32)
+        for s, (d, tc) in enumerate(zip(dirs, t_caps)):
+            rec = self.trace(o, d, tc, any_hit=True, active=active,
+                             cull_mask=cull_mask)
+            occ = rec.hit if active is None else (rec.hit | ~active)
+            bits = bits | (occ.astype(jnp.int32) << s)
+        return bits
+
     def trace_resolve(self, o, d, t_max, *, active=None, use_alpha=False,
                       cull_mask: int = 0xFF):
         rec = self.trace(o, d, t_max, active=active, use_alpha=use_alpha,
@@ -349,7 +362,11 @@ def shadow_visibility(
         hard = getattr(lights, "hard_flags", None)
         n_s = 1 if (hard is not None and li < len(hard) and hard[li]) \
             else samples
-        unshadowed = jnp.zeros((r,), jnp.float32)
+        # build ALL sample directions, then ONE origin-shared any-hit
+        # bundle traversal (trace_kernel._make_bundle_kernel): the samples'
+        # footprints are near-identical, so the union costs ~one wavefront
+        # instead of n_s launches
+        dirs = []
         for si in range(n_s):
             k = jax.random.fold_in(jax.random.fold_in(key, li), si)
             r1, r2 = jax.random.uniform(k, (2, r))
@@ -365,12 +382,26 @@ def shadow_visibility(
             sdir = sample_pos - surf.world_pos
             sdir = sdir / jnp.maximum(jnp.linalg.norm(sdir, axis=-1, keepdims=True), 1e-9)
             sdir = jnp.where(lights.radius[li] > 0.0, sdir, ldir)
-            rec = ctx.trace(
-                origin, sdir, dist, any_hit=True, active=active,
-                cull_mask=cull_mask,
-            )
-            unshadowed += jnp.where(rec.hit, 0.0, 1.0)
+            dirs.append(sdir)
+        bundle = getattr(ctx, "trace_occlusion_bundle", None)
+        if bundle is not None:
+            bits = bundle(origin, dirs, [dist] * n_s, active=active,
+                          cull_mask=cull_mask)
+        else:   # minimal tracer protocol (mock/legacy ctx): per-sample
+            bits = jnp.zeros((r,), jnp.int32)
+            for si, sdir in enumerate(dirs):
+                rec = ctx.trace(origin, sdir, dist, any_hit=True,
+                                active=active, cull_mask=cull_mask)
+                occ = rec.hit | ~active
+                bits = bits | (occ.astype(jnp.int32) << si)
+        unshadowed = jnp.zeros((r,), jnp.float32)
+        for si in range(n_s):
+            unshadowed += 1.0 - ((bits >> si) & 1).astype(jnp.float32)
         v = unshadowed / n_s
+        # inactive rays (no-shadow gate / invalid surfaces) report
+        # all-occluded through the bundle; they are fully visible in the
+        # reference semantics (the ray query is skipped)
+        v = jnp.where(active, v, 1.0)
         v = jnp.where(lights.cast_shadow[li], v, 1.0)
         vis.append(v)
     return jnp.stack(vis, axis=0)

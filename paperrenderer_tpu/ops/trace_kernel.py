@@ -979,6 +979,357 @@ def trace_resolve_scene_pallas(
     }
 
 
+def _pack_planes(comps, fills, sub_cap: int = 0):
+    """Generic flat-mode packet packing: [r] components -> (g*sub, 8, 128)
+    blocks + specs (the variable-arity cousin of ``_pack_rays`` for bundle
+    kernels). Returns (args, spec, grid, out_shape_fn, unflatten, sub)."""
+    r = comps[0].shape[0]
+    sub = max(1, min(sub_cap or SUBPACKETS, -(-r // PACKET)))
+    step = sub * PACKET
+    r_pad = -(-r // step) * step
+    g = r_pad // step
+    spec = pl.BlockSpec((sub, 8, 128), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    args = [jnp.pad(x, (0, r_pad - r),
+                    constant_values=f).reshape(g * sub, 8, 128)
+            for x, f in zip(comps, fills)]
+    out_shape = lambda dt: jax.ShapeDtypeStruct((g * sub, 8, 128), dt)
+    unflatten = lambda x: x.reshape(r_pad)[:r]
+    return args, spec, g, out_shape, unflatten, sub
+
+
+def _make_bundle_kernel(root_code: int, max_steps: int, s_n: int,
+                        wide: bool = False, cull_mask: int = 0xFF,
+                        sub_n: int = 1):
+    """Origin-shared any-hit BUNDLE kernel: S rays per lane share one origin
+    (soft-shadow samples toward one light, or one shadow ray per light) and
+    run ONE traversal over the union footprint — near-identical per-sample
+    footprints make the union ~the single-sample footprint, so S samples
+    cost ~1 traversal instead of S wavefront launches.
+
+    State per lane: S prune planes only (any-hit commit = prune -> -3e38;
+    no closest-hit num/den/uv tracking at all — shadow semantics want the
+    occlusion BIT, raytrace.rchit:61-116 parity via shadow_visibility).
+    Inactive lanes park at t_cap=-3e38 (pre-committed: zero footprint AND
+    transparent to the all-committed early exit). Output: i32 bitmask plane,
+    bit s = sample s occluded (callers mask inactive lanes).
+
+    Box child ordering keys use the min entry over lanes AND samples; the
+    ``wide`` grandchild step mirrors ``_wide_box_step`` with the per-sample
+    slab union folded into each child's key."""
+    S = _STACK
+    FI = 8 if wide else 3
+    FH = 9 if wide else 4
+
+    def kernel(boxes_ref, codes_ref, lpos_ref, lprim_ref, *rest):
+        nray = 3 + 4 * s_n
+        ray_refs = rest[:nray]
+        occ_out = rest[nray]
+        obj_ref, prune_ref, flag_ref, stack_ref = rest[nray + 1:]
+
+        def run(sub, carry):
+            ld = lambda ref: ref[sub]
+            wox, woy, woz = ld(ray_refs[0]), ld(ray_refs[1]), ld(ray_refs[2])
+            wds = [(ld(ray_refs[3 + 3 * s]), ld(ray_refs[4 + 3 * s]),
+                    ld(ray_refs[5 + 3 * s])) for s in range(s_n)]
+            tcs = [ld(ray_refs[3 + 3 * s_n + s]) for s in range(s_n)]
+
+            def safe_inv(x):
+                return 1.0 / jnp.where(jnp.abs(x) < 1e-12, 1e-12, x)
+
+            wis = [tuple(safe_inv(c) for c in d) for d in wds]
+
+            # obj planes: [0..2]=origin, then per sample d(3), then inv(3)
+            obj_ref[0] = wox
+            obj_ref[1] = woy
+            obj_ref[2] = woz
+            for s in range(s_n):
+                for c in range(3):
+                    obj_ref[3 + 3 * s + c] = wds[s][c]
+                    obj_ref[3 + 3 * s_n + 3 * s + c] = wis[s][c]
+            for s in range(s_n):
+                prune_ref[s] = tcs[s]
+            flag_ref[FI] = jnp.int32(0)
+            flag_ref[FH] = jnp.int32(0)
+            stack_ref[0] = jnp.int32(root_code)
+
+            def cond(st):
+                step, sp, done = st
+                return (sp > 0) & (step < max_steps) & (done == 0)
+
+            def body(st):
+                step, sp, done = st
+                sp = sp - 1
+                code = stack_ref[sp]
+                typ = (code >> _TYPE_SHIFT) & 3
+                payload = code & _PAYLOAD_MASK
+                obj = ((code >> 30) & 1) == 1
+                is_box = typ == TYPE_BOX
+                is_leaf = typ == TYPE_LEAF
+                is_inst = typ == TYPE_INST
+                c0 = codes_ref[payload * 2]
+                c1 = codes_ref[payload * 2 + 1]
+                inst_ok = (((c1 >> 24) & cull_mask) != 0).astype(jnp.int32)
+
+                @pl.when(is_box)
+                def _box():
+                    px = jnp.where(obj, obj_ref[0], wox)
+                    py = jnp.where(obj, obj_ref[1], woy)
+                    pz = jnp.where(obj, obj_ref[2], woz)
+                    ivs = [tuple(
+                        jnp.where(obj, obj_ref[3 + 3 * s_n + 3 * s + c],
+                                  wis[s][c]) for c in range(3))
+                        for s in range(s_n)]
+                    prunes = [prune_ref[s] for s in range(s_n)]
+
+                    def slab(bb):
+                        lx, ly, lz = (boxes_ref[bb], boxes_ref[bb + 1],
+                                      boxes_ref[bb + 2])
+                        hx, hy, hz = (boxes_ref[bb + 3], boxes_ref[bb + 4],
+                                      boxes_ref[bb + 5])
+                        inf = jnp.float32(3e38)
+                        key = jnp.float32(3e38)
+                        for s in range(s_n):
+                            ix, iy, iz = ivs[s]
+                            tx0 = (lx - px) * ix
+                            tx1 = (hx - px) * ix
+                            ty0 = (ly - py) * iy
+                            ty1 = (hy - py) * iy
+                            tz0 = (lz - pz) * iz
+                            tz1 = (hz - pz) * iz
+                            tn = jnp.maximum(
+                                jnp.maximum(jnp.minimum(tx0, tx1),
+                                            jnp.minimum(ty0, ty1)),
+                                jnp.minimum(tz0, tz1))
+                            tf = jnp.minimum(
+                                jnp.minimum(jnp.maximum(tx0, tx1),
+                                            jnp.maximum(ty0, ty1)),
+                                jnp.maximum(tz0, tz1))
+                            hit = ((tf >= jnp.maximum(tn, 0.0))
+                                   & (tn <= prunes[s]) & (lx <= hx))
+                            key = jnp.minimum(
+                                key, jnp.min(jnp.where(hit, tn, inf)))
+                        return key
+
+                    if wide:
+                        inf = jnp.float32(3e38)
+                        keys = []
+                        codes = []
+                        for side, cs in ((0, c0), (1, c1)):
+                            is_b = ((cs >> _TYPE_SHIFT) & 3) == TYPE_BOX
+                            gp = jnp.where(is_b, cs & _PAYLOAD_MASK, 0)
+                            keys.append(slab(jnp.where(
+                                is_b, gp * 12, payload * 12 + side * 6)))
+                            codes.append(jnp.where(is_b, codes_ref[gp * 2],
+                                                   cs))
+                            k1 = slab(gp * 12 + 6)
+                            keys.append(jnp.where(is_b, k1, inf))
+                            codes.append(codes_ref[gp * 2 + 1])
+                        for i, j in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
+                            a, b = keys[i], keys[j]
+                            ca, cb = codes[i], codes[j]
+                            sw = a > b
+                            keys[i] = jnp.where(sw, b, a)
+                            keys[j] = jnp.where(sw, a, b)
+                            codes[i] = jnp.where(sw, cb, ca)
+                            codes[j] = jnp.where(sw, ca, cb)
+                        for k in range(4):
+                            e = 3 - k
+                            flag_ref[k] = (keys[e] < inf).astype(jnp.int32)
+                            flag_ref[4 + k] = codes[e]
+                    else:
+                        b = payload * 12
+                        t0m = slab(b)
+                        t1m = slab(b + 6)
+                        inf = jnp.float32(3e38)
+                        flag_ref[0] = (t0m < inf).astype(jnp.int32)
+                        flag_ref[1] = (t1m < inf).astype(jnp.int32)
+                        flag_ref[2] = (t0m <= t1m).astype(jnp.int32)
+
+                @pl.when(is_inst)
+                def _inst():
+                    b = payload * 12
+                    m = [boxes_ref[b + k] for k in range(12)]
+                    obj_ref[0] = m[0] * wox + m[1] * woy + m[2] * woz + m[3]
+                    obj_ref[1] = m[4] * wox + m[5] * woy + m[6] * woz + m[7]
+                    obj_ref[2] = m[8] * wox + m[9] * woy + m[10] * woz + m[11]
+                    for s in range(s_n):
+                        dx, dy, dz = wds[s]
+                        odx = m[0] * dx + m[1] * dy + m[2] * dz
+                        ody = m[4] * dx + m[5] * dy + m[6] * dz
+                        odz = m[8] * dx + m[9] * dy + m[10] * dz
+                        obj_ref[3 + 3 * s] = odx
+                        obj_ref[4 + 3 * s] = ody
+                        obj_ref[5 + 3 * s] = odz
+                        obj_ref[3 + 3 * s_n + 3 * s] = safe_inv(odx)
+                        obj_ref[4 + 3 * s_n + 3 * s] = safe_inv(ody)
+                        obj_ref[5 + 3 * s_n + 3 * s] = safe_inv(odz)
+                    flag_ref[FI] = c1
+
+                @pl.when(is_leaf)
+                def _leaf():
+                    b = payload * 72
+                    pb = payload * K
+                    oox, ooy, ooz = obj_ref[0], obj_ref[1], obj_ref[2]
+                    ods = [(obj_ref[3 + 3 * s], obj_ref[4 + 3 * s],
+                            obj_ref[5 + 3 * s]) for s in range(s_n)]
+                    prunes = [prune_ref[s] for s in range(s_n)]
+                    committed = [p < jnp.float32(-1e38) for p in prunes]
+                    for k in range(K):
+                        tb = b + k * 9
+                        ax, ay, az = (lpos_ref[tb], lpos_ref[tb + 1],
+                                      lpos_ref[tb + 2])
+                        e1x, e1y, e1z = (lpos_ref[tb + 3], lpos_ref[tb + 4],
+                                         lpos_ref[tb + 5])
+                        e2x, e2y, e2z = (lpos_ref[tb + 6], lpos_ref[tb + 7],
+                                         lpos_ref[tb + 8])
+                        ptag = lprim_ref[pb + k]
+                        sx, sy, sz = oox - ax, ooy - ay, ooz - az
+                        # q = cross(s, e1) is SAMPLE-INDEPENDENT (origin
+                        # shared): hoisted out of the per-sample loop
+                        qx = sy * e1z - sz * e1y
+                        qy = sz * e1x - sx * e1z
+                        qz = sx * e1y - sy * e1x
+                        for s in range(s_n):
+                            odx, ody, odz = ods[s]
+                            px_ = ody * e2z - odz * e2y
+                            py_ = odz * e2x - odx * e2z
+                            pz_ = odx * e2y - ody * e2x
+                            det = e1x * px_ + e1y * py_ + e1z * pz_
+                            sgn = jnp.where(det >= 0.0, 1.0, -1.0)
+                            adet = jnp.abs(det)
+                            ok = adet > 1e-12
+                            du = (sx * px_ + sy * py_ + sz * pz_) * sgn
+                            dv = (odx * qx + ody * qy + odz * qz) * sgn
+                            dt = (e2x * qx + e2y * qy + e2z * qz) * sgn
+                            hit = (ok & (du >= 0.0) & (dv >= 0.0)
+                                   & (du + dv <= adet)
+                                   & (dt > 1e-3 * adet)
+                                   & (dt < prunes[s] * adet)
+                                   & (ptag >= 0))
+                            committed[s] = committed[s] | hit
+                    allc = jnp.bool_(True)
+                    for s in range(s_n):
+                        prune_ref[s] = jnp.where(committed[s],
+                                                 jnp.float32(-3e38),
+                                                 prune_ref[s])
+                        allc = allc & committed[s]
+                    flag_ref[FH] = jnp.all(allc).astype(jnp.int32)
+
+                if wide:
+                    sp = _wide_pushes(stack_ref, flag_ref, sp, is_box,
+                                      is_inst, c0, S, inst_ok)
+                else:
+                    box_i = is_box.astype(jnp.int32)
+                    any0 = flag_ref[0] * box_i
+                    any1 = flag_ref[1] * box_i
+                    first0 = flag_ref[2]
+                    near_c = jnp.where(first0 == 1, c0, c1)
+                    far_c = jnp.where(first0 == 1, c1, c0)
+                    near_ok = jnp.where(first0 == 1, any0, any1)
+                    far_ok = jnp.where(first0 == 1, any1, any0)
+                    p1 = jnp.where(is_inst, inst_ok, far_ok)
+                    p1_val = jnp.where(is_inst, c0, far_c)
+                    stack_ref[
+                        jnp.where(p1 == 1, jnp.minimum(sp, S - 1), S)] = p1_val
+                    sp = sp + p1
+                    stack_ref[
+                        jnp.where(near_ok == 1, jnp.minimum(sp, S - 1), S)
+                    ] = near_c
+                    sp = sp + near_ok
+                done = flag_ref[FH]
+                return step + 1, sp, done
+
+            jax.lax.while_loop(
+                cond, body, (jnp.int32(0), jnp.int32(1), jnp.int32(0)))
+
+            bits = jnp.zeros((8, 128), jnp.int32)
+            for s in range(s_n):
+                occ = prune_ref[s] < jnp.float32(-1e38)
+                bits = bits | (occ.astype(jnp.int32) << s)
+            occ_out[sub] = bits
+            return carry
+
+        if sub_n == 1:
+            run(0, 0)
+        else:
+            jax.lax.fori_loop(0, sub_n, run, 0)
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=("root_code", "stack_size", "max_steps", "wide",
+                     "cull_mask", "sub_cap"),
+)
+def trace_shadow_bundle_pallas(
+    scene: RTScene,
+    ray_o: jax.Array,                 # f32[R, 3] shared origins
+    ray_ds,                           # tuple of f32[R, 3], one per sample
+    t_caps,                           # tuple of f32[R] (or scalar) per sample
+    *,
+    root_code: int,
+    stack_size: int,
+    max_steps: Optional[int] = None,
+    active: Optional[jax.Array] = None,
+    wide: bool = False,
+    cull_mask: int = 0xFF,
+    sub_cap: int = 0,
+) -> jax.Array:
+    """S origin-shared any-hit rays per lane in ONE traversal. Returns an
+    i32[R] bitmask: bit s set = sample s occluded (hit before its t_cap).
+    Inactive lanes report all-occluded — callers mask with ``active``
+    (shadow_visibility does). One wavefront launch replaces S; the union
+    footprint of S same-origin samples is ~a single sample's footprint."""
+    s_n = len(ray_ds)
+    assert s_n >= 1
+    r = ray_o.shape[0]
+    comps = [ray_o[:, 0], ray_o[:, 1], ray_o[:, 2]]
+    fills = [0.0, 0.0, 0.0]
+    for d in ray_ds:
+        comps += [d[:, 0], d[:, 1], d[:, 2]]
+        fills += [1.0, 1.0, 1.0]
+    for tc in t_caps:
+        t = jnp.asarray(tc, jnp.float32) + ray_o[:, 0] * 0.0
+        if active is not None:
+            t = jnp.where(active, t, -3e38)   # parked: zero footprint
+        comps.append(t)
+        fills.append(-3e38)
+
+    args, spec, g, out_shape, unflatten, sub = _pack_planes(
+        comps, fills, sub_cap=sub_cap)
+
+    boxes, codes, lpos, lprim = _split_scene(scene)
+    if max_steps is None:
+        max_steps = scene.nodes.shape[0] + scene.leaf_rows.shape[0] + 64
+    eff_stack = (stack_size * 3) // 2 + 2 if wide else stack_size
+    assert eff_stack <= _STACK, "scene too deep for the packet kernel"
+
+    kernel = _make_bundle_kernel(root_code, max_steps, s_n, wide=wide,
+                                 cull_mask=cull_mask, sub_n=sub)
+    smem = lambda n: pl.BlockSpec(
+        (n,), lambda i: (0,), memory_space=pltpu.SMEM)
+    occ = pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[
+            smem(boxes.shape[0]), smem(codes.shape[0]),
+            smem(lpos.shape[0]), smem(lprim.shape[0]),
+        ] + [spec] * len(comps),
+        out_specs=[spec],
+        out_shape=[out_shape(jnp.int32)],
+        scratch_shapes=[
+            pltpu.VMEM((3 + 6 * s_n, 8, 128), jnp.float32),  # o + d/inv per s
+            pltpu.VMEM((s_n, 8, 128), jnp.float32),          # prune planes
+            pltpu.SMEM((12 if wide else 8,), jnp.int32),
+            pltpu.SMEM((_STACK + 1,), jnp.int32),
+        ],
+        interpret=INTERPRET,
+    )(boxes, codes, lpos, lprim, *args)[0]
+    return unflatten(occ)
+
+
 # NOTE on ray ordering (measured on TPU v5e, example scene, 1M rays):
 #   * gather-based octant/morton ray sorting: ~30 ns/row per permutation
 #     (8 permutations = ~90 ms) — dominated the whole trace;

@@ -287,3 +287,55 @@ def test_subpacket_grouping_matches_flat(example):
     for k in ("t", "prim", "inst", "material"):
         np.testing.assert_array_equal(np.asarray(out1[k]),
                                       np.asarray(out2[k]))
+
+
+@pytest.mark.parametrize("wide", [False, True])
+def test_occlusion_bundle_matches_per_sample_anyhit(example, wide):
+    """The origin-shared any-hit bundle kernel must report exactly the
+    occlusion bits S per-sample any-hit traces report (XLA lockstep
+    reference), including t_cap semantics (occluders beyond the light do
+    not block) and inactive lanes (all-occluded by convention)."""
+    rp, cam, rts, roots, ss, instances, o, d, t_max = example
+    r = o.shape[0]
+    key = jax.random.PRNGKey(3)
+    # three jittered sample directions around the primary direction
+    dirs = []
+    for s in range(3):
+        j = jax.random.normal(jax.random.fold_in(key, s), (r, 3)) * 0.05
+        sd = d + j
+        dirs.append(sd / jnp.linalg.norm(sd, axis=-1, keepdims=True))
+    # mixed t_caps: far, mid, short (exercises per-sample prune planes)
+    t_caps = [jnp.full((r,), 1000.0), jnp.full((r,), 6.0),
+              jnp.full((r,), 2.5)]
+    active = (jnp.arange(r) % 3) != 0
+
+    bits = TK.trace_shadow_bundle_pallas(
+        rts, o, tuple(dirs), tuple(t_caps), root_code=roots[0],
+        stack_size=ss, active=active, wide=wide,
+        max_steps=TK.traversal_step_bound(rts, instances.capacity))
+    bits = np.asarray(bits)
+
+    for s in range(3):
+        rec = A.trace_scene(
+            rts, o, dirs[s], t_caps[s], root_code=roots[0], stack_size=ss,
+            any_hit=True, active=active)
+        ref_occ = np.asarray(rec.hit) | ~np.asarray(active)
+        got = (bits >> s) & 1
+        np.testing.assert_array_equal(got.astype(bool), ref_occ)
+
+
+def test_occlusion_bundle_subpackets(example):
+    """Bundle kernel under sub-packet grouping (partial trailing group)."""
+    rp, cam, rts, roots, ss, instances, o, d, t_max = example
+    from examples.render_scene import build_example_scene
+
+    _, cam2 = build_example_scene(64, 40)
+    o2, d2 = raygen(cam2.matrices, 64, 40)
+    tm = jnp.full(o2.shape[0], 1000.0)
+    kw = dict(root_code=roots[0], stack_size=ss,
+              max_steps=TK.traversal_step_bound(rts, instances.capacity))
+    b1 = TK.trace_shadow_bundle_pallas(rts, o2, (d2,), (tm,), sub_cap=1,
+                                       **kw)
+    b2 = TK.trace_shadow_bundle_pallas(rts, o2, (d2,), (tm,), sub_cap=2,
+                                       **kw)
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
