@@ -1633,6 +1633,51 @@ class SceneTracer:
             bits = bits | (occ.astype(jnp.int32) << s)
         return bits
 
+    def trace_shadow_ao_bundle(self, o, dirs, t_caps, ao_dirs, ao_caps, *,
+                               occ_actives=None, ao_actives=None,
+                               cull_mask: int = 0xFF):
+        """Fused shadow + RTAO bundle: all occlusion samples AND closest-t AO
+        samples share one origin per lane and traverse ONCE
+        (trace_kernel.trace_bundle_pallas). Returns ``(bits, ao_ts)``; each
+        AO t equals its cap when nothing closer hit (AO weight 0). Falls
+        back to per-sample traces (the correctness reference)."""
+        if self.use_pallas:
+            from .trace_kernel import (
+                _STACK, pallas_traversal_ok, trace_bundle_pallas,
+            )
+
+            if (self.stack_size <= _STACK
+                    and pallas_traversal_ok(self.scene, o.shape[0])):
+                return trace_bundle_pallas(
+                    self.scene, o, tuple(dirs), tuple(t_caps),
+                    tuple(ao_dirs), tuple(ao_caps),
+                    root_code=self.root_code, stack_size=self.stack_size,
+                    occ_actives=None if occ_actives is None
+                    else tuple(occ_actives),
+                    ao_actives=None if ao_actives is None
+                    else tuple(ao_actives),
+                    max_steps=self._step_bound(),
+                    wide=self.wide, cull_mask=cull_mask,
+                )
+        r = o.shape[0]
+        bits = jnp.zeros((r,), jnp.int32)
+        for s, (d, tc) in enumerate(zip(dirs, t_caps)):
+            act = None if occ_actives is None else occ_actives[s]
+            rec = self.trace(o, d, tc, any_hit=True, active=act,
+                             cull_mask=cull_mask)
+            occ = rec.hit if act is None else (rec.hit | ~act)
+            bits = bits | (occ.astype(jnp.int32) << s)
+        ao_ts = []
+        for j, (d, tc) in enumerate(zip(ao_dirs, ao_caps)):
+            act = None if ao_actives is None else ao_actives[j]
+            cap = jnp.asarray(tc, jnp.float32) + o[:, 0] * 0.0
+            rec = self.trace(o, d, cap, active=act, cull_mask=cull_mask)
+            t = jnp.where(rec.hit, rec.t, cap)
+            if act is not None:
+                t = jnp.where(act, t, -3e38)
+            ao_ts.append(t)
+        return bits, tuple(ao_ts)
+
     def trace_resolve(self, o, d, t_max, *, active=None, use_alpha=False,
                       cull_mask: int = 0xFF):
         """Closest hit + attribute resolve in one step -> SurfaceHits.

@@ -318,6 +318,67 @@ class BatchTracer:
         return self.resolve(rec, o, d)
 
 
+def _light_shadow_samples(surf: SurfaceHits, lights: Lights, li: int,
+                          key: jax.Array, samples: int):
+    """Build light ``li``'s shadow-sample directions (raytrace.rchit:61-116
+    sampling math). Returns ``(dirs, dist, active, n_s)`` or ``None`` when
+    the light statically casts no shadows (no wavefront at all)."""
+    r = surf.world_pos.shape[0]
+    flags = getattr(lights, "shadow_flags", None)
+    if flags is not None and li < len(flags) and not flags[li]:
+        # statically known non-casting light: no shadow wavefront at all
+        # (raytrace.rchit skips the ray query for castShadow=false)
+        return None
+    lpos = lights.position[li]
+    to_l = lpos - surf.world_pos
+    dist = jnp.linalg.norm(to_l, axis=-1)
+    ldir = to_l / jnp.maximum(dist, 1e-9)[:, None]
+    tx, ty = _default_basis(ldir)
+    # reference gate (raytrace.rchit:58): shadow rays are cast only
+    # where dot(N, L) > 0 — the light contribution is zero for
+    # back-facing surfaces regardless of visibility, and inactive rays
+    # leave the packet's traversal footprint (trace_kernel sentinel)
+    ndl = jnp.sum(surf.normal * ldir, axis=-1)
+    active = surf.valid & (ndl > 0.0)
+    # hard light (radius statically 0): every sample's sdir falls back
+    # to ldir — the N traces are the identical ray, so one suffices
+    hard = getattr(lights, "hard_flags", None)
+    n_s = 1 if (hard is not None and li < len(hard) and hard[li]) \
+        else samples
+    dirs = []
+    for si in range(n_s):
+        k = jax.random.fold_in(jax.random.fold_in(key, li), si)
+        r1, r2 = jax.random.uniform(k, (2, r))
+        # sample a point on the light sphere (rchit:84-89)
+        sq = jnp.sqrt(1.0 - r2)
+        phi = 2.0 * jnp.pi * r1
+        offs = (
+            (jnp.cos(phi) * sq)[:, None] * tx
+            + (jnp.sin(phi) * sq)[:, None] * ty
+            + jnp.sqrt(r2)[:, None] * ldir
+        ) * lights.radius[li]
+        sample_pos = lpos + offs
+        sdir = sample_pos - surf.world_pos
+        sdir = sdir / jnp.maximum(
+            jnp.linalg.norm(sdir, axis=-1, keepdims=True), 1e-9)
+        sdir = jnp.where(lights.radius[li] > 0.0, sdir, ldir)
+        dirs.append(sdir)
+    return dirs, dist, active, n_s
+
+
+def _shadow_vis_from_bits(bits, active, cast_shadow, n_s, shift: int):
+    """Occlusion bits -> per-light visibility fraction (rchit:100-116)."""
+    unshadowed = jnp.zeros(bits.shape, jnp.float32)
+    for si in range(n_s):
+        unshadowed += 1.0 - ((bits >> (shift + si)) & 1).astype(jnp.float32)
+    v = unshadowed / n_s
+    # inactive rays (no-shadow gate / invalid surfaces) report
+    # all-occluded through the bundle; they are fully visible in the
+    # reference semantics (the ray query is skipped)
+    v = jnp.where(active, v, 1.0)
+    return jnp.where(cast_shadow, v, 1.0)
+
+
 def shadow_visibility(
     surf: SurfaceHits,
     ctx,
@@ -338,51 +399,16 @@ def shadow_visibility(
     # positions reconstructed from quantized depth can sit slightly inside
     # curved surfaces, and un-offset origins produce shadow acne speckles.
     origin = surf.world_pos + surf.normal * 5e-3
-    flags = getattr(lights, "shadow_flags", None)
     vis = []
     for li in range(n_lights):
-        if flags is not None and li < len(flags) and not flags[li]:
-            # statically known non-casting light: no shadow wavefront at all
-            # (raytrace.rchit skips the ray query for castShadow=false)
+        built = _light_shadow_samples(surf, lights, li, key, samples)
+        if built is None:
             vis.append(jnp.ones((r,), jnp.float32))
             continue
-        lpos = lights.position[li]
-        to_l = lpos - surf.world_pos
-        dist = jnp.linalg.norm(to_l, axis=-1)
-        ldir = to_l / jnp.maximum(dist, 1e-9)[:, None]
-        tx, ty = _default_basis(ldir)
-        # reference gate (raytrace.rchit:58): shadow rays are cast only
-        # where dot(N, L) > 0 — the light contribution is zero for
-        # back-facing surfaces regardless of visibility, and inactive rays
-        # leave the packet's traversal footprint (trace_kernel sentinel)
-        ndl = jnp.sum(surf.normal * ldir, axis=-1)
-        active = surf.valid & (ndl > 0.0)
-        # hard light (radius statically 0): every sample's sdir falls back
-        # to ldir — the N traces are the identical ray, so one suffices
-        hard = getattr(lights, "hard_flags", None)
-        n_s = 1 if (hard is not None and li < len(hard) and hard[li]) \
-            else samples
-        # build ALL sample directions, then ONE origin-shared any-hit
-        # bundle traversal (trace_kernel._make_bundle_kernel): the samples'
-        # footprints are near-identical, so the union costs ~one wavefront
-        # instead of n_s launches
-        dirs = []
-        for si in range(n_s):
-            k = jax.random.fold_in(jax.random.fold_in(key, li), si)
-            r1, r2 = jax.random.uniform(k, (2, r))
-            # sample a point on the light sphere (rchit:84-89)
-            sq = jnp.sqrt(1.0 - r2)
-            phi = 2.0 * jnp.pi * r1
-            offs = (
-                (jnp.cos(phi) * sq)[:, None] * tx
-                + (jnp.sin(phi) * sq)[:, None] * ty
-                + jnp.sqrt(r2)[:, None] * ldir
-            ) * lights.radius[li]
-            sample_pos = lpos + offs
-            sdir = sample_pos - surf.world_pos
-            sdir = sdir / jnp.maximum(jnp.linalg.norm(sdir, axis=-1, keepdims=True), 1e-9)
-            sdir = jnp.where(lights.radius[li] > 0.0, sdir, ldir)
-            dirs.append(sdir)
+        dirs, dist, active, n_s = built
+        # ONE origin-shared any-hit bundle traversal
+        # (trace_kernel._make_bundle_kernel): the samples' footprints are
+        # near-identical, so the union costs ~one wavefront per light
         bundle = getattr(ctx, "trace_occlusion_bundle", None)
         if bundle is not None:
             bits = bundle(origin, dirs, [dist] * n_s, active=active,
@@ -394,17 +420,109 @@ def shadow_visibility(
                                 active=active, cull_mask=cull_mask)
                 occ = rec.hit | ~active
                 bits = bits | (occ.astype(jnp.int32) << si)
-        unshadowed = jnp.zeros((r,), jnp.float32)
-        for si in range(n_s):
-            unshadowed += 1.0 - ((bits >> si) & 1).astype(jnp.float32)
-        v = unshadowed / n_s
-        # inactive rays (no-shadow gate / invalid surfaces) report
-        # all-occluded through the bundle; they are fully visible in the
-        # reference semantics (the ray query is skipped)
-        v = jnp.where(active, v, 1.0)
-        v = jnp.where(lights.cast_shadow[li], v, 1.0)
-        vis.append(v)
+        vis.append(_shadow_vis_from_bits(
+            bits, active, lights.cast_shadow[li], n_s, 0))
     return jnp.stack(vis, axis=0)
+
+
+def shadow_and_ao(
+    surf: SurfaceHits,
+    ctx,
+    materials: MaterialTable,
+    lights: Lights,
+    shadow_key: jax.Array,
+    ao_key: jax.Array,
+    *,
+    shadow_samples: int,
+    ao_samples: int,
+    ao_radius: float,
+    cull_mask: int = 0xFF,
+    shadow_cull_mask: int = 0xFF,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused shadow visibility + RTAO: every light's shadow samples AND the
+    AO samples originate at the same shaded surface point, so ALL of them
+    ride ONE origin-shared bundle traversal (trace_kernel.trace_bundle_pallas
+    mixes any-hit occlusion samples with closest-t AO samples) instead of
+    one wavefront per light plus one per AO pass. Returns ``(svis f32[L,R],
+    ao f32[R])`` with the exact sampling sequence of ``shadow_visibility`` +
+    ``ambient_occlusion``.
+
+    Falls back to the separate passes when the tracer has no fused bundle,
+    the cull masks differ (the bundle shares one traversal mask), or the AO
+    rays must honor the leaf any-hit cutout (ctx.leaf_cutout — the bundle
+    kernel has no uv machinery; shadow rays are opaque either way).
+
+    One deliberate epsilon difference vs the separate passes: the shared
+    origin uses the shadow offset (normal * 5e-3) for the AO samples too
+    (ambient_occlusion offsets by 1e-3), shifting AO hit distances by
+    <= 4e-3 — <= 0.2% of the default 2.0 radius weight."""
+    fusable = (
+        getattr(ctx, "trace_shadow_ao_bundle", None) is not None
+        and shadow_cull_mask == cull_mask
+        and ao_samples > 0 and ao_radius > 0.0
+        and not getattr(ctx, "leaf_cutout", False)
+    )
+    if not fusable:
+        svis = shadow_visibility(surf, ctx, lights, shadow_key,
+                                 shadow_samples, cull_mask=shadow_cull_mask)
+        ao = ambient_occlusion(surf, ctx, materials, ao_key, ao_samples,
+                               ao_radius, cull_mask=cull_mask)
+        return svis, ao
+
+    r = surf.world_pos.shape[0]
+    origin = surf.world_pos + surf.normal * 5e-3
+    occ_ds, occ_tcs, occ_actives = [], [], []
+    slots = []   # per light: None (skip) or (shift, active, n_s)
+    for li in range(lights.count):
+        built = _light_shadow_samples(surf, lights, li, shadow_key,
+                                      shadow_samples)
+        if built is None:
+            slots.append(None)
+            continue
+        dirs, dist, active, n_s = built
+        slots.append((len(occ_ds), active, n_s))
+        occ_ds += dirs
+        occ_tcs += [dist] * n_s
+        occ_actives += [active] * n_s
+
+    # AO sample directions: the exact ambient_occlusion sequence
+    tx, ty = _default_basis(surf.normal)
+    ao_ds, ao_tcs = [], []
+    for si in range(ao_samples):
+        k = jax.random.fold_in(ao_key, 1000 + si)
+        r1, r2 = jax.random.uniform(k, (2, r))
+        ao_ds.append(_cosine_sample(surf.normal, tx, ty,
+                                    jnp.ones((r,)), r1, r2))
+        ao_tcs.append(jnp.full((r,), ao_radius))
+
+    bits, ao_ts = ctx.trace_shadow_ao_bundle(
+        origin, occ_ds, occ_tcs, ao_ds, ao_tcs,
+        occ_actives=occ_actives, ao_actives=[surf.valid] * ao_samples,
+        cull_mask=cull_mask,
+    )
+
+    vis = []
+    for li in range(lights.count):
+        if slots[li] is None:
+            vis.append(jnp.ones((r,), jnp.float32))
+            continue
+        shift, active, n_s = slots[li]
+        vis.append(_shadow_vis_from_bits(
+            bits, active, lights.cast_shadow[li], n_s, shift))
+    svis = jnp.stack(vis, axis=0)
+
+    # AO weights (rchit:205-213): occ += 1 - t/radius per hit; a miss
+    # reports t == radius (weight 0), a parked lane -3e38 (masked below)
+    occ = jnp.zeros((r,), jnp.float32)
+    for t in ao_ts:
+        occ += jnp.clip(1.0 - t / ao_radius, 0.0, 1.0)
+    from .shading import lookup_material_params
+
+    _, _, rough, metal = lookup_material_params(materials, surf.material)
+    influence = (1.0 - metal) + rough * metal
+    ao = jnp.clip(1.0 - occ / ao_samples, 0.0, 1.0) * influence
+    ao = jnp.where(surf.valid, ao, 1.0)
+    return svis, ao
 
 
 def ambient_occlusion(
@@ -541,15 +659,13 @@ def reflections(
                                  use_alpha=params.leaf_cutout,
                                  cull_mask=params.cull_mask)
 
-        svis = shadow_visibility(
-            surf=hit2, ctx=ctx, lights=lights,
-            key=jax.random.fold_in(k, 1), samples=max(1, params.shadow_samples),
-            cull_mask=params.shadow_cull_mask,
-        )
-        ao2 = ambient_occlusion(
-            hit2, ctx, materials,
-            jax.random.fold_in(k, 2), params.ao_samples, params.ao_radius,
+        svis, ao2 = shadow_and_ao(
+            hit2, ctx, materials, lights,
+            jax.random.fold_in(k, 1), jax.random.fold_in(k, 2),
+            shadow_samples=max(1, params.shadow_samples),
+            ao_samples=params.ao_samples, ao_radius=params.ao_radius,
             cull_mask=params.cull_mask,
+            shadow_cull_mask=params.shadow_cull_mask,
         )
         color2 = shade_surfaces(hit2, materials, lights, surf.world_pos,
                                 svis, ao2, getattr(ctx, "textures", None))
@@ -628,12 +744,12 @@ def trace_frame(
                              use_alpha=params.leaf_cutout,
                              cull_mask=params.cull_mask)
 
-    svis = shadow_visibility(surf, ctx, lights, key,
-                             max(1, params.shadow_samples),
-                             cull_mask=params.shadow_cull_mask)
-    ao = ambient_occlusion(
-        surf, ctx, materials, key, params.ao_samples, params.ao_radius,
+    svis, ao = shadow_and_ao(
+        surf, ctx, materials, lights, key, key,
+        shadow_samples=max(1, params.shadow_samples),
+        ao_samples=params.ao_samples, ao_radius=params.ao_radius,
         cull_mask=params.cull_mask,
+        shadow_cull_mask=params.shadow_cull_mask,
     )
     color = shade_surfaces(surf, materials, lights, camera.cam_pos, svis, ao,
                            getattr(ctx, "textures", None))

@@ -999,20 +999,29 @@ def _pack_planes(comps, fills, sub_cap: int = 0):
 
 
 def _make_bundle_kernel(root_code: int, max_steps: int, s_n: int,
-                        wide: bool = False, cull_mask: int = 0xFF,
-                        sub_n: int = 1):
-    """Origin-shared any-hit BUNDLE kernel: S rays per lane share one origin
-    (soft-shadow samples toward one light, or one shadow ray per light) and
-    run ONE traversal over the union footprint — near-identical per-sample
-    footprints make the union ~the single-sample footprint, so S samples
-    cost ~1 traversal instead of S wavefront launches.
+                        ao_n: int = 0, wide: bool = False,
+                        cull_mask: int = 0xFF, sub_n: int = 1):
+    """Origin-shared BUNDLE kernel: S rays per lane share one origin and run
+    ONE traversal over the union footprint — the per-sample footprints
+    overlap heavily near the shared origin (and exactly for soft-shadow
+    samples toward one light), so S samples cost ~1 traversal instead of S
+    wavefront launches.
 
-    State per lane: S prune planes only (any-hit commit = prune -> -3e38;
-    no closest-hit num/den/uv tracking at all — shadow semantics want the
-    occlusion BIT, raytrace.rchit:61-116 parity via shadow_visibility).
-    Inactive lanes park at t_cap=-3e38 (pre-committed: zero footprint AND
-    transparent to the all-committed early exit). Output: i32 bitmask plane,
-    bit s = sample s occluded (callers mask inactive lanes).
+    Two per-sample semantics (samples ordered occlusion-first):
+      * the first ``s_n - ao_n`` samples are ANY-HIT occlusion (shadow)
+        rays: state = one prune plane (commit = prune -> -3e38); output =
+        a bit in the i32 bitmask plane (raytrace.rchit:61-116 parity via
+        shadow_visibility).
+      * the last ``ao_n`` samples are CLOSEST-T rays (RTAO needs the hit
+        distance for its 1 - t/radius weighting, raytrace.rchit:175-219):
+        state = ratio-space (num, den) winner planes (division-free
+        Möller-Trumbore, see _make_resolve_kernel) + the prune plane
+        refreshed with ONE divide per leaf step; output = final t
+        (= t_cap when nothing closer hit, which makes the AO weight 0).
+
+    Inactive lanes park at t_cap=-3e38 per SAMPLE (zero footprint AND
+    transparent to the all-committed early exit). The early exit only
+    applies when ao_n == 0 (closest-t samples are never "done" early).
 
     Box child ordering keys use the min entry over lanes AND samples; the
     ``wide`` grandchild step mirrors ``_wide_box_step`` with the per-sample
@@ -1020,12 +1029,14 @@ def _make_bundle_kernel(root_code: int, max_steps: int, s_n: int,
     S = _STACK
     FI = 8 if wide else 3
     FH = 9 if wide else 4
+    occ_n = s_n - ao_n
 
     def kernel(boxes_ref, codes_ref, lpos_ref, lprim_ref, *rest):
         nray = 3 + 4 * s_n
         ray_refs = rest[:nray]
         occ_out = rest[nray]
-        obj_ref, prune_ref, flag_ref, stack_ref = rest[nray + 1:]
+        ao_outs = rest[nray + 1: nray + 1 + ao_n]
+        obj_ref, prune_ref, flag_ref, stack_ref = rest[nray + 1 + ao_n:]
 
         def run(sub, carry):
             ld = lambda ref: ref[sub]
@@ -1049,6 +1060,9 @@ def _make_bundle_kernel(root_code: int, max_steps: int, s_n: int,
                     obj_ref[3 + 3 * s_n + 3 * s + c] = wis[s][c]
             for s in range(s_n):
                 prune_ref[s] = tcs[s]
+            for j in range(ao_n):
+                prune_ref[s_n + j] = tcs[occ_n + j]          # num (t winner)
+                prune_ref[s_n + ao_n + j] = jnp.ones((8, 128), jnp.float32)
             flag_ref[FI] = jnp.int32(0)
             flag_ref[FH] = jnp.int32(0)
             stack_ref[0] = jnp.int32(root_code)
@@ -1174,7 +1188,10 @@ def _make_bundle_kernel(root_code: int, max_steps: int, s_n: int,
                     ods = [(obj_ref[3 + 3 * s], obj_ref[4 + 3 * s],
                             obj_ref[5 + 3 * s]) for s in range(s_n)]
                     prunes = [prune_ref[s] for s in range(s_n)]
-                    committed = [p < jnp.float32(-1e38) for p in prunes]
+                    committed = [prunes[s] < jnp.float32(-1e38)
+                                 for s in range(occ_n)]
+                    nums = [prune_ref[s_n + j] for j in range(ao_n)]
+                    dens = [prune_ref[s_n + ao_n + j] for j in range(ao_n)]
                     for k in range(K):
                         tb = b + k * 9
                         ax, ay, az = (lpos_ref[tb], lpos_ref[tb + 1],
@@ -1202,19 +1219,32 @@ def _make_bundle_kernel(root_code: int, max_steps: int, s_n: int,
                             du = (sx * px_ + sy * py_ + sz * pz_) * sgn
                             dv = (odx * qx + ody * qy + odz * qz) * sgn
                             dt = (e2x * qx + e2y * qy + e2z * qz) * sgn
-                            hit = (ok & (du >= 0.0) & (dv >= 0.0)
-                                   & (du + dv <= adet)
-                                   & (dt > 1e-3 * adet)
-                                   & (dt < prunes[s] * adet)
-                                   & (ptag >= 0))
-                            committed[s] = committed[s] | hit
-                    allc = jnp.bool_(True)
-                    for s in range(s_n):
+                            base = (ok & (du >= 0.0) & (dv >= 0.0)
+                                    & (du + dv <= adet)
+                                    & (dt > 1e-3 * adet)
+                                    & (ptag >= 0))
+                            if s < occ_n:
+                                hit = base & (dt < prunes[s] * adet)
+                                committed[s] = committed[s] | hit
+                            else:
+                                j = s - occ_n
+                                hit = base & (dt * dens[j] < nums[j] * adet)
+                                nums[j] = jnp.where(hit, dt, nums[j])
+                                dens[j] = jnp.where(hit, adet, dens[j])
+                    for s in range(occ_n):
                         prune_ref[s] = jnp.where(committed[s],
                                                  jnp.float32(-3e38),
                                                  prune_ref[s])
-                        allc = allc & committed[s]
-                    flag_ref[FH] = jnp.all(allc).astype(jnp.int32)
+                    for j in range(ao_n):
+                        prune_ref[s_n + j] = nums[j]
+                        prune_ref[s_n + ao_n + j] = dens[j]
+                        # ONE divide per leaf step refreshes the box prune
+                        prune_ref[occ_n + j] = nums[j] / dens[j]
+                    if ao_n == 0:
+                        allc = jnp.bool_(True)
+                        for s in range(occ_n):
+                            allc = allc & committed[s]
+                        flag_ref[FH] = jnp.all(allc).astype(jnp.int32)
 
                 if wide:
                     sp = _wide_pushes(stack_ref, flag_ref, sp, is_box,
@@ -1244,10 +1274,12 @@ def _make_bundle_kernel(root_code: int, max_steps: int, s_n: int,
                 cond, body, (jnp.int32(0), jnp.int32(1), jnp.int32(0)))
 
             bits = jnp.zeros((8, 128), jnp.int32)
-            for s in range(s_n):
+            for s in range(occ_n):
                 occ = prune_ref[s] < jnp.float32(-1e38)
                 bits = bits | (occ.astype(jnp.int32) << s)
             occ_out[sub] = bits
+            for j in range(ao_n):
+                ao_outs[j][sub] = prune_ref[s_n + j] / prune_ref[s_n + ao_n + j]
             return carry
 
         if sub_n == 1:
@@ -1263,37 +1295,48 @@ def _make_bundle_kernel(root_code: int, max_steps: int, s_n: int,
     static_argnames=("root_code", "stack_size", "max_steps", "wide",
                      "cull_mask", "sub_cap"),
 )
-def trace_shadow_bundle_pallas(
+def trace_bundle_pallas(
     scene: RTScene,
     ray_o: jax.Array,                 # f32[R, 3] shared origins
-    ray_ds,                           # tuple of f32[R, 3], one per sample
-    t_caps,                           # tuple of f32[R] (or scalar) per sample
+    occ_ds,                           # tuple of f32[R, 3], any-hit samples
+    occ_tcs,                          # tuple of f32[R] (or scalar) per sample
+    ao_ds=(),                         # tuple of f32[R, 3], closest-t samples
+    ao_tcs=(),                        # tuple of f32[R] (or scalar) per sample
     *,
     root_code: int,
     stack_size: int,
     max_steps: Optional[int] = None,
-    active: Optional[jax.Array] = None,
+    occ_actives=None,                 # tuple of bool[R] | None, per sample
+    ao_actives=None,                  # tuple of bool[R] | None, per sample
     wide: bool = False,
     cull_mask: int = 0xFF,
     sub_cap: int = 0,
-) -> jax.Array:
-    """S origin-shared any-hit rays per lane in ONE traversal. Returns an
-    i32[R] bitmask: bit s set = sample s occluded (hit before its t_cap).
-    Inactive lanes report all-occluded — callers mask with ``active``
-    (shadow_visibility does). One wavefront launch replaces S; the union
-    footprint of S same-origin samples is ~a single sample's footprint."""
-    s_n = len(ray_ds)
-    assert s_n >= 1
+):
+    """S origin-shared rays per lane in ONE traversal: any-hit occlusion
+    samples (shadows) + closest-t samples (RTAO) mixed. Returns
+    ``(bits, ao_ts)``: i32[R] bitmask (bit s set = occlusion sample s hit
+    before its t_cap; inactive lanes report all-occluded — callers mask)
+    and a tuple of f32[R] closest-t per AO sample (= its t_cap when nothing
+    closer hit; -3e38 on inactive lanes). One wavefront launch replaces S;
+    same-origin samples' footprints overlap near the origin, so the union
+    costs far less than S separate traversals."""
+    occ_n = len(occ_ds)
+    ao_n = len(ao_ds)
+    s_n = occ_n + ao_n
+    assert s_n >= 1 and occ_n <= 30
     r = ray_o.shape[0]
     comps = [ray_o[:, 0], ray_o[:, 1], ray_o[:, 2]]
     fills = [0.0, 0.0, 0.0]
-    for d in ray_ds:
+    for d in tuple(occ_ds) + tuple(ao_ds):
         comps += [d[:, 0], d[:, 1], d[:, 2]]
         fills += [1.0, 1.0, 1.0]
-    for tc in t_caps:
+    all_tcs = tuple(occ_tcs) + tuple(ao_tcs)
+    all_act = tuple(occ_actives or (None,) * occ_n) + \
+        tuple(ao_actives or (None,) * ao_n)
+    for tc, act in zip(all_tcs, all_act):
         t = jnp.asarray(tc, jnp.float32) + ray_o[:, 0] * 0.0
-        if active is not None:
-            t = jnp.where(active, t, -3e38)   # parked: zero footprint
+        if act is not None:
+            t = jnp.where(act, t, -3e38)   # parked: zero footprint
         comps.append(t)
         fills.append(-3e38)
 
@@ -1306,28 +1349,55 @@ def trace_shadow_bundle_pallas(
     eff_stack = (stack_size * 3) // 2 + 2 if wide else stack_size
     assert eff_stack <= _STACK, "scene too deep for the packet kernel"
 
-    kernel = _make_bundle_kernel(root_code, max_steps, s_n, wide=wide,
-                                 cull_mask=cull_mask, sub_n=sub)
+    kernel = _make_bundle_kernel(root_code, max_steps, s_n, ao_n=ao_n,
+                                 wide=wide, cull_mask=cull_mask, sub_n=sub)
     smem = lambda n: pl.BlockSpec(
         (n,), lambda i: (0,), memory_space=pltpu.SMEM)
-    occ = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=(g,),
         in_specs=[
             smem(boxes.shape[0]), smem(codes.shape[0]),
             smem(lpos.shape[0]), smem(lprim.shape[0]),
         ] + [spec] * len(comps),
-        out_specs=[spec],
-        out_shape=[out_shape(jnp.int32)],
+        out_specs=[spec] * (1 + ao_n),
+        out_shape=[out_shape(jnp.int32)] + [out_shape(jnp.float32)] * ao_n,
         scratch_shapes=[
             pltpu.VMEM((3 + 6 * s_n, 8, 128), jnp.float32),  # o + d/inv per s
-            pltpu.VMEM((s_n, 8, 128), jnp.float32),          # prune planes
+            # per-sample prune planes + (num, den) winners per AO sample
+            pltpu.VMEM((s_n + 2 * ao_n, 8, 128), jnp.float32),
             pltpu.SMEM((12 if wide else 8,), jnp.int32),
             pltpu.SMEM((_STACK + 1,), jnp.int32),
         ],
         interpret=INTERPRET,
-    )(boxes, codes, lpos, lprim, *args)[0]
-    return unflatten(occ)
+    )(boxes, codes, lpos, lprim, *args)
+    return unflatten(outs[0]), tuple(unflatten(x) for x in outs[1:])
+
+
+def trace_shadow_bundle_pallas(
+    scene: RTScene,
+    ray_o: jax.Array,
+    ray_ds,
+    t_caps,
+    *,
+    root_code: int,
+    stack_size: int,
+    max_steps: Optional[int] = None,
+    active: Optional[jax.Array] = None,
+    wide: bool = False,
+    cull_mask: int = 0xFF,
+    sub_cap: int = 0,
+) -> jax.Array:
+    """All-occlusion bundle (the original shadow-only surface): S any-hit
+    origin-shared rays -> i32[R] occlusion bitmask. See trace_bundle_pallas."""
+    s_n = len(ray_ds)
+    bits, _ = trace_bundle_pallas(
+        scene, ray_o, tuple(ray_ds), tuple(t_caps),
+        root_code=root_code, stack_size=stack_size, max_steps=max_steps,
+        occ_actives=None if active is None else (active,) * s_n,
+        wide=wide, cull_mask=cull_mask, sub_cap=sub_cap,
+    )
+    return bits
 
 
 # NOTE on ray ordering (measured on TPU v5e, example scene, 1M rays):

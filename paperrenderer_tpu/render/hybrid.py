@@ -137,12 +137,11 @@ def make_hybrid_frame(meta, animate: Optional[Callable],
             leaf_cutout=leaf_cutout,
             reflection_half_rate=reflection_half_rate,
         )
-        svis = T.shadow_visibility(
-            surf, ctx, lights, key, max(1, shadow_samples)
-        )
-        ao = T.ambient_occlusion(
-            surf, ctx, materials,
-            jax.random.fold_in(key, 3), ao_samples, ao_radius,
+        svis, ao = T.shadow_and_ao(
+            surf, ctx, materials, lights,
+            key, jax.random.fold_in(key, 3),
+            shadow_samples=max(1, shadow_samples),
+            ao_samples=ao_samples, ao_radius=ao_radius,
         )
 
         hdr = shade_gbuffer(

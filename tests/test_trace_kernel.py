@@ -339,3 +339,85 @@ def test_occlusion_bundle_subpackets(example):
     b2 = TK.trace_shadow_bundle_pallas(rts, o2, (d2,), (tm,), sub_cap=2,
                                        **kw)
     np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+
+
+@pytest.mark.parametrize("wide", [False, True])
+def test_mixed_bundle_occ_plus_ao_closest(example, wide):
+    """The heterogeneous bundle (any-hit occlusion samples + closest-t AO
+    samples in ONE traversal) must report exactly what per-sample traces
+    report: occlusion bits from any-hit traces; AO t = the closest hit t
+    (cap when nothing hits within it, -3e38 on parked lanes)."""
+    rp, cam, rts, roots, ss, instances, o, d, t_max = example
+    r = o.shape[0]
+    key = jax.random.PRNGKey(11)
+    occ_ds, occ_tcs = [], []
+    for s in range(2):
+        j = jax.random.normal(jax.random.fold_in(key, s), (r, 3)) * 0.05
+        sd = d + j
+        occ_ds.append(sd / jnp.linalg.norm(sd, axis=-1, keepdims=True))
+    occ_tcs = [jnp.full((r,), 1000.0), jnp.full((r,), 4.0)]
+    ao_ds = []
+    for s in range(2):
+        j = jax.random.normal(jax.random.fold_in(key, 50 + s), (r, 3))
+        sd = d + 0.3 * j
+        ao_ds.append(sd / jnp.linalg.norm(sd, axis=-1, keepdims=True))
+    ao_tcs = [jnp.full((r,), 1000.0), jnp.full((r,), 3.0)]
+    occ_act = (jnp.arange(r) % 3) != 0
+    ao_act = (jnp.arange(r) % 4) != 1
+
+    bits, ao_ts = TK.trace_bundle_pallas(
+        rts, o, tuple(occ_ds), tuple(occ_tcs), tuple(ao_ds), tuple(ao_tcs),
+        root_code=roots[0], stack_size=ss,
+        occ_actives=(occ_act, occ_act), ao_actives=(ao_act, ao_act),
+        wide=wide, max_steps=TK.traversal_step_bound(rts, instances.capacity))
+    bits = np.asarray(bits)
+
+    for s in range(2):
+        rec = A.trace_scene(
+            rts, o, occ_ds[s], occ_tcs[s], root_code=roots[0], stack_size=ss,
+            any_hit=True, active=occ_act)
+        ref_occ = np.asarray(rec.hit) | ~np.asarray(occ_act)
+        np.testing.assert_array_equal(((bits >> s) & 1).astype(bool), ref_occ)
+    for s in range(2):
+        rec = A.trace_scene(
+            rts, o, ao_ds[s], ao_tcs[s], root_code=roots[0], stack_size=ss,
+            active=ao_act)
+        ref_t = np.where(np.asarray(rec.hit), np.asarray(rec.t),
+                         np.asarray(ao_tcs[s]))
+        ref_t = np.where(np.asarray(ao_act), ref_t, -3e38)
+        got = np.asarray(ao_ts[s])
+        np.testing.assert_allclose(got, ref_t, rtol=2e-5, atol=1e-4)
+
+
+def test_shadow_and_ao_fused_matches_separate(example):
+    """trace.shadow_and_ao (fused bundle) must match shadow_visibility +
+    ambient_occlusion run separately, up to the documented AO origin epsilon
+    (5e-3 vs 1e-3 along the normal)."""
+    from paperrenderer_tpu.ops import trace as T
+    from paperrenderer_tpu.ops.shading import Lights
+
+    rp, cam, rts, roots, ss, instances, o, d, t_max = example
+    slots = rp._slot_material_array(instances.capacity)
+    ctx = A.SceneTracer(rts, slots, rp.materials.table(),
+                        root_code=roots[0], stack_size=ss, use_pallas=True)
+    surf = ctx.trace_resolve(o, d, t_max)
+    lights = Lights.make(
+        [dict(position=(4.0, 5.0, 3.0), color=(40.0, 38.0, 30.0),
+              radius=0.5, bounds=30.0),
+         dict(position=(-6.0, 2.0, 4.0), color=(10.0, 10.0, 18.0),
+              radius=0.0, bounds=30.0)],
+        ambient=(1.0, 1.0, 1.0, 0.15),
+    )
+    key = jax.random.PRNGKey(5)
+    ao_key = jax.random.fold_in(key, 9)
+    mats = rp.materials.table()
+    svis_f, ao_f = T.shadow_and_ao(
+        surf, ctx, mats, lights, key, ao_key,
+        shadow_samples=2, ao_samples=2, ao_radius=2.0)
+    svis_s = T.shadow_visibility(surf, ctx, lights, key, 2)
+    ao_s = T.ambient_occlusion(surf, ctx, mats, ao_key, 2, 2.0)
+    np.testing.assert_allclose(np.asarray(svis_f), np.asarray(svis_s),
+                               atol=1e-6)
+    # AO origins differ by 4e-3 * normal: tolerance covers the epsilon band
+    np.testing.assert_allclose(np.asarray(ao_f), np.asarray(ao_s), atol=0.03)
+    assert float(jnp.mean(jnp.abs(ao_f - ao_s))) < 5e-3
