@@ -139,14 +139,19 @@ def _median_order(centroid: np.ndarray, slots: int) -> np.ndarray:
 class _BLASBuild:
     """One BLAS's host-side build products (pre-offset-fixup)."""
 
-    num_leaves: int          # L (power of two)
+    num_leaves: int          # L (power of two for implicit builds)
     leaf_order: np.ndarray   # i64[L*K] arena tri id per leaf slot (-1 pad)
     leaf_rows: np.ndarray    # f32[L, 120] positions + uvs
     leaf_nrm: np.ndarray     # f32[L, 72] object-space vertex normals
     leaf_prim: np.ndarray    # i32[L, K] tagged prim ids ((slot<<24)|tri, -1 pad)
-    node_min: np.ndarray     # f32[2L-1, 3]
+    node_min: np.ndarray     # f32[2L-1, 3] (explicit builds: [L-1, 3], root=0)
     node_max: np.ndarray     # f32[2L-1, 3]
     depth: int
+    # explicit-topology (SAH) builds: per-node child boxes + local child
+    # links; None -> implicit complete tree over the leaf slots
+    node_rows: np.ndarray = None    # f32[L-1, 12] child boxes
+    child_kind: np.ndarray = None   # i8[L-1, 2] 0=box child, 1=leaf child
+    child_idx: np.ndarray = None    # i32[L-1, 2] local child indices
 
 
 def _build_blas_host(
@@ -212,6 +217,177 @@ def _build_blas_host(
     )
 
 
+def _sah_leaf_arrays(leaves, vs, uvs, ns, prim_tagged):
+    """Pack per-leaf triangle id lists into the [L, K*...] leaf tables."""
+    l = len(leaves)
+    pos9 = np.zeros((l * K, 9), np.float32)
+    uv6 = np.zeros((l * K, 6), np.float32)
+    nrm9 = np.zeros((l * K, 9), np.float32)
+    prim = np.full(l * K, -1, np.int32)
+    order = np.full(l * K, -1, np.int64)
+    for li, ids in enumerate(leaves):
+        n = len(ids)
+        s = li * K
+        pos9[s:s + n] = vs[ids]
+        uv6[s:s + n] = uvs[ids]
+        nrm9[s:s + n] = ns[ids]
+        prim[s:s + n] = prim_tagged[ids]
+        order[s:s + n] = ids
+    rows = np.zeros((l, LEAF_ROW), np.float32)
+    # leaf rows store (a, e1=b-a, e2=c-a) — see _build_blas_host
+    pos9[:, 3:6] -= pos9[:, 0:3]
+    pos9[:, 6:9] -= pos9[:, 0:3]
+    rows[:, _POS:_UV] = pos9.reshape(l, K * 9)
+    rows[:, _UV:LEAF_ROW] = uv6.reshape(l, K * 6)
+    return rows, nrm9.reshape(l, K * 9), prim.reshape(l, K), order
+
+
+def _build_blas_host_sah(
+    v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
+    uv0: np.ndarray, uv1: np.ndarray, uv2: np.ndarray,
+    prim_tagged: np.ndarray,
+    n0: np.ndarray = None, n1: np.ndarray = None, n2: np.ndarray = None,
+    *,
+    bins: int = 16,
+    depth_cap: int = 48,
+) -> _BLASBuild:
+    """Top-down binned-SAH BLAS with EXPLICIT topology.
+
+    The driver's PREFER_FAST_TRACE builder quality
+    (AccelerationStructure.cpp:218-271 queues driver builds; quality there
+    is the vendor's SAH builder): at each node, 16 centroid bins per axis,
+    split minimizing SA(L)*N_L + SA(R)*N_R; median-count fallback on
+    degenerate extents and past ``depth_cap`` (stack safety). Leaves hold
+    up to K triangles. Static BLASes never refit, so arbitrary topology is
+    free — the child CODE table is explicit (``_emit_blas_node_rows``);
+    only animated BLASes need the implicit refit-friendly layout."""
+    t = v0.shape[0]
+    centroid = ((v0 + v1 + v2) / 3.0).astype(np.float32)
+    tri_min = np.minimum(np.minimum(v0, v1), v2).astype(np.float32)
+    tri_max = np.maximum(np.maximum(v0, v1), v2).astype(np.float32)
+    vs = np.concatenate([v0, v1, v2], axis=-1).astype(np.float32)
+    uvs = np.concatenate([uv0, uv1, uv2], axis=-1).astype(np.float32)
+    if n0 is None:
+        ns = np.tile(np.asarray([0, 0, 1] * 3, np.float32), (t, 1))
+    else:
+        ns = np.concatenate([n0, n1, n2], axis=-1).astype(np.float32)
+
+    leaves: List[np.ndarray] = []
+    nodes: List[list] = []       # [kind0, idx0, kind1, idx1] (preorder)
+    node_box: List[tuple] = []   # (lo, hi) per node, same order
+    max_depth = [1]
+
+    def area(lo, hi):
+        d = np.maximum(hi - lo, 0.0)
+        return d[0] * d[1] + d[1] * d[2] + d[2] * d[0]
+
+    def build(ids, depth):
+        """-> (kind, idx, lo, hi); kind 1 = leaf, 0 = box node."""
+        max_depth[0] = max(max_depth[0], depth)
+        lo = tri_min[ids].min(axis=0)
+        hi = tri_max[ids].max(axis=0)
+        if len(ids) <= K:
+            leaves.append(ids)
+            return 1, len(leaves) - 1, lo, hi
+        c = centroid[ids]
+        split = None
+        if depth < depth_cap:
+            best_cost = np.inf
+            for ax in range(3):
+                cl, ch = c[:, ax].min(), c[:, ax].max()
+                if ch <= cl:
+                    continue
+                b = np.minimum(
+                    ((c[:, ax] - cl) * (bins / (ch - cl))).astype(np.int64),
+                    bins - 1)
+                cnt = np.bincount(b, minlength=bins)
+                blo = np.full((bins, 3), np.inf, np.float32)
+                bhi = np.full((bins, 3), -np.inf, np.float32)
+                np.minimum.at(blo, b, tri_min[ids])
+                np.maximum.at(bhi, b, tri_max[ids])
+                # prefix/suffix box areas + counts over split positions
+                plo = np.minimum.accumulate(blo, axis=0)
+                phi = np.maximum.accumulate(bhi, axis=0)
+                slo = np.minimum.accumulate(blo[::-1], axis=0)[::-1]
+                shi = np.maximum.accumulate(bhi[::-1], axis=0)[::-1]
+                pcnt = np.cumsum(cnt)
+                for i in range(bins - 1):
+                    nl = pcnt[i]
+                    nr = len(ids) - nl
+                    if nl == 0 or nr == 0:
+                        continue
+                    cost = (area(plo[i], phi[i]) * nl
+                            + area(slo[i + 1], shi[i + 1]) * nr)
+                    if cost < best_cost:
+                        best_cost = cost
+                        split = (ax, cl, ch, i)
+        if split is not None:
+            ax, cl, ch, i = split
+            b = np.minimum(
+                ((c[:, ax] - cl) * (bins / (ch - cl))).astype(np.int64),
+                bins - 1)
+            mask = b <= i
+            left, right = ids[mask], ids[~mask]
+        else:
+            # degenerate extents or depth cap: median-count split on the
+            # widest axis (keeps the tree balanced from here down)
+            ax = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+            half = len(ids) // 2
+            part = np.argpartition(c[:, ax], half - 1)
+            left, right = ids[part[:half]], ids[part[half:]]
+        me = len(nodes)
+        nodes.append(None)
+        node_box.append((lo, hi))
+        k0, i0, _, _ = build(left, depth + 1)
+        k1, i1, _, _ = build(right, depth + 1)
+        nodes[me] = [k0, i0, k1, i1]
+        return 0, me, lo, hi
+
+    import sys as _sys
+
+    old_limit = _sys.getrecursionlimit()
+    _sys.setrecursionlimit(max(old_limit, depth_cap * 4 + 10000))
+    try:
+        build(np.arange(t, dtype=np.int64), 1)
+    finally:
+        _sys.setrecursionlimit(old_limit)
+
+    rows, nrm, prim, order = _sah_leaf_arrays(leaves, vs, uvs, ns,
+                                              prim_tagged)
+    l = len(leaves)
+    nn = len(nodes)
+    assert nn == l - 1 or (l == 1 and nn == 0)
+    node_rows = np.zeros((nn, 12), np.float32)
+    child_kind = np.zeros((nn, 2), np.int8)
+    child_idx = np.zeros((nn, 2), np.int32)
+    leaf_lo = np.zeros((l, 3), np.float32)
+    leaf_hi = np.zeros((l, 3), np.float32)
+    for li, ids in enumerate(leaves):
+        leaf_lo[li] = tri_min[ids].min(axis=0)
+        leaf_hi[li] = tri_max[ids].max(axis=0)
+    for ni, ch in enumerate(nodes):
+        k0, i0, k1, i1 = ch
+        b0 = (leaf_lo[i0], leaf_hi[i0]) if k0 else node_box[i0]
+        b1 = (leaf_lo[i1], leaf_hi[i1]) if k1 else node_box[i1]
+        node_rows[ni, 0:3] = b0[0]
+        node_rows[ni, 3:6] = b0[1]
+        node_rows[ni, 6:9] = b1[0]
+        node_rows[ni, 9:12] = b1[1]
+        child_kind[ni] = (k0, k1)
+        child_idx[ni] = (i0, i1)
+    if nn:
+        node_min = np.stack([b[0] for b in node_box])
+        node_max = np.stack([b[1] for b in node_box])
+    else:
+        node_min, node_max = leaf_lo, leaf_hi
+    return _BLASBuild(
+        num_leaves=l, leaf_order=order, leaf_rows=rows, leaf_nrm=nrm,
+        leaf_prim=prim, node_min=node_min, node_max=node_max,
+        depth=max_depth[0], node_rows=node_rows, child_kind=child_kind,
+        child_idx=child_idx,
+    )
+
+
 def _emit_blas_node_rows(
     b: _BLASBuild, node_off: int, leaf_off: int
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -220,6 +396,14 @@ def _emit_blas_node_rows(
     l = b.num_leaves
     if l <= 1:
         return np.zeros((0, 12), np.float32), np.zeros((0, 2), np.int32)
+    if b.node_rows is not None:
+        # explicit topology (SAH build): codes straight from child links
+        codes = np.where(
+            b.child_kind == 1,
+            _code(TYPE_LEAF, leaf_off + b.child_idx, obj=True),
+            _code(TYPE_BOX, node_off + b.child_idx, obj=True),
+        ).astype(np.int32)
+        return b.node_rows, codes
     rows = np.zeros((l - 1, 12), np.float32)
     i = np.arange(l - 1)
     c0 = 2 * i + 1
@@ -348,7 +532,10 @@ def build_blas_set(scene):
 
     for model in scene.models:
         blas_of_model[model.model_id] = len(builds)
-        builds.append(_build_blas_host(*model_tris(model)))
+        # static BLASes never refit -> free to use the explicit binned-SAH
+        # topology (driver PREFER_FAST_TRACE quality); animated BLASes below
+        # keep the implicit complete tree the in-graph refit depends on
+        builds.append(_build_blas_host_sah(*model_tris(model)))
 
     num_models_blas = len(builds)
     anim: List[AnimBLAS] = []
@@ -1678,6 +1865,65 @@ class SceneTracer:
             ao_ts.append(t)
         return bits, tuple(ao_ts)
 
+    def _surface_from_resolved(self, out, o, d):
+        """trace_resolve_scene_pallas output dict -> SurfaceHits (shared
+        normalization / face-forward / miss handling)."""
+        from .trace import SurfaceHits
+
+        hit = out["prim"] >= 0
+        t = jnp.where(hit, out["t"], 0.0)
+        n = out["normal"]
+        n = n / jnp.maximum(
+            jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+        facing = jnp.sum(n * d, axis=-1) < 0.0
+        n = jnp.where(facing[:, None], n, -n)
+        return SurfaceHits(
+            world_pos=o + t[:, None] * d,
+            normal=n,
+            uv=out["uv"],
+            material=jnp.where(hit, out["material"], 0),
+            valid=hit,
+            t=out["t"],
+        )
+
+    def trace_shadow_ao_resolve_bundle(self, o, dirs, t_caps, ao_dirs,
+                                       ao_caps, rs_d, rs_cap, *,
+                                       occ_actives=None, ao_actives=None,
+                                       rs_active=None, cull_mask: int = 0xFF):
+        """Fused shadow + RTAO + 1-bounce bundle: the occlusion samples, the
+        closest-t AO samples AND the reflection ray (closest hit + full
+        attribute resolve) share one origin per lane and traverse ONCE.
+        Returns ``(bits, ao_ts, SurfaceHits)``. Falls back to the fused
+        shadow+AO bundle plus a separate trace_resolve."""
+        if self.use_pallas:
+            from .trace_kernel import (
+                _STACK, pallas_resolve_ok, trace_bundle_pallas,
+            )
+
+            if (self.stack_size <= _STACK
+                    and pallas_resolve_ok(self.scene, o.shape[0],
+                                          self.slot_materials)):
+                bits, ao_ts, out = trace_bundle_pallas(
+                    self.scene, o, tuple(dirs), tuple(t_caps),
+                    tuple(ao_dirs), tuple(ao_caps),
+                    rs_d, rs_cap, self.slot_materials,
+                    root_code=self.root_code, stack_size=self.stack_size,
+                    occ_actives=None if occ_actives is None
+                    else tuple(occ_actives),
+                    ao_actives=None if ao_actives is None
+                    else tuple(ao_actives),
+                    rs_active=rs_active,
+                    max_steps=self._step_bound(),
+                    wide=self.wide, cull_mask=cull_mask,
+                )
+                return bits, ao_ts, self._surface_from_resolved(out, o, rs_d)
+        bits, ao_ts = self.trace_shadow_ao_bundle(
+            o, dirs, t_caps, ao_dirs, ao_caps, occ_actives=occ_actives,
+            ao_actives=ao_actives, cull_mask=cull_mask)
+        surf = self.trace_resolve(o, rs_d, rs_cap, active=rs_active,
+                                  cull_mask=cull_mask)
+        return bits, ao_ts, surf
+
     def trace_resolve(self, o, d, t_max, *, active=None, use_alpha=False,
                       cull_mask: int = 0xFF):
         """Closest hit + attribute resolve in one step -> SurfaceHits.
@@ -1694,8 +1940,6 @@ class SceneTracer:
             if (self.stack_size <= _STACK
                     and pallas_resolve_ok(self.scene, o.shape[0],
                                           self.slot_materials)):
-                from .trace import SurfaceHits
-
                 out = trace_resolve_scene_pallas(
                     self.scene, self.slot_materials, o, d, t_max,
                     root_code=self.root_code, stack_size=self.stack_size,
@@ -1705,21 +1949,7 @@ class SceneTracer:
                     image_shape=self._image_shape(o.shape[0]),
                     wide=self.wide, cull_mask=cull_mask,
                 )
-                hit = out["prim"] >= 0
-                t = jnp.where(hit, out["t"], 0.0)
-                n = out["normal"]
-                n = n / jnp.maximum(
-                    jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
-                facing = jnp.sum(n * d, axis=-1) < 0.0
-                n = jnp.where(facing[:, None], n, -n)
-                return SurfaceHits(
-                    world_pos=o + t[:, None] * d,
-                    normal=n,
-                    uv=out["uv"],
-                    material=jnp.where(hit, out["material"], 0),
-                    valid=hit,
-                    t=out["t"],
-                )
+                return self._surface_from_resolved(out, o, d)
         rec = self.trace(o, d, t_max, active=active, use_alpha=use_alpha,
                          cull_mask=cull_mask)
         return self.resolve(rec, o, d)

@@ -62,6 +62,14 @@ class RTParams:
     # secondary packets are incoherent), NOT reference parity. Off = the
     # reference's full-rate depth-1 recursion.
     reflection_half_rate: bool = False
+    # fold the 1-bounce reflection ray into the primary-side shadow+AO
+    # bundle traversal (one wavefront for ALL primary-side secondary rays).
+    # MEASURED SLOWER on the example scene (78.5 vs 75.8 ms @1080p): every
+    # box step pays one slab test per sample across the UNION footprint,
+    # and the bounce's footprint is large and mostly disjoint from the
+    # local shadow/AO footprints — bundling only wins when footprints
+    # overlap. Kept as an option for short-range reflection workloads.
+    fuse_bounce: bool = False
 
     # static dataclass (python ints) — used as jit static argument
 
@@ -525,6 +533,108 @@ def shadow_and_ao(
     return svis, ao
 
 
+def shadow_ao_bounce(
+    surf: SurfaceHits,
+    ctx,
+    materials: MaterialTable,
+    lights: Lights,
+    cam_pos: jax.Array,
+    shadow_key: jax.Array,
+    ao_key: jax.Array,
+    refl_key: jax.Array,
+    *,
+    params: RTParams,
+) -> Tuple[jax.Array, jax.Array, Optional[SurfaceHits]]:
+    """Maximally fused primary-side lighting wavefront: every light's shadow
+    samples, the AO samples AND the 1-bounce reflection ray originate at the
+    same surface point — ALL of them ride ONE origin-shared bundle traversal
+    (trace_kernel.trace_bundle_pallas with a closest+resolve sample).
+    Returns ``(svis, ao, bounce_hits | None)``; when the bounce could not be
+    fused (multi-sample reflections, half-rate, leaf cutout, differing cull
+    masks, or a tracer without the fused bundle) it returns ``None`` and the
+    caller's ``reflections`` pass traces it as before.
+
+    Epsilon note: the shared origin uses the shadow offset (normal * 5e-3);
+    the unfused bounce offsets by 1e-3 (both are OffsetRay-analogue
+    anti-acne nudges; the 4e-3 difference is far below the cosine-cone
+    sampling noise of the glossy reflection itself)."""
+    fuse_bounce = (
+        params.fuse_bounce
+        and getattr(ctx, "trace_shadow_ao_resolve_bundle", None) is not None
+        and params.reflection_samples == 1
+        and not params.reflection_half_rate
+        and params.shadow_cull_mask == params.cull_mask
+        and params.ao_samples > 0 and params.ao_radius > 0.0
+        and not getattr(ctx, "leaf_cutout", False)
+    )
+    if not fuse_bounce:
+        svis, ao = shadow_and_ao(
+            surf, ctx, materials, lights, shadow_key, ao_key,
+            shadow_samples=max(1, params.shadow_samples),
+            ao_samples=params.ao_samples, ao_radius=params.ao_radius,
+            cull_mask=params.cull_mask,
+            shadow_cull_mask=params.shadow_cull_mask,
+        )
+        return svis, ao, None
+
+    r = surf.world_pos.shape[0]
+    origin = surf.world_pos + surf.normal * 5e-3
+    occ_ds, occ_tcs, occ_actives = [], [], []
+    slots = []
+    for li in range(lights.count):
+        built = _light_shadow_samples(surf, lights, li, shadow_key,
+                                      max(1, params.shadow_samples))
+        if built is None:
+            slots.append(None)
+            continue
+        dirs, dist, active, n_s = built
+        slots.append((len(occ_ds), active, n_s))
+        occ_ds += dirs
+        occ_tcs += [dist] * n_s
+        occ_actives += [active] * n_s
+
+    tx, ty = _default_basis(surf.normal)
+    ao_ds, ao_tcs = [], []
+    for si in range(params.ao_samples):
+        k = jax.random.fold_in(ao_key, 1000 + si)
+        r1, r2 = jax.random.uniform(k, (2, r))
+        ao_ds.append(_cosine_sample(surf.normal, tx, ty,
+                                    jnp.ones((r,)), r1, r2))
+        ao_tcs.append(jnp.full((r,), params.ao_radius))
+
+    rdir = _reflection_dir(surf, materials, cam_pos, refl_key, 0)
+
+    bits, ao_ts, hit2 = ctx.trace_shadow_ao_resolve_bundle(
+        origin, occ_ds, occ_tcs, ao_ds, ao_tcs,
+        rdir, jnp.full((r,), 1000.0),
+        occ_actives=occ_actives,
+        ao_actives=[surf.valid] * params.ao_samples,
+        rs_active=surf.valid,
+        cull_mask=params.cull_mask,
+    )
+
+    vis = []
+    for li in range(lights.count):
+        if slots[li] is None:
+            vis.append(jnp.ones((r,), jnp.float32))
+            continue
+        shift, active, n_s = slots[li]
+        vis.append(_shadow_vis_from_bits(
+            bits, active, lights.cast_shadow[li], n_s, shift))
+    svis = jnp.stack(vis, axis=0)
+
+    occ = jnp.zeros((r,), jnp.float32)
+    for t in ao_ts:
+        occ += jnp.clip(1.0 - t / params.ao_radius, 0.0, 1.0)
+    from .shading import lookup_material_params
+
+    _, _, rough, metal = lookup_material_params(materials, surf.material)
+    influence = (1.0 - metal) + rough * metal
+    ao = jnp.clip(1.0 - occ / params.ao_samples, 0.0, 1.0) * influence
+    ao = jnp.where(surf.valid, ao, 1.0)
+    return svis, ao, hit2
+
+
 def ambient_occlusion(
     surf: SurfaceHits,
     ctx,
@@ -620,6 +730,26 @@ def shade_surfaces(
     return jnp.where(surf.valid[:, None], total, 0.0)
 
 
+def _reflection_dir(surf: SurfaceHits, materials: MaterialTable,
+                    cam_pos: jax.Array, key: jax.Array, si: int) -> jax.Array:
+    """Reflection-sample direction (rchit:124-146): cosine-perturbed mirror
+    with cone angle roughness*(1-(1-N.V)^5). Shared by ``reflections`` and
+    the fused ``shadow_ao_bounce`` so both produce the identical ray."""
+    from .shading import lookup_material_params
+
+    r = surf.world_pos.shape[0]
+    _, _, rough, _ = lookup_material_params(materials, surf.material)
+    v = cam_pos - surf.world_pos
+    v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-9)
+    n_dot_v = jnp.maximum(jnp.sum(surf.normal * v, axis=-1), 0.0)
+    max_angle = rough * (1.0 - jnp.power(1.0 - n_dot_v, 5.0))
+    tx, ty = _default_basis(surf.normal)
+    k = jax.random.fold_in(key, 2000 + si)
+    r1, r2 = jax.random.uniform(k, (2, r))
+    pert_n = _cosine_sample(surf.normal, tx, ty, max_angle, r1, r2)
+    return -v + 2.0 * jnp.sum(pert_n * v, axis=-1, keepdims=True) * pert_n
+
+
 def reflections(
     surf: SurfaceHits,
     ctx,
@@ -628,11 +758,16 @@ def reflections(
     cam_pos: jax.Array,
     key: jax.Array,
     params: RTParams,
+    pretraced: Optional[SurfaceHits] = None,
 ) -> jax.Array:
     """1-bounce glossy reflections (rchit:124-167): cosine-perturbed mirror
     direction with cone angle roughness*(1-(1-N.V)^5); reflected hits get
     full direct lighting (with shadows + AO, depth-1 shading); misses get the
-    environment color. Returns radiance to ADD, f32[R, 3]."""
+    environment color. Returns radiance to ADD, f32[R, 3].
+
+    ``pretraced`` (from ``shadow_ao_bounce``) supplies sample 0's already-
+    resolved bounce hits — the bounce ray rode the primary-side fused
+    bundle, so this pass skips its own trace for that sample."""
     r = surf.world_pos.shape[0]
     if params.reflection_samples <= 0:
         return jnp.zeros((r, 3), jnp.float32)
@@ -641,23 +776,21 @@ def reflections(
 
     albedo, _, rough, metal = lookup_material_params(materials, surf.material)
 
-    v = cam_pos - surf.world_pos
-    v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-9)
-    n_dot_v = jnp.maximum(jnp.sum(surf.normal * v, axis=-1), 0.0)
-    max_angle = rough * (1.0 - jnp.power(1.0 - n_dot_v, 5.0))
-    tx, ty = _default_basis(surf.normal)
-
     acc = jnp.zeros((r, 3), jnp.float32)
     for si in range(params.reflection_samples):
         k = jax.random.fold_in(key, 2000 + si)
-        r1, r2 = jax.random.uniform(k, (2, r))
-        pert_n = _cosine_sample(surf.normal, tx, ty, max_angle, r1, r2)
-        rdir = -v + 2.0 * jnp.sum(pert_n * v, axis=-1, keepdims=True) * pert_n
-        o = surf.world_pos + surf.normal * 1e-3
-        hit2 = ctx.trace_resolve(o, rdir, jnp.full((r,), 1000.0),
-                                 active=surf.valid,
-                                 use_alpha=params.leaf_cutout,
-                                 cull_mask=params.cull_mask)
+        if si == 0 and pretraced is not None:
+            hit2 = pretraced
+        else:
+            rdir = _reflection_dir(surf, materials, cam_pos, key, si)
+            # one OffsetRay epsilon (5e-3, the shadow offset) for every
+            # secondary origin: keeps the fused-bundle path (shared origin)
+            # bit-comparable with this unfused path
+            o = surf.world_pos + surf.normal * 5e-3
+            hit2 = ctx.trace_resolve(o, rdir, jnp.full((r,), 1000.0),
+                                     active=surf.valid,
+                                     use_alpha=params.leaf_cutout,
+                                     cull_mask=params.cull_mask)
 
         svis, ao2 = shadow_and_ao(
             hit2, ctx, materials, lights,
@@ -744,24 +877,22 @@ def trace_frame(
                              use_alpha=params.leaf_cutout,
                              cull_mask=params.cull_mask)
 
-    svis, ao = shadow_and_ao(
-        surf, ctx, materials, lights, key, key,
-        shadow_samples=max(1, params.shadow_samples),
-        ao_samples=params.ao_samples, ao_radius=params.ao_radius,
-        cull_mask=params.cull_mask,
-        shadow_cull_mask=params.shadow_cull_mask,
+    refl_key = jax.random.fold_in(key, 7)
+    svis, ao, pre_bounce = shadow_ao_bounce(
+        surf, ctx, materials, lights, camera.cam_pos, key, key, refl_key,
+        params=params,
     )
     color = shade_surfaces(surf, materials, lights, camera.cam_pos, svis, ao,
                            getattr(ctx, "textures", None))
     if params.reflection_half_rate and width % 2 == 0:
         refl = reflections_half_rate(
             surf, ctx, materials, lights, camera.cam_pos,
-            jax.random.fold_in(key, 7), params, width=width, height=height,
+            refl_key, params, width=width, height=height,
         )
     else:
         refl = reflections(
             surf, ctx, materials, lights, camera.cam_pos,
-            jax.random.fold_in(key, 7), params,
+            refl_key, params, pretraced=pre_bounce,
         )
     color = color + refl
     color = jnp.where(surf.valid[:, None], color, BACKGROUND)

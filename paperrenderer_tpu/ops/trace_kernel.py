@@ -999,7 +999,8 @@ def _pack_planes(comps, fills, sub_cap: int = 0):
 
 
 def _make_bundle_kernel(root_code: int, max_steps: int, s_n: int,
-                        ao_n: int = 0, wide: bool = False,
+                        ao_n: int = 0, rs_n: int = 0, n_slots: int = 1,
+                        n_inst: int = 1, wide: bool = False,
                         cull_mask: int = 0xFF, sub_n: int = 1):
     """Origin-shared BUNDLE kernel: S rays per lane share one origin and run
     ONE traversal over the union footprint — the per-sample footprints
@@ -1012,16 +1013,22 @@ def _make_bundle_kernel(root_code: int, max_steps: int, s_n: int,
         rays: state = one prune plane (commit = prune -> -3e38); output =
         a bit in the i32 bitmask plane (raytrace.rchit:61-116 parity via
         shadow_visibility).
-      * the last ``ao_n`` samples are CLOSEST-T rays (RTAO needs the hit
+      * the next ``ao_n`` samples are CLOSEST-T rays (RTAO needs the hit
         distance for its 1 - t/radius weighting, raytrace.rchit:175-219):
         state = ratio-space (num, den) winner planes (division-free
         Möller-Trumbore, see _make_resolve_kernel) + the prune plane
         refreshed with ONE divide per leaf step; output = final t
         (= t_cap when nothing closer hit, which makes the AO weight 0).
+      * the last ``rs_n`` (0/1) sample is a CLOSEST-HIT + RESOLVE ray (the
+        1-bounce reflection, raytrace.rchit:124-167): the full
+        _make_resolve_kernel winner state (t/prim/inst/uv/normal/material
+        interpolated at hit time in ratio space) rides the same traversal —
+        the bounce shares its near-field footprint with the shadow/AO
+        samples, so the union costs far less than a separate wavefront.
 
     Inactive lanes park at t_cap=-3e38 per SAMPLE (zero footprint AND
     transparent to the all-committed early exit). The early exit only
-    applies when ao_n == 0 (closest-t samples are never "done" early).
+    applies when ao_n == rs_n == 0 (closest samples are never "done" early).
 
     Box child ordering keys use the min entry over lanes AND samples; the
     ``wide`` grandchild step mirrors ``_wide_box_step`` with the per-sample
@@ -1029,14 +1036,23 @@ def _make_bundle_kernel(root_code: int, max_steps: int, s_n: int,
     S = _STACK
     FI = 8 if wide else 3
     FH = 9 if wide else 4
-    occ_n = s_n - ao_n
+    occ_n = s_n - ao_n - rs_n
+    RS = s_n + 2 * ao_n   # base of the resolve sample's winner planes
 
     def kernel(boxes_ref, codes_ref, lpos_ref, lprim_ref, *rest):
+        if rs_n:
+            luv_ref, lnrm_ref, smat_ref = rest[:3]
+            rest = rest[3:]
         nray = 3 + 4 * s_n
         ray_refs = rest[:nray]
         occ_out = rest[nray]
         ao_outs = rest[nray + 1: nray + 1 + ao_n]
-        obj_ref, prune_ref, flag_ref, stack_ref = rest[nray + 1 + ao_n:]
+        rs_outs = rest[nray + 1 + ao_n: nray + 1 + ao_n + 9 * rs_n]
+        if rs_n:
+            (obj_ref, prune_ref, flag_ref, minv_ref,
+             stack_ref) = rest[nray + 1 + ao_n + 9:]
+        else:
+            obj_ref, prune_ref, flag_ref, stack_ref = rest[nray + 1 + ao_n:]
 
         def run(sub, carry):
             ld = lambda ref: ref[sub]
@@ -1063,6 +1079,21 @@ def _make_bundle_kernel(root_code: int, max_steps: int, s_n: int,
             for j in range(ao_n):
                 prune_ref[s_n + j] = tcs[occ_n + j]          # num (t winner)
                 prune_ref[s_n + ao_n + j] = jnp.ones((8, 128), jnp.float32)
+            if rs_n:
+                neg1 = pltpu.bitcast(
+                    jnp.full((8, 128), -1, jnp.int32), jnp.float32)
+                zero_i = pltpu.bitcast(
+                    jnp.zeros((8, 128), jnp.int32), jnp.float32)
+                prune_ref[RS + 0] = tcs[occ_n + ao_n]        # num (t winner)
+                prune_ref[RS + 1] = jnp.ones((8, 128), jnp.float32)  # den
+                prune_ref[RS + 2] = neg1                     # prim
+                prune_ref[RS + 3] = neg1                     # inst
+                for i in range(4, 9):                        # uv + normal
+                    prune_ref[RS + i] = jnp.zeros((8, 128), jnp.float32)
+                prune_ref[RS + 9] = zero_i                   # material
+                for k in range(12):
+                    minv_ref[k] = jnp.float32(
+                        1.0 if k in (0, 5, 10) else 0.0)
             flag_ref[FI] = jnp.int32(0)
             flag_ref[FH] = jnp.int32(0)
             stack_ref[0] = jnp.int32(root_code)
@@ -1179,6 +1210,9 @@ def _make_bundle_kernel(root_code: int, max_steps: int, s_n: int,
                         obj_ref[4 + 3 * s_n + 3 * s] = safe_inv(ody)
                         obj_ref[5 + 3 * s_n + 3 * s] = safe_inv(odz)
                     flag_ref[FI] = c1
+                    if rs_n:
+                        for k in range(12):
+                            minv_ref[k] = m[k]
 
                 @pl.when(is_leaf)
                 def _leaf():
@@ -1192,6 +1226,20 @@ def _make_bundle_kernel(root_code: int, max_steps: int, s_n: int,
                                  for s in range(occ_n)]
                     nums = [prune_ref[s_n + j] for j in range(ao_n)]
                     dens = [prune_ref[s_n + ao_n + j] for j in range(ao_n)]
+                    if rs_n:
+                        rnum = prune_ref[RS + 0]
+                        rden = prune_ref[RS + 1]
+                        rprim = pltpu.bitcast(prune_ref[RS + 2], jnp.int32)
+                        rinst = pltpu.bitcast(prune_ref[RS + 3], jnp.int32)
+                        ruvx, ruvy = prune_ref[RS + 4], prune_ref[RS + 5]
+                        rnx, rny, rnz = (prune_ref[RS + 6], prune_ref[RS + 7],
+                                         prune_ref[RS + 8])
+                        rmat = pltpu.bitcast(prune_ref[RS + 9], jnp.int32)
+                        cur_raw = flag_ref[FI]
+                        cur_inst = cur_raw & INST_ID_MASK
+                        m = [minv_ref[k] for k in range(12)]
+                        ub = payload * 48
+                        nb = payload * 72
                     for k in range(K):
                         tb = b + k * 9
                         ax, ay, az = (lpos_ref[tb], lpos_ref[tb + 1],
@@ -1226,11 +1274,54 @@ def _make_bundle_kernel(root_code: int, max_steps: int, s_n: int,
                             if s < occ_n:
                                 hit = base & (dt < prunes[s] * adet)
                                 committed[s] = committed[s] | hit
-                            else:
+                            elif s < occ_n + ao_n:
                                 j = s - occ_n
                                 hit = base & (dt * dens[j] < nums[j] * adet)
                                 nums[j] = jnp.where(hit, dt, nums[j])
                                 dens[j] = jnp.where(hit, adet, dens[j])
+                            else:
+                                # resolve sample: full winner state +
+                                # at-hit attribute interpolation in ratio
+                                # space (see _make_resolve_kernel._leaf)
+                                hit = base & (dt * rden < rnum * adet)
+                                dw0 = adet - du - dv
+                                kb = ub + k * 6
+                                uvx = (dw0 * luv_ref[kb]
+                                       + du * luv_ref[kb + 2]
+                                       + dv * luv_ref[kb + 4])
+                                uvy = (dw0 * luv_ref[kb + 1]
+                                       + du * luv_ref[kb + 3]
+                                       + dv * luv_ref[kb + 5])
+                                kn = nb + k * 9
+                                nox = (dw0 * lnrm_ref[kn]
+                                       + du * lnrm_ref[kn + 3]
+                                       + dv * lnrm_ref[kn + 6])
+                                noy = (dw0 * lnrm_ref[kn + 1]
+                                       + du * lnrm_ref[kn + 4]
+                                       + dv * lnrm_ref[kn + 7])
+                                noz = (dw0 * lnrm_ref[kn + 2]
+                                       + du * lnrm_ref[kn + 5]
+                                       + dv * lnrm_ref[kn + 8])
+                                # world normal = (M^-1)^T n_obj
+                                nwx = m[0] * nox + m[4] * noy + m[8] * noz
+                                nwy = m[1] * nox + m[5] * noy + m[9] * noz
+                                nwz = m[2] * nox + m[6] * noy + m[10] * noz
+                                slot_k = jnp.maximum(ptag, 0) >> 24
+                                midx = (jnp.clip(cur_inst, 0, n_inst - 1)
+                                        * n_slots
+                                        + jnp.clip(slot_k, 0, n_slots - 1))
+                                mat_k = smat_ref[midx]
+                                rprim = jnp.where(hit, ptag & 0x00FFFFFF,
+                                                  rprim)
+                                rinst = jnp.where(hit, cur_inst, rinst)
+                                ruvx = jnp.where(hit, uvx, ruvx)
+                                ruvy = jnp.where(hit, uvy, ruvy)
+                                rnx = jnp.where(hit, nwx, rnx)
+                                rny = jnp.where(hit, nwy, rny)
+                                rnz = jnp.where(hit, nwz, rnz)
+                                rmat = jnp.where(hit, mat_k, rmat)
+                                rnum = jnp.where(hit, dt, rnum)
+                                rden = jnp.where(hit, adet, rden)
                     for s in range(occ_n):
                         prune_ref[s] = jnp.where(committed[s],
                                                  jnp.float32(-3e38),
@@ -1240,7 +1331,19 @@ def _make_bundle_kernel(root_code: int, max_steps: int, s_n: int,
                         prune_ref[s_n + ao_n + j] = dens[j]
                         # ONE divide per leaf step refreshes the box prune
                         prune_ref[occ_n + j] = nums[j] / dens[j]
-                    if ao_n == 0:
+                    if rs_n:
+                        prune_ref[RS + 0] = rnum
+                        prune_ref[RS + 1] = rden
+                        prune_ref[RS + 2] = pltpu.bitcast(rprim, jnp.float32)
+                        prune_ref[RS + 3] = pltpu.bitcast(rinst, jnp.float32)
+                        prune_ref[RS + 4] = ruvx
+                        prune_ref[RS + 5] = ruvy
+                        prune_ref[RS + 6] = rnx
+                        prune_ref[RS + 7] = rny
+                        prune_ref[RS + 8] = rnz
+                        prune_ref[RS + 9] = pltpu.bitcast(rmat, jnp.float32)
+                        prune_ref[occ_n + ao_n] = rnum / rden
+                    if ao_n == 0 and rs_n == 0:
                         allc = jnp.bool_(True)
                         for s in range(occ_n):
                             allc = allc & committed[s]
@@ -1280,6 +1383,23 @@ def _make_bundle_kernel(root_code: int, max_steps: int, s_n: int,
             occ_out[sub] = bits
             for j in range(ao_n):
                 ao_outs[j][sub] = prune_ref[s_n + j] / prune_ref[s_n + ao_n + j]
+            if rs_n:
+                inv_den = 1.0 / prune_ref[RS + 1]
+                best_t = prune_ref[RS + 0] * inv_den
+                rprim = pltpu.bitcast(prune_ref[RS + 2], jnp.int32)
+                rinst = pltpu.bitcast(prune_ref[RS + 3], jnp.int32)
+                miss = rprim < 0
+                rs_outs[0][sub] = jnp.where(miss, jnp.float32(jnp.inf),
+                                            best_t)
+                rs_outs[1][sub] = rprim
+                rs_outs[2][sub] = jnp.where(miss, -1, rinst)
+                rs_outs[3][sub] = prune_ref[RS + 4] * inv_den
+                rs_outs[4][sub] = prune_ref[RS + 5] * inv_den
+                rs_outs[5][sub] = prune_ref[RS + 6] * inv_den
+                rs_outs[6][sub] = prune_ref[RS + 7] * inv_den
+                rs_outs[7][sub] = prune_ref[RS + 8] * inv_den
+                rs_outs[8][sub] = jnp.where(
+                    miss, 0, pltpu.bitcast(prune_ref[RS + 9], jnp.int32))
             return carry
 
         if sub_n == 1:
@@ -1302,37 +1422,47 @@ def trace_bundle_pallas(
     occ_tcs,                          # tuple of f32[R] (or scalar) per sample
     ao_ds=(),                         # tuple of f32[R, 3], closest-t samples
     ao_tcs=(),                        # tuple of f32[R] (or scalar) per sample
+    rs_d=None,                        # f32[R, 3]: closest+resolve sample
+    rs_tc=None,                       # f32[R] (or scalar)
+    slot_materials=None,              # i32[N, S], required with rs_d
     *,
     root_code: int,
     stack_size: int,
     max_steps: Optional[int] = None,
     occ_actives=None,                 # tuple of bool[R] | None, per sample
     ao_actives=None,                  # tuple of bool[R] | None, per sample
+    rs_active=None,                   # bool[R] | None
     wide: bool = False,
     cull_mask: int = 0xFF,
     sub_cap: int = 0,
 ):
     """S origin-shared rays per lane in ONE traversal: any-hit occlusion
-    samples (shadows) + closest-t samples (RTAO) mixed. Returns
-    ``(bits, ao_ts)``: i32[R] bitmask (bit s set = occlusion sample s hit
-    before its t_cap; inactive lanes report all-occluded — callers mask)
-    and a tuple of f32[R] closest-t per AO sample (= its t_cap when nothing
-    closer hit; -3e38 on inactive lanes). One wavefront launch replaces S;
-    same-origin samples' footprints overlap near the origin, so the union
-    costs far less than S separate traversals."""
+    samples (shadows) + closest-t samples (RTAO) + at most one closest-hit
+    RESOLVE sample (the 1-bounce reflection) mixed. Returns ``(bits,
+    ao_ts)`` — i32[R] bitmask (bit s set = occlusion sample s hit before
+    its t_cap; inactive lanes report all-occluded — callers mask) and a
+    tuple of f32[R] closest-t per AO sample (= its t_cap when nothing
+    closer hit; -3e38 on inactive lanes) — plus, when ``rs_d`` is given, a
+    dict of resolved-hit arrays (t/prim/inst/uv/normal/material, the
+    trace_resolve_scene_pallas output contract). One wavefront launch
+    replaces S; same-origin samples' footprints overlap near the origin,
+    so the union costs far less than S separate traversals."""
     occ_n = len(occ_ds)
     ao_n = len(ao_ds)
-    s_n = occ_n + ao_n
+    rs_n = 0 if rs_d is None else 1
+    s_n = occ_n + ao_n + rs_n
     assert s_n >= 1 and occ_n <= 30
     r = ray_o.shape[0]
     comps = [ray_o[:, 0], ray_o[:, 1], ray_o[:, 2]]
     fills = [0.0, 0.0, 0.0]
-    for d in tuple(occ_ds) + tuple(ao_ds):
+    rs_ds = (rs_d,) if rs_n else ()
+    for d in tuple(occ_ds) + tuple(ao_ds) + rs_ds:
         comps += [d[:, 0], d[:, 1], d[:, 2]]
         fills += [1.0, 1.0, 1.0]
-    all_tcs = tuple(occ_tcs) + tuple(ao_tcs)
+    all_tcs = tuple(occ_tcs) + tuple(ao_tcs) + ((rs_tc,) if rs_n else ())
     all_act = tuple(occ_actives or (None,) * occ_n) + \
-        tuple(ao_actives or (None,) * ao_n)
+        tuple(ao_actives or (None,) * ao_n) + \
+        ((rs_active,) if rs_n else ())
     for tc, act in zip(all_tcs, all_act):
         t = jnp.asarray(tc, jnp.float32) + ray_o[:, 0] * 0.0
         if act is not None:
@@ -1349,29 +1479,60 @@ def trace_bundle_pallas(
     eff_stack = (stack_size * 3) // 2 + 2 if wide else stack_size
     assert eff_stack <= _STACK, "scene too deep for the packet kernel"
 
-    kernel = _make_bundle_kernel(root_code, max_steps, s_n, ao_n=ao_n,
-                                 wide=wide, cull_mask=cull_mask, sub_n=sub)
     smem = lambda n: pl.BlockSpec(
         (n,), lambda i: (0,), memory_space=pltpu.SMEM)
+    f32 = jnp.float32
+    model_specs, model_args = [], []
+    n_slots = n_inst = 1
+    if rs_n:
+        luv = scene.leaf_rows[:, _UV:].reshape(-1)
+        lnrm = scene.leaf_nrm.reshape(-1)
+        smat = slot_materials.astype(jnp.int32).reshape(-1)
+        n_inst, n_slots = slot_materials.shape
+        model_specs = [smem(luv.shape[0]), smem(lnrm.shape[0]),
+                       smem(smat.shape[0])]
+        model_args = [luv, lnrm, smat]
+
+    kernel = _make_bundle_kernel(root_code, max_steps, s_n, ao_n=ao_n,
+                                 rs_n=rs_n, n_slots=n_slots, n_inst=n_inst,
+                                 wide=wide, cull_mask=cull_mask, sub_n=sub)
+    rs_dts = [f32, jnp.int32, jnp.int32, f32, f32, f32, f32, f32, jnp.int32]
+    scratch = [
+        pltpu.VMEM((3 + 6 * s_n, 8, 128), jnp.float32),  # o + d/inv per s
+        # per-sample prune planes + (num, den) winners per AO sample
+        # + the resolve sample's 10 winner planes
+        pltpu.VMEM((s_n + 2 * ao_n + 10 * rs_n, 8, 128), jnp.float32),
+        pltpu.SMEM((12 if wide else 8,), jnp.int32),
+    ]
+    if rs_n:
+        scratch.append(pltpu.SMEM((12,), jnp.float32))   # instance inverse
+    scratch.append(pltpu.SMEM((_STACK + 1,), jnp.int32))
     outs = pl.pallas_call(
         kernel,
         grid=(g,),
         in_specs=[
             smem(boxes.shape[0]), smem(codes.shape[0]),
             smem(lpos.shape[0]), smem(lprim.shape[0]),
-        ] + [spec] * len(comps),
-        out_specs=[spec] * (1 + ao_n),
-        out_shape=[out_shape(jnp.int32)] + [out_shape(jnp.float32)] * ao_n,
-        scratch_shapes=[
-            pltpu.VMEM((3 + 6 * s_n, 8, 128), jnp.float32),  # o + d/inv per s
-            # per-sample prune planes + (num, den) winners per AO sample
-            pltpu.VMEM((s_n + 2 * ao_n, 8, 128), jnp.float32),
-            pltpu.SMEM((12 if wide else 8,), jnp.int32),
-            pltpu.SMEM((_STACK + 1,), jnp.int32),
-        ],
+        ] + model_specs + [spec] * len(comps),
+        out_specs=[spec] * (1 + ao_n + 9 * rs_n),
+        out_shape=[out_shape(jnp.int32)] + [out_shape(f32)] * ao_n
+        + [out_shape(dt) for dt in (rs_dts if rs_n else [])],
+        scratch_shapes=scratch,
         interpret=INTERPRET,
-    )(boxes, codes, lpos, lprim, *args)
-    return unflatten(outs[0]), tuple(unflatten(x) for x in outs[1:])
+    )(boxes, codes, lpos, lprim, *model_args, *args)
+    bits = unflatten(outs[0])
+    ao_ts = tuple(unflatten(x) for x in outs[1:1 + ao_n])
+    if not rs_n:
+        return bits, ao_ts
+    t_f, prim_f, inst_f, uvx, uvy, nx, ny, nz, mat = (
+        unflatten(x) for x in outs[1 + ao_n:])
+    rs_out = dict(
+        t=t_f, prim=prim_f, inst=inst_f,
+        uv=jnp.stack([uvx, uvy], axis=-1),
+        normal=jnp.stack([nx, ny, nz], axis=-1),
+        material=mat,
+    )
+    return bits, ao_ts, rs_out
 
 
 def trace_shadow_bundle_pallas(

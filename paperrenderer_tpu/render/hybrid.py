@@ -137,11 +137,11 @@ def make_hybrid_frame(meta, animate: Optional[Callable],
             leaf_cutout=leaf_cutout,
             reflection_half_rate=reflection_half_rate,
         )
-        svis, ao = T.shadow_and_ao(
-            surf, ctx, materials, lights,
-            key, jax.random.fold_in(key, 3),
-            shadow_samples=max(1, shadow_samples),
-            ao_samples=ao_samples, ao_radius=ao_radius,
+        refl_key = jax.random.fold_in(key, 7)
+        svis, ao, pre_bounce = T.shadow_ao_bounce(
+            surf, ctx, materials, lights, camera.cam_pos,
+            key, jax.random.fold_in(key, 3), refl_key,
+            params=params,
         )
 
         hdr = shade_gbuffer(
@@ -155,13 +155,13 @@ def make_hybrid_frame(meta, animate: Optional[Callable],
             if reflection_half_rate and width % 2 == 0:
                 refl = T.reflections_half_rate(
                     surf, ctx, materials, lights, camera.cam_pos,
-                    jax.random.fold_in(key, 7), params,
+                    refl_key, params,
                     width=width, height=height,
                 ).reshape(height, width, 3)
             else:
                 refl = T.reflections(
                     surf, ctx, materials, lights, camera.cam_pos,
-                    jax.random.fold_in(key, 7), params,
+                    refl_key, params, pretraced=pre_bounce,
                 ).reshape(height, width, 3)
             hdr = hdr + jnp.where(gbuf.coverage[..., None], refl, 0.0)
 

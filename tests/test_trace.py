@@ -269,3 +269,42 @@ def test_static_noncasting_light_skips_trace():
         surf, ctx3, lights_full, jax.random.PRNGKey(0), 2)
     assert ctx3.calls == 4
     np.testing.assert_allclose(np.asarray(vis), np.asarray(vis_full))
+
+
+def test_fuse_bounce_knob_image_parity():
+    """RTParams.fuse_bounce folds the bounce ray into the primary-side
+    bundle traversal; with the same key the image must match the unfused
+    path (the secondary-origin epsilon is unified at 5e-3, so the only
+    difference is which traversal carried the bounce sample)."""
+    import dataclasses as dc
+
+    from examples.render_rt import build_rt_scene
+    from paperrenderer_tpu.ops import accel as A
+
+    eng, rt, cam = build_rt_scene(96, 64)
+    scene = eng.scene
+    blasset, meta, anim_rest, anim_nodes = A.build_blas_set(scene)
+    instances = scene.flush()
+    inst_blas = np.zeros(instances.capacity, np.int32)
+    for inst in scene.instances:
+        inst_blas[inst.index] = meta.blas_of_model[inst.model.model_id]
+    tri_attr = A.build_tri_attr(scene)
+    rts, roots = A.assemble_scene(
+        blasset, meta, anim_rest, anim_nodes, instances,
+        jnp.asarray(inst_blas), [jnp.ones(instances.capacity, bool)],
+        tri_attr)
+    ss = A.required_stack_size(meta, instances.capacity)
+    ctx = A.SceneTracer(rts, rt._slot_material_array(instances.capacity),
+                        rt.materials.table(), root_code=roots[0],
+                        stack_size=ss, use_pallas=True)
+    key = jax.random.PRNGKey(3)
+    p0 = T.RTParams(shadow_samples=2, reflection_samples=1,
+                    ao_samples=1, ao_radius=2.0)
+    mats = rt.materials.table()
+    img0 = T.trace_frame(ctx, mats, rt.lights, cam.matrices, key,
+                         width=96, height=64, params=p0)
+    img1 = T.trace_frame(ctx, mats, rt.lights, cam.matrices, key,
+                         width=96, height=64,
+                         params=dc.replace(p0, fuse_bounce=True))
+    diff = np.abs(np.asarray(img0) - np.asarray(img1)).max(axis=-1)
+    assert (diff < 1e-4).mean() > 0.999, f"fused bounce diverged: {diff.mean()}"

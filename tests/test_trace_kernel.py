@@ -421,3 +421,49 @@ def test_shadow_and_ao_fused_matches_separate(example):
     # AO origins differ by 4e-3 * normal: tolerance covers the epsilon band
     np.testing.assert_allclose(np.asarray(ao_f), np.asarray(ao_s), atol=0.03)
     assert float(jnp.mean(jnp.abs(ao_f - ao_s))) < 5e-3
+
+
+@pytest.mark.parametrize("wide", [False, True])
+def test_full_bundle_with_resolve_sample(example, wide):
+    """The mega-bundle (occlusion + AO + one closest/resolve sample in ONE
+    traversal) must reproduce the standalone fused-resolve kernel's output
+    for the resolve sample and per-sample traces for the rest."""
+    rp, cam, rts, roots, ss, instances, o, d, t_max = example
+    r = o.shape[0]
+    key = jax.random.PRNGKey(21)
+    j = jax.random.normal(jax.random.fold_in(key, 0), (r, 3)) * 0.05
+    sd = d + j
+    occ_ds = (sd / jnp.linalg.norm(sd, axis=-1, keepdims=True),)
+    occ_tcs = (jnp.full((r,), 8.0),)
+    j2 = jax.random.normal(jax.random.fold_in(key, 1), (r, 3))
+    ad = d + 0.3 * j2
+    ao_ds = (ad / jnp.linalg.norm(ad, axis=-1, keepdims=True),)
+    ao_tcs = (jnp.full((r,), 2.0),)
+    rs_act = (jnp.arange(r) % 5) != 2
+    slots = rp._slot_material_array(instances.capacity)
+
+    kw = dict(root_code=roots[0], stack_size=ss, wide=wide,
+              max_steps=TK.traversal_step_bound(rts, instances.capacity))
+    bits, ao_ts, rs = TK.trace_bundle_pallas(
+        rts, o, occ_ds, occ_tcs, ao_ds, ao_tcs, d, t_max, slots,
+        rs_active=rs_act, **kw)
+
+    ref = TK.trace_resolve_scene_pallas(rts, slots, o, d, t_max,
+                                        active=rs_act, **kw)
+    for k in ("t", "prim", "inst", "material"):
+        np.testing.assert_array_equal(np.asarray(rs[k]), np.asarray(ref[k]))
+    np.testing.assert_allclose(np.asarray(rs["uv"]), np.asarray(ref["uv"]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rs["normal"]),
+                               np.asarray(ref["normal"]),
+                               rtol=1e-4, atol=1e-5)
+
+    rec = A.trace_scene(rts, o, occ_ds[0], occ_tcs[0], root_code=roots[0],
+                        stack_size=ss, any_hit=True)
+    np.testing.assert_array_equal(((np.asarray(bits) >> 0) & 1).astype(bool),
+                                  np.asarray(rec.hit))
+    rec2 = A.trace_scene(rts, o, ao_ds[0], ao_tcs[0], root_code=roots[0],
+                         stack_size=ss)
+    ref_t = np.where(np.asarray(rec2.hit), np.asarray(rec2.t), 2.0)
+    np.testing.assert_allclose(np.asarray(ao_ts[0]), ref_t,
+                               rtol=2e-5, atol=1e-4)
