@@ -255,10 +255,30 @@ def expand_static(
     # (T is a multiple of 256), so the passes stream logical bytes only;
     # the shifted selects run along lanes instead of sublanes.
     ri = mapping.run_inst
-    m12_runs = matrices.reshape(-1, 12)[ri]                    # [R, 12]
-    lod_ok_runs = lod[ri] == mapping.run_lod
-    run_ok = (visible[ri] & lod_ok_runs).astype(jnp.float32)
-    mat_runs = slot_materials[ri, mapping.run_slot].astype(jnp.float32)
+    s_slots = slot_materials.shape[1]
+    if s_slots <= 8:
+        # ONE packed per-instance row gather (TPU gathers are latency-bound
+        # PER ROW — four separate [R] gathers of matrices/visible/lod/
+        # materials cost 4x this single [R, 14+S] one)
+        inst_vals = jnp.concatenate(
+            [matrices.reshape(-1, 12),
+             visible.astype(jnp.float32)[:, None],
+             lod.astype(jnp.float32)[:, None],
+             slot_materials.astype(jnp.float32)], axis=-1)   # [N, 14+S]
+        rows = inst_vals[ri]                                 # [R, 14+S]
+        m12_runs = rows[:, :12]
+        run_ok = ((rows[:, 12] > 0.5)
+                  & (rows[:, 13] == mapping.run_lod.astype(jnp.float32))
+                  ).astype(jnp.float32)
+        mat_runs = rows[:, 14]
+        for s in range(1, s_slots):
+            mat_runs = jnp.where(mapping.run_slot == s, rows[:, 14 + s],
+                                 mat_runs)
+    else:
+        m12_runs = matrices.reshape(-1, 12)[ri]                # [R, 12]
+        lod_ok_runs = lod[ri] == mapping.run_lod
+        run_ok = (visible[ri] & lod_ok_runs).astype(jnp.float32)
+        mat_runs = slot_materials[ri, mapping.run_slot].astype(jnp.float32)
     seed = jnp.concatenate(
         [m12_runs, run_ok[:, None], mat_runs[:, None]], axis=-1)  # [R, 14]
 
