@@ -878,33 +878,43 @@ def resolve_gbuffer_pairs(
     fw = full_width or w
     fh = full_height or h
     x0, y0 = origin
-    covered = tri_id >= 0
-    tid = jnp.maximum(tri_id, 0)
+    # All intermediate math runs FLAT over P = H*W pixels: a gather indexed
+    # by a [H, W] array produces a [H, W, 128] result that XLA materializes
+    # in planar layout and then relayout-copies for the downstream slices
+    # (~0.4 ms relayout + unfused selects at 512^2, measured round 4); the
+    # [P, 128] result is already exact (8,128) tiling and fuses.
+    covered = (tri_id >= 0).reshape(-1)
+    tid = jnp.maximum(tri_id, 0).reshape(-1)
 
     tp = attr_pairs.shape[0]
-    if tp % 4 == 0:
+    if tp % 4 == 0 and tp >= 16384:
         # Gather 4 triangle rows per physical lane row: the [T, 32] f32
         # table is lane-padded 32->128 by T(8,128) tiling, so a per-pixel
         # row gather DMAs 512 bytes with 3/4 waste; the [T/4, 128] view is
         # exactly one packed lane row (4x less HBM traffic on the resolve
         # gather — the per-pixel gather is the G-buffer resolve bottleneck).
+        # Only past ~16k rows though: a SMALL table is cache/VMEM-hot, the
+        # gather is bound by its RESULT bandwidth instead of the row fetches,
+        # and the [P, 128] packed result (+ the relayout copy XLA inserts
+        # for the column-sliced consumers) costs ~1 ms of a 2 ms 512^2 frame
+        # (measured round 4); the narrow [P, 32] result is 4x less traffic.
         t4 = attr_pairs.reshape(tp // 4, 128)
-        rows4 = t4[tid >> 2]                              # [H, W, 128]
+        rows4 = t4[tid >> 2]                              # [P, 128]
         sub = tid & 3
-        rows = rows4[..., 0:32]
+        rows = rows4[:, 0:32]
         for k in (1, 2, 3):
             rows = jnp.where(
-                (sub == k)[..., None], rows4[..., 32 * k:32 * (k + 1)], rows)
+                (sub == k)[:, None], rows4[:, 32 * k:32 * (k + 1)], rows)
     else:
-        rows = attr_pairs[tid]                            # [H, W, 32]
+        rows = attr_pairs[tid]                            # [P, 32]
 
     xs = jnp.arange(w, dtype=jnp.float32) + 0.5 + x0
     ys = jnp.arange(h, dtype=jnp.float32) + 0.5 + y0
-    px = jnp.broadcast_to(xs[None, :], (h, w))
-    py = jnp.broadcast_to(ys[:, None], (h, w))
-    e0 = rows[..., 0] * px + rows[..., 1] * py + rows[..., 2]
-    e1 = rows[..., 3] * px + rows[..., 4] * py + rows[..., 5]
-    e2 = rows[..., 6] * px + rows[..., 7] * py + rows[..., 8]
+    px = jnp.broadcast_to(xs[None, :], (h, w)).reshape(-1)
+    py = jnp.broadcast_to(ys[:, None], (h, w)).reshape(-1)
+    e0 = rows[:, 0] * px + rows[:, 1] * py + rows[:, 2]
+    e1 = rows[:, 3] * px + rows[:, 4] * py + rows[:, 5]
+    e2 = rows[:, 6] * px + rows[:, 7] * py + rows[:, 8]
     esum = jnp.maximum(e0 + e1 + e2, 1e-30)
     b1 = e1 / esum
     b2 = e2 / esum
@@ -913,7 +923,7 @@ def resolve_gbuffer_pairs(
     inv_vp = jnp.linalg.inv(camera.view_proj)
     ndc_x = px / fw * 2.0 - 1.0
     ndc_y = 1.0 - py / fh * 2.0
-    z = jnp.where(covered, depth, 0.0)
+    z = jnp.where(covered, depth.reshape(-1), 0.0)
     cols = [
         inv_vp[i, 0] * ndc_x + inv_vp[i, 1] * ndc_y + inv_vp[i, 2] * z + inv_vp[i, 3]
         for i in range(4)
@@ -922,22 +932,23 @@ def resolve_gbuffer_pairs(
     world = jnp.stack([cols[0] * inv_w, cols[1] * inv_w, cols[2] * inv_w], axis=-1)
 
     n = (
-        b0[..., None] * rows[..., 16:19]
-        + b1[..., None] * rows[..., 19:22]
-        + b2[..., None] * rows[..., 22:25]
+        b0[:, None] * rows[:, 16:19]
+        + b1[:, None] * rows[:, 19:22]
+        + b2[:, None] * rows[:, 22:25]
     )
     normal = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
     uv = (
-        b0[..., None] * rows[..., 25:27]
-        + b1[..., None] * rows[..., 27:29]
-        + b2[..., None] * rows[..., 29:31]
+        b0[:, None] * rows[:, 25:27]
+        + b1[:, None] * rows[:, 27:29]
+        + b2[:, None] * rows[:, 29:31]
     )
-    material = jnp.where(covered, rows[..., 31].astype(jnp.int32), 0)
+    material = jnp.where(covered, rows[:, 31].astype(jnp.int32), 0)
+    cov3 = covered[:, None]
     return GBuffer(
         depth=depth,
         tri_id=tri_id,
-        world_pos=jnp.where(covered[..., None], world, 0.0),
-        normal=jnp.where(covered[..., None], normal, 0.0),
-        uv=jnp.where(covered[..., None], uv, 0.0),
-        material=material,
+        world_pos=jnp.where(cov3, world, 0.0).reshape(h, w, 3),
+        normal=jnp.where(cov3, normal, 0.0).reshape(h, w, 3),
+        uv=jnp.where(cov3, uv, 0.0).reshape(h, w, 2),
+        material=material.reshape(h, w),
     )

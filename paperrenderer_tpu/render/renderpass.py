@@ -347,6 +347,15 @@ class RenderPass:
         self._work_capacity = 0   # 0 = kernel default; grown on overflow
         self._check_overflow = True
         self._last_required = None  # previous frame's demand (device scalar)
+        # Fetch the demand scalar every N frames, not every frame: on the
+        # axon tunnel a 4-byte device->host scalar read costs ~1.3 ms even
+        # when the value is already materialized (measured round 4), which
+        # was ~15% of the whole 512^2 frame. Below the 128 MiB pair-table
+        # cap the kernel's in-graph 4x fallback keeps spike frames complete,
+        # so deferring growth by up to N frames loses nothing; past the cap
+        # a spike drops fragments for up to N frames instead of one.
+        self._overflow_stride = 8
+        self._overflow_phase = 0
 
     # -- instance registration (RenderPass::addInstance, :744-801) ----------
     def add_instance(
@@ -451,6 +460,9 @@ class RenderPass:
         fragments for ONE frame and this deferred growth recovers the next."""
         prev = self._last_required
         if prev is None:
+            return
+        self._overflow_phase = (self._overflow_phase + 1) % self._overflow_stride
+        if self._overflow_phase != 0:
             return
         ready = getattr(prev, "is_ready", None)
         if ready is not None and not ready():
