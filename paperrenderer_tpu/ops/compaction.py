@@ -1,0 +1,88 @@
+"""Group-granular wavefront compaction for secondary-ray packets.
+
+The packet kernels traverse the UNION of a packet's ray footprints
+(ops/trace_kernel.py), and a parked lane (t_cap = -3e38) contributes
+nothing — so a packet's cost is set by its ACTIVE rays, but every packet
+with >= 1 active ray pays its full union walk. Secondary wavefronts are
+sparse (bounce hits ~36% of rays on the example scene, and dead rays are
+scattered across nearly every packet), so most packets still traverse.
+
+Compaction reorders rays at 128-lane GROUP granularity (one (1, 128)
+sublane row of the (8, 128) packet tile) so live groups pack into the
+leading packets and the trailing packets are entirely parked — those exit
+the traversal while-loop after the root test. Merging packets never adds
+node visits (footprint(A u B) <= footprint(A) + footprint(B), the
+builder's own cost model), so the reorder is a strict traversal win.
+
+Group (not per-ray) granularity is what makes the permutation affordable:
+TPU row gathers are latency-bound PER ROW (~30-100 ns regardless of
+width), so a [G, n*128] packed-row gather moves the whole wavefront in
+G = R/128 rows (16.2k rows @1080p, ~1 ms) instead of R rows (2M, ~60 ms).
+All same-dtype planes ride ONE gather (``permute_flat`` packs them).
+
+Correctness: the per-lane traversal result is order- and grouping-
+independent (winner updates gate on the lane's own slab/leaf tests; a box
+pruned for a lane can only contain triangles that lane would reject), so
+compacted results are bitwise-identical to uncompacted ones modulo exact
+t-ties. Callers build sample DIRECTIONS before compacting, so the random
+sequence per ray is unchanged — golden images are preserved.
+
+Reference behavior preserved: this is a scheduling-only transform of the
+wavefront the reference launches as one vkCmdTraceRaysKHR grid
+(RayTrace.cpp:34-95); per-ray shading semantics are untouched.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+GROUP = 128          # rays per compaction group: one (1, 128) sublane row
+MIN_RAYS = 4 * 1024  # below ~4 packets the reorder overhead cannot pay
+
+
+def compactable(n_rays: int) -> bool:
+    return n_rays % GROUP == 0 and n_rays >= MIN_RAYS
+
+
+def compaction_order(live: jax.Array, group: int = GROUP):
+    """Stable group-granular partition: groups containing any live ray
+    first. Returns ``(order, inv)`` i32[G] with ``x[order]`` the compacted
+    view and ``y[inv]`` the inverse (``x[order][inv] == x``)."""
+    g = live.shape[0] // group
+    g_live = jnp.any(live.reshape(g, group), axis=1)
+    order = jnp.argsort(jnp.logical_not(g_live).astype(jnp.int32),
+                        stable=True).astype(jnp.int32)
+    inv = jnp.argsort(order).astype(jnp.int32)
+    return order, inv
+
+
+def permute_flat(arrs, order: jax.Array, group: int = GROUP):
+    """Apply a group permutation to flat [R] arrays.
+
+    All planes of one dtype ride ONE [G, n, group] row gather (row count —
+    not width — is what a TPU gather pays for). bools are carried as i32.
+    Returns the permuted arrays in input order (dtypes preserved)."""
+    g = order.shape[0]
+    res = [None] * len(arrs)
+    by_dt = {}
+    for i, a in enumerate(arrs):
+        dt = jnp.dtype(a.dtype)
+        key = jnp.dtype(jnp.int32) if dt == jnp.dtype(bool) else dt
+        by_dt.setdefault(key, []).append(i)
+    for dt, idxs in by_dt.items():
+        pack = jnp.stack(
+            [arrs[i].astype(dt).reshape(g, group) for i in idxs], axis=1)
+        perm = jnp.take(pack, order, axis=0)
+        for j, i in enumerate(idxs):
+            out = perm[:, j, :].reshape(-1)
+            res[i] = out.astype(bool) if arrs[i].dtype == jnp.dtype(bool) \
+                else out
+    return res
+
+
+def permute_cols(mat: jax.Array, order: jax.Array, group: int = GROUP):
+    """Permute an [R, C] array by group order (one gather for all C)."""
+    cols = permute_flat([mat[:, c] for c in range(mat.shape[1])], order,
+                        group)
+    return jnp.stack(cols, axis=-1)

@@ -70,6 +70,14 @@ class RTParams:
     # local shadow/AO footprints — bundling only wins when footprints
     # overlap. Kept as an option for short-range reflection workloads.
     fuse_bounce: bool = False
+    # group-compact secondary wavefronts (shadow/AO bundles + the bounce
+    # trace) so parked rays pack into dead packets that exit the traversal
+    # immediately (ops/compaction.py). Scheduling-only: sample directions
+    # are built BEFORE the reorder, so per-ray results (and goldens) are
+    # unchanged. Win scales with the wavefront's dead fraction; on a
+    # full-coverage scene the reorder is ~2-4 ms of pure overhead @1080p —
+    # disable there.
+    compact_secondary: bool = True
 
     # static dataclass (python ints) — used as jit static argument
 
@@ -387,6 +395,116 @@ def _shadow_vis_from_bits(bits, active, cast_shadow, n_s, shift: int):
     return jnp.where(cast_shadow, v, 1.0)
 
 
+def _or_actives(actives):
+    """OR of per-sample active masks; None when any sample is always-live
+    (compaction then has nothing to pack away)."""
+    live = None
+    for a in actives:
+        if a is None:
+            return None
+        live = a if live is None else (live | a)
+    return live
+
+
+def _permute_surface(surf: SurfaceHits, perm: jax.Array) -> SurfaceHits:
+    """Group-permute every SurfaceHits plane (one gather per dtype)."""
+    from .compaction import permute_flat
+
+    f = permute_flat(
+        [surf.world_pos[:, 0], surf.world_pos[:, 1], surf.world_pos[:, 2],
+         surf.normal[:, 0], surf.normal[:, 1], surf.normal[:, 2],
+         surf.uv[:, 0], surf.uv[:, 1], surf.t,
+         surf.material, surf.valid], perm)
+    return SurfaceHits(
+        world_pos=jnp.stack(f[0:3], axis=-1),
+        normal=jnp.stack(f[3:6], axis=-1),
+        uv=jnp.stack(f[6:8], axis=-1),
+        material=f[9], valid=f[10], t=f[8],
+    )
+
+
+def _compact_bundle(ctx, origin, occ_ds, occ_tcs, occ_actives,
+                    ao_ds, ao_tcs, ao_actives, cull_mask,
+                    rs_d=None, rs_tc=None, rs_active=None):
+    """Fused-bundle call with group compaction (ops/compaction.py): the
+    already-built sample rays are reordered so live groups lead and the
+    trailing packets are fully parked (they exit the traversal at the root
+    step), then the outputs are un-permuted. Scheduling-only — per-ray
+    results are unchanged (directions/randoms were built before the
+    reorder). Falls through to the plain call when no sample carries an
+    active mask or the wavefront is too small to pay for the reorder."""
+    from . import compaction as C
+
+    r = origin.shape[0]
+    has_rs = rs_d is not None
+    live = _or_actives(list(occ_actives) + list(ao_actives)
+                       + ([rs_active] if has_rs else []))
+    if live is None or not C.compactable(r):
+        if not has_rs:
+            return ctx.trace_shadow_ao_bundle(
+                origin, occ_ds, occ_tcs, ao_ds, ao_tcs,
+                occ_actives=occ_actives, ao_actives=ao_actives,
+                cull_mask=cull_mask)
+        return ctx.trace_shadow_ao_resolve_bundle(
+            origin, occ_ds, occ_tcs, ao_ds, ao_tcs, rs_d, rs_tc,
+            occ_actives=occ_actives, ao_actives=ao_actives,
+            rs_active=rs_active, cull_mask=cull_mask)
+
+    order, inv = C.compaction_order(live)
+    n_occ, n_ao = len(occ_ds), len(ao_ds)
+    all_ds = list(occ_ds) + list(ao_ds) + ([rs_d] if has_rs else [])
+    planes = [origin[:, 0], origin[:, 1], origin[:, 2]]
+    for d in all_ds:
+        planes += [d[:, 0], d[:, 1], d[:, 2]]
+    tcs = [jnp.asarray(t, jnp.float32) + origin[:, 0] * 0.0
+           for t in list(occ_tcs) + list(ao_tcs)
+           + ([rs_tc] if has_rs else [])]
+    acts = list(occ_actives) + list(ao_actives) \
+        + ([rs_active] if has_rs else [])
+    p = C.permute_flat(planes + tcs + acts, order)
+    n_s = len(all_ds)
+    po = jnp.stack(p[0:3], axis=-1)
+    pds = [jnp.stack(p[3 + 3 * s: 6 + 3 * s], axis=-1) for s in range(n_s)]
+    ptcs = p[3 + 3 * n_s: 3 + 4 * n_s]
+    pacts = p[3 + 4 * n_s:]
+    if not has_rs:
+        bits, ao_ts = ctx.trace_shadow_ao_bundle(
+            po, pds[:n_occ], ptcs[:n_occ], pds[n_occ:], ptcs[n_occ:],
+            occ_actives=pacts[:n_occ], ao_actives=pacts[n_occ:],
+            cull_mask=cull_mask)
+        u = C.permute_flat([bits] + list(ao_ts), inv)
+        return u[0], tuple(u[1:])
+    bits, ao_ts, surf = ctx.trace_shadow_ao_resolve_bundle(
+        po, pds[:n_occ], ptcs[:n_occ],
+        pds[n_occ:n_occ + n_ao], ptcs[n_occ:n_occ + n_ao],
+        pds[-1], ptcs[-1],
+        occ_actives=pacts[:n_occ], ao_actives=pacts[n_occ:n_occ + n_ao],
+        rs_active=pacts[-1], cull_mask=cull_mask)
+    u = C.permute_flat([bits] + list(ao_ts), inv)
+    return u[0], tuple(u[1:]), _permute_surface(surf, inv)
+
+
+def _compact_trace_resolve(ctx, o, d, t_max, *, active, use_alpha,
+                           cull_mask):
+    """Group-compacted closest-hit + resolve (the bounce trace): live
+    groups lead, parked packets exit at the root step, outputs un-permute
+    back to ray order. Per-ray results unchanged."""
+    from . import compaction as C
+
+    r = o.shape[0]
+    if active is None or not C.compactable(r):
+        return ctx.trace_resolve(o, d, t_max, active=active,
+                                 use_alpha=use_alpha, cull_mask=cull_mask)
+    order, inv = C.compaction_order(active)
+    p = C.permute_flat(
+        [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+         jnp.asarray(t_max, jnp.float32) + o[:, 0] * 0.0, active], order)
+    surf = ctx.trace_resolve(
+        jnp.stack(p[0:3], axis=-1), jnp.stack(p[3:6], axis=-1), p[6],
+        active=p[7], use_alpha=use_alpha, cull_mask=cull_mask)
+    return _permute_surface(surf, inv)
+
+
 def shadow_visibility(
     surf: SurfaceHits,
     ctx,
@@ -394,22 +512,63 @@ def shadow_visibility(
     key: jax.Array,
     samples: int,
     cull_mask: int = 0xFF,
+    compact: bool = False,
 ) -> jax.Array:
     """Per-light soft-shadow visibility in [0,1], f32[L, R].
 
     Reproduces raytrace.rchit:61-116: N samples toward a sphere light
     (radius>0) or the light point; occlusion = any-hit up to the light-center
     distance; lights with cast_shadow=false are fully visible.
+
+    ``compact``: group-compact the wavefront (ops/compaction.py) — ONE
+    permutation from the union of the lights' active masks, per-light bundle
+    traces on the compacted rays, and a single un-permute of the stacked
+    visibility planes. Sample directions are built before the reorder, so
+    results are per-ray identical.
     """
+    from . import compaction as C
+
     r = surf.world_pos.shape[0]
     n_lights = lights.count
     # Offset shadow origins along the normal (OffsetRay analogue): G-buffer
     # positions reconstructed from quantized depth can sit slightly inside
     # curved surfaces, and un-offset origins produce shadow acne speckles.
     origin = surf.world_pos + surf.normal * 5e-3
+    built_all = [_light_shadow_samples(surf, lights, li, key, samples)
+                 for li in range(n_lights)]
+    live = _or_actives([b[2] for b in built_all if b is not None] or [None])
+    do_compact = (compact and live is not None and C.compactable(r)
+                  and any(b is not None for b in built_all))
+    inv = None
+    if do_compact:
+        order, inv = C.compaction_order(live)
+        planes = [origin[:, 0], origin[:, 1], origin[:, 2]]
+        lay = []   # per built light: (dir plane base, n_s)
+        tails = []  # dist + active per built light
+        for b in built_all:
+            if b is None:
+                continue
+            dirs, dist, active, n_s = b
+            lay.append((len(planes), n_s))
+            for d in dirs:
+                planes += [d[:, 0], d[:, 1], d[:, 2]]
+            tails += [dist, active]
+        p = C.permute_flat(planes + tails, order)
+        origin = jnp.stack(p[0:3], axis=-1)
+        nb = 0
+        tbase = len(planes)
+        for li in range(n_lights):
+            if built_all[li] is None:
+                continue
+            base, n_s = lay[nb]
+            dirs = [jnp.stack(p[base + 3 * s: base + 3 * s + 3], axis=-1)
+                    for s in range(n_s)]
+            built_all[li] = (dirs, p[tbase + 2 * nb], p[tbase + 2 * nb + 1],
+                             n_s)
+            nb += 1
     vis = []
     for li in range(n_lights):
-        built = _light_shadow_samples(surf, lights, li, key, samples)
+        built = built_all[li]
         if built is None:
             vis.append(jnp.ones((r,), jnp.float32))
             continue
@@ -430,6 +589,8 @@ def shadow_visibility(
                 bits = bits | (occ.astype(jnp.int32) << si)
         vis.append(_shadow_vis_from_bits(
             bits, active, lights.cast_shadow[li], n_s, 0))
+    if inv is not None:
+        vis = C.permute_flat(vis, inv)
     return jnp.stack(vis, axis=0)
 
 
@@ -446,6 +607,7 @@ def shadow_and_ao(
     ao_radius: float,
     cull_mask: int = 0xFF,
     shadow_cull_mask: int = 0xFF,
+    compact: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused shadow visibility + RTAO: every light's shadow samples AND the
     AO samples originate at the same shaded surface point, so ALL of them
@@ -472,9 +634,11 @@ def shadow_and_ao(
     )
     if not fusable:
         svis = shadow_visibility(surf, ctx, lights, shadow_key,
-                                 shadow_samples, cull_mask=shadow_cull_mask)
+                                 shadow_samples, cull_mask=shadow_cull_mask,
+                                 compact=compact)
         ao = ambient_occlusion(surf, ctx, materials, ao_key, ao_samples,
-                               ao_radius, cull_mask=cull_mask)
+                               ao_radius, cull_mask=cull_mask,
+                               compact=compact)
         return svis, ao
 
     r = surf.world_pos.shape[0]
@@ -503,11 +667,16 @@ def shadow_and_ao(
                                     jnp.ones((r,)), r1, r2))
         ao_tcs.append(jnp.full((r,), ao_radius))
 
-    bits, ao_ts = ctx.trace_shadow_ao_bundle(
-        origin, occ_ds, occ_tcs, ao_ds, ao_tcs,
-        occ_actives=occ_actives, ao_actives=[surf.valid] * ao_samples,
-        cull_mask=cull_mask,
-    )
+    if compact:
+        bits, ao_ts = _compact_bundle(
+            ctx, origin, occ_ds, occ_tcs, occ_actives,
+            ao_ds, ao_tcs, [surf.valid] * ao_samples, cull_mask)
+    else:
+        bits, ao_ts = ctx.trace_shadow_ao_bundle(
+            origin, occ_ds, occ_tcs, ao_ds, ao_tcs,
+            occ_actives=occ_actives, ao_actives=[surf.valid] * ao_samples,
+            cull_mask=cull_mask,
+        )
 
     vis = []
     for li in range(lights.count):
@@ -574,6 +743,7 @@ def shadow_ao_bounce(
             ao_samples=params.ao_samples, ao_radius=params.ao_radius,
             cull_mask=params.cull_mask,
             shadow_cull_mask=params.shadow_cull_mask,
+            compact=params.compact_secondary,
         )
         return svis, ao, None
 
@@ -604,14 +774,21 @@ def shadow_ao_bounce(
 
     rdir = _reflection_dir(surf, materials, cam_pos, refl_key, 0)
 
-    bits, ao_ts, hit2 = ctx.trace_shadow_ao_resolve_bundle(
-        origin, occ_ds, occ_tcs, ao_ds, ao_tcs,
-        rdir, jnp.full((r,), 1000.0),
-        occ_actives=occ_actives,
-        ao_actives=[surf.valid] * params.ao_samples,
-        rs_active=surf.valid,
-        cull_mask=params.cull_mask,
-    )
+    if params.compact_secondary:
+        bits, ao_ts, hit2 = _compact_bundle(
+            ctx, origin, occ_ds, occ_tcs, occ_actives,
+            ao_ds, ao_tcs, [surf.valid] * params.ao_samples,
+            params.cull_mask, rs_d=rdir, rs_tc=jnp.full((r,), 1000.0),
+            rs_active=surf.valid)
+    else:
+        bits, ao_ts, hit2 = ctx.trace_shadow_ao_resolve_bundle(
+            origin, occ_ds, occ_tcs, ao_ds, ao_tcs,
+            rdir, jnp.full((r,), 1000.0),
+            occ_actives=occ_actives,
+            ao_actives=[surf.valid] * params.ao_samples,
+            rs_active=surf.valid,
+            cull_mask=params.cull_mask,
+        )
 
     vis = []
     for li in range(lights.count):
@@ -643,35 +820,61 @@ def ambient_occlusion(
     samples: int,
     radius: float,
     cull_mask: int = 0xFF,
+    compact: bool = False,
 ) -> jax.Array:
     """RTAO factor in [0,1] (raytrace.rchit:175-219): cosine-hemisphere rays,
     occlusion weighted by 1 - t/radius, scaled by mix(1, roughness, metallic).
 
     AO rays honor the any-hit cutout (the reference's ray query runs any-hit
-    shaders); shadow rays deliberately do NOT (reference uses OpaqueEXT)."""
+    shaders); shadow rays deliberately do NOT (reference uses OpaqueEXT).
+
+    ``compact``: group-compact the wavefront (ops/compaction.py) — sample
+    directions are built first (RNG per ray unchanged), the occlusion sum
+    accumulates in compacted order, and only the final occ plane un-permutes."""
+    from . import compaction as C
+
     r = surf.world_pos.shape[0]
     if samples <= 0 or radius <= 0.0:
         return jnp.ones((r,), jnp.float32)
     tx, ty = _default_basis(surf.normal)
-    occ = jnp.zeros((r,), jnp.float32)
+    dirs = []
     for si in range(samples):
         k = jax.random.fold_in(key, 1000 + si)
         r1, r2 = jax.random.uniform(k, (2, r))
-        d = _cosine_sample(surf.normal, tx, ty, jnp.ones((r,)), r1, r2)
-        o = surf.world_pos + surf.normal * 1e-3  # OffsetRay analogue
+        dirs.append(_cosine_sample(surf.normal, tx, ty, jnp.ones((r,)),
+                                   r1, r2))
+    o_full = surf.world_pos + surf.normal * 1e-3  # OffsetRay analogue
+    valid = surf.valid
+    inv = None
+    if compact and C.compactable(r):
+        order, inv = C.compaction_order(valid)
+        planes = [o_full[:, 0], o_full[:, 1], o_full[:, 2]]
+        for d in dirs:
+            planes += [d[:, 0], d[:, 1], d[:, 2]]
+        p = C.permute_flat(planes + [valid], order)
+        o_full = jnp.stack(p[0:3], axis=-1)
+        dirs = [jnp.stack(p[3 + 3 * s: 6 + 3 * s], axis=-1)
+                for s in range(samples)]
+        valid = p[-1]
+    occ = jnp.zeros((r,), jnp.float32)
+    for si in range(samples):
+        d = dirs[si]
+        o = o_full
         if getattr(ctx, "leaf_cutout", False):
             # trace_resolve so SceneTracer's packet kernel handles the leaf
             # any-hit cutout in-kernel (only .valid/.t are consumed)
             s2 = ctx.trace_resolve(o, d, jnp.full((r,), radius),
-                                   active=surf.valid, use_alpha=True,
+                                   active=valid, use_alpha=True,
                                    cull_mask=cull_mask)
             hit2, t2 = s2.valid, s2.t
         else:
-            rec = ctx.trace(o, d, jnp.full((r,), radius), active=surf.valid,
+            rec = ctx.trace(o, d, jnp.full((r,), radius), active=valid,
                             cull_mask=cull_mask)
             hit2, t2 = rec.hit, rec.t
         occ += jnp.where(hit2,
                          1.0 - jnp.minimum(t2, radius) / radius, 0.0)
+    if inv is not None:
+        occ = C.permute_flat([occ], inv)[0]
     from .shading import lookup_material_params
 
     _, _, rough, metal = lookup_material_params(materials, surf.material)
@@ -787,10 +990,16 @@ def reflections(
             # secondary origin: keeps the fused-bundle path (shared origin)
             # bit-comparable with this unfused path
             o = surf.world_pos + surf.normal * 5e-3
-            hit2 = ctx.trace_resolve(o, rdir, jnp.full((r,), 1000.0),
-                                     active=surf.valid,
-                                     use_alpha=params.leaf_cutout,
-                                     cull_mask=params.cull_mask)
+            if params.compact_secondary:
+                hit2 = _compact_trace_resolve(
+                    ctx, o, rdir, jnp.full((r,), 1000.0),
+                    active=surf.valid, use_alpha=params.leaf_cutout,
+                    cull_mask=params.cull_mask)
+            else:
+                hit2 = ctx.trace_resolve(o, rdir, jnp.full((r,), 1000.0),
+                                         active=surf.valid,
+                                         use_alpha=params.leaf_cutout,
+                                         cull_mask=params.cull_mask)
 
         svis, ao2 = shadow_and_ao(
             hit2, ctx, materials, lights,
@@ -799,6 +1008,7 @@ def reflections(
             ao_samples=params.ao_samples, ao_radius=params.ao_radius,
             cull_mask=params.cull_mask,
             shadow_cull_mask=params.shadow_cull_mask,
+            compact=params.compact_secondary,
         )
         color2 = shade_surfaces(hit2, materials, lights, surf.world_pos,
                                 svis, ao2, getattr(ctx, "textures", None))

@@ -577,10 +577,12 @@ def make_sharded_hybrid_frame(
             )
             tile_key = jax.random.fold_in(key, ri * cols + ci)
             svis = T.shadow_visibility(
-                surf, ctx, lights, tile_key, max(1, shadow_samples))
+                surf, ctx, lights, tile_key, max(1, shadow_samples),
+                compact=params.compact_secondary)
             ao = T.ambient_occlusion(
                 surf, ctx, materials,
-                jax.random.fold_in(tile_key, 3), ao_samples, ao_radius)
+                jax.random.fold_in(tile_key, 3), ao_samples, ao_radius,
+                compact=params.compact_secondary)
             hdr = shade_gbuffer(
                 gbuf, materials, lights, camera.cam_pos,
                 shadow_vis=svis.reshape(-1, tile_h, tile_w),

@@ -212,7 +212,7 @@ def make_rt_frame(meta, animate: Optional[Callable], n_tlas: int,
             "width", "height", "stack_size", "shadow_samples",
             "reflection_samples", "ao_samples", "ao_radius", "leaf_cutout",
             "tlas_index", "reflection_half_rate", "cull_mask",
-            "shadow_cull_mask",
+            "shadow_cull_mask", "compact_secondary",
         ),
     )
     def rt_frame2(
@@ -246,6 +246,7 @@ def make_rt_frame(meta, animate: Optional[Callable], n_tlas: int,
         reflection_half_rate: bool = False,
         cull_mask: int = 0xFF,
         shadow_cull_mask: int = 0xFF,
+        compact_secondary: bool = True,
     ):
         ctx = ACC.make_scene_tracer(
             blasset, meta, anim_rest, anim_nodes, instances, inst_blas,
@@ -264,6 +265,7 @@ def make_rt_frame(meta, animate: Optional[Callable], n_tlas: int,
             reflection_half_rate=reflection_half_rate,
             cull_mask=cull_mask,
             shadow_cull_mask=shadow_cull_mask,
+            compact_secondary=compact_secondary,
         )
         hdr = trace_frame(
             ctx, materials, lights, camera, key,
@@ -303,6 +305,8 @@ class RayTraceRender:
         use_pallas: Optional[bool] = None,
         reflection_half_rate: bool = False,
         bvh_wide: bool = True,
+        compact_secondary: bool = True,  # group-compact secondary wavefronts
+        #                                  (ops/compaction.py; result-identical)
         cull_mask: int = 0xFF,          # traceRayEXT cullMask for camera/
         #                                 reflection/AO rays (rgen:33)
         shadow_cull_mask: int = 0xFF,   # cullMask for shadow rays
@@ -322,6 +326,7 @@ class RayTraceRender:
         self.ao_samples = ao_samples
         self.ao_radius = ao_radius
         self.reflection_half_rate = reflection_half_rate
+        self.compact_secondary = compact_secondary
         self.animate = animate
         # re-sort anim BLAS leaf order at the animated pose each frame (the
         # reference's per-frame BLAS rebuild quality, main.cpp:908-921);
@@ -511,4 +516,5 @@ class RayTraceRender:
             reflection_half_rate=self.reflection_half_rate,
             cull_mask=self.cull_mask,
             shadow_cull_mask=self.shadow_cull_mask,
+            compact_secondary=self.compact_secondary,
         )
