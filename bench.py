@@ -26,6 +26,7 @@ metric instead of killing the bench.
 
 import json
 import os
+import statistics
 import threading
 import time
 
@@ -48,18 +49,45 @@ def _setup_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
-def _time(fn, iters=ITERS, warmup=WARMUP):
+def _window(fn, iters):
+    """Wall time of one pipelined window of `iters` calls (seconds)."""
     import jax
 
     out = None
-    for _ in range(warmup):
-        out = fn()
-    jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn()
     jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    return time.perf_counter() - t0
+
+
+def _time(fn, iters=ITERS, warmup=WARMUP, reps=5):
+    """Per-call time via a two-point slope estimator.
+
+    Every pipelined measurement window through the axon tunnel pays a fixed
+    ~20-45 ms pipeline-fill cost after the preceding block_until_ready (one
+    tunnel round trip) — measured round 5: a 512^2 frame read 4.9 ms/frame
+    from a 10-iter window but 1.9 ms from the (t(3x)-t(x))/2x slope. So:
+    time windows of `iters` and `3*iters` calls back-to-back, take the
+    slope (the fixed cost cancels exactly), and take the median over
+    `reps` repeats (tunnel hiccups inflate single windows by 50-100 ms).
+
+    `warmup` is a floor; at least 9 calls are made so every stride-8
+    frame-counter path (e.g. RenderPass's decimated overflow fetch) has
+    compiled and run before the timed windows.
+    """
+    import jax
+
+    out = None
+    for _ in range(max(warmup, 9)):
+        out = fn()
+    jax.block_until_ready(out)
+    slopes = []
+    for _ in range(reps):
+        t1 = _window(fn, iters)
+        t2 = _window(fn, 3 * iters)
+        slopes.append((t2 - t1) / (2 * iters))
+    return statistics.median(slopes)
 
 
 def bench_config1():

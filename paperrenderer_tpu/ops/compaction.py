@@ -10,9 +10,12 @@ scattered across nearly every packet), so most packets still traverse.
 Compaction reorders rays at 128-lane GROUP granularity (one (1, 128)
 sublane row of the (8, 128) packet tile) so live groups pack into the
 leading packets and the trailing packets are entirely parked — those exit
-the traversal while-loop after the root test. Merging packets never adds
-node visits (footprint(A u B) <= footprint(A) + footprint(B), the
-builder's own cost model), so the reorder is a strict traversal win.
+the traversal while-loop after the root test. Empirically a win on sparse
+wavefronts (measured; the stable partition keeps neighbor groups
+together): merging two live groups into one packet pays their union
+footprint once, though shifted packet boundaries can in principle split a
+previously co-packeted pair onto different packets — the
+``compact_secondary=False`` knob covers adversarial layouts.
 
 Group (not per-ray) granularity is what makes the permutation affordable:
 TPU row gathers are latency-bound PER ROW (~30-100 ns regardless of
@@ -79,10 +82,3 @@ def permute_flat(arrs, order: jax.Array, group: int = GROUP):
             res[i] = out.astype(bool) if arrs[i].dtype == jnp.dtype(bool) \
                 else out
     return res
-
-
-def permute_cols(mat: jax.Array, order: jax.Array, group: int = GROUP):
-    """Permute an [R, C] array by group order (one gather for all C)."""
-    cols = permute_flat([mat[:, c] for c in range(mat.shape[1])], order,
-                        group)
-    return jnp.stack(cols, axis=-1)

@@ -251,6 +251,7 @@ def shade_gbuffer(
     ambient_occlusion: jax.Array | None = None,  # f32[H, W]
     background: tuple = (0.0, 0.0, 0.0),
     textures=None,  # core.texture.TextureArrays | None
+    mip_filter: str = "linear",  # "nearest" | "linear" | "aniso2"
 ) -> jax.Array:
     """Shade the G-buffer -> HDR image f32[H, W, 3].
 
@@ -259,33 +260,47 @@ def shade_gbuffer(
     reference's shadow-ray loop in raytrace.rchit:61-122. ``textures``
     enables baseColor/emissive texture sampling (mip level from image-space
     uv derivatives — the fragment-quad-derivative analogue).
+    ``mip_filter`` selects nearest-mip bilinear, trilinear (default — the
+    reference samplers use VK_SAMPLER_MIPMAP_MODE_LINEAR,
+    VulkanResources.cpp:787-794), or 2-tap anisotropic + trilinear.
     """
     albedo, emissive, roughness, metallic = lookup_material_params(
         materials, gbuf.material)
 
     tex_occ = None
     if textures is not None:
-        from ..core.texture import sample_bilinear, select_rows, uv_screen_lod
+        from ..core.texture import (
+            sample_aniso2, sample_bilinear, sample_trilinear, select_rows,
+            uv_screen_lod, uv_screen_lod_aniso,
+        )
 
         base_tex, emis_tex, mr_tex, occ_tex = lookup_texture_ids(
             materials, gbuf.material)
         wh = select_rows(textures.rects[:, 0, 2:4],
                          jnp.clip(base_tex, 0, textures.count - 1))
-        lod = uv_screen_lod(gbuf.uv, wh[..., 0], wh[..., 1])
-        albedo = albedo * sample_bilinear(textures, base_tex, gbuf.uv, lod)[..., :3]
+        if mip_filter == "aniso2":
+            lod, duv = uv_screen_lod_aniso(gbuf.uv, wh[..., 0], wh[..., 1])
+            sample = lambda t, i: sample_aniso2(t, i, gbuf.uv, lod, duv)
+        elif mip_filter == "linear":
+            lod = uv_screen_lod(gbuf.uv, wh[..., 0], wh[..., 1])
+            sample = lambda t, i: sample_trilinear(t, i, gbuf.uv, lod)
+        else:
+            lod = uv_screen_lod(gbuf.uv, wh[..., 0], wh[..., 1])
+            sample = lambda t, i: sample_bilinear(t, i, gbuf.uv, lod)
+        albedo = albedo * sample(textures, base_tex)[..., :3]
         emissive = emissive + jnp.where(
             (emis_tex >= 0)[..., None],
-            sample_bilinear(textures, emis_tex, gbuf.uv, lod)[..., :3],
+            sample(textures, emis_tex)[..., :3],
             0.0,
         )
         # glTF metallicRoughness: g = roughness factor, b = metallic factor
-        mr = sample_bilinear(textures, mr_tex, gbuf.uv, lod)
+        mr = sample(textures, mr_tex)
         roughness = roughness * jnp.where(mr_tex >= 0, mr[..., 1], 1.0)
         metallic = metallic * jnp.where(mr_tex >= 0, mr[..., 2], 1.0)
         # glTF occlusion: r channel scales ambient/indirect light
         tex_occ = jnp.where(
             occ_tex >= 0,
-            sample_bilinear(textures, occ_tex, gbuf.uv, lod)[..., 0], 1.0)
+            sample(textures, occ_tex)[..., 0], 1.0)
 
     view_dir = cam_pos - gbuf.world_pos
     view_dir = view_dir / jnp.maximum(

@@ -456,17 +456,23 @@ def _compact_bundle(ctx, origin, occ_ds, occ_tcs, occ_actives,
     planes = [origin[:, 0], origin[:, 1], origin[:, 2]]
     for d in all_ds:
         planes += [d[:, 0], d[:, 1], d[:, 2]]
-    tcs = [jnp.asarray(t, jnp.float32) + origin[:, 0] * 0.0
-           for t in list(occ_tcs) + list(ao_tcs)
-           + ([rs_tc] if has_rs else [])]
+    # constant caps (AO radius, bounce 1000.0) are permutation-invariant:
+    # re-broadcast them after the permute instead of gathering full rows
+    tcs_in = list(occ_tcs) + list(ao_tcs) + ([rs_tc] if has_rs else [])
+    var_tc = [i for i, t in enumerate(tcs_in) if jnp.ndim(t) != 0]
+    tcs = [jnp.asarray(tcs_in[i], jnp.float32) for i in var_tc]
     acts = list(occ_actives) + list(ao_actives) \
         + ([rs_active] if has_rs else [])
     p = C.permute_flat(planes + tcs + acts, order)
     n_s = len(all_ds)
     po = jnp.stack(p[0:3], axis=-1)
     pds = [jnp.stack(p[3 + 3 * s: 6 + 3 * s], axis=-1) for s in range(n_s)]
-    ptcs = p[3 + 3 * n_s: 3 + 4 * n_s]
-    pacts = p[3 + 4 * n_s:]
+    pvar = p[3 + 3 * n_s: 3 + 3 * n_s + len(var_tc)]
+    ptcs = [None if jnp.ndim(t) != 0 else jnp.full((r,), t, jnp.float32)
+            for t in tcs_in]
+    for j, i in enumerate(var_tc):
+        ptcs[i] = pvar[j]
+    pacts = p[3 + 3 * n_s + len(var_tc):]
     if not has_rs:
         bits, ao_ts = ctx.trace_shadow_ao_bundle(
             po, pds[:n_occ], ptcs[:n_occ], pds[n_occ:], ptcs[n_occ:],

@@ -337,7 +337,8 @@ class RayTraceRender:
         self.use_pallas = use_pallas
         # 4-wide grandchild box steps in the packet traversal (default ON:
         # composed RT frame 100 -> 88 ms @1080p, stable across runs; identical
-        # hits — see trace_kernel._wide_box_step; ignored by the paged tracer)
+        # hits — see trace_kernel._wide_box_step; the paged tracer honors it
+        # too via trace_paged._wide_box_step_paged)
         self.bvh_wide = bvh_wide
         self._key = jax.random.PRNGKey(seed)
         self._frame = 0

@@ -451,13 +451,15 @@ class RenderPass:
         return False
 
     def _consume_overflow_signal(self, mapping) -> None:
-        """Deferred per-frame overflow growth: consult the previous frame's
-        ``required_work`` (device scalar) without stalling the pipeline —
-        if it isn't materialized yet, check again next frame. While the pair
-        table is <= 128 MiB the rasterizer's in-graph lax.cond fallback
-        (4x capacity) keeps spiking frames complete; past that cap
-        (raster_exact.rasterize_exact's cf_bytes guard) a demand spike drops
-        fragments for ONE frame and this deferred growth recovers the next."""
+        """Deferred overflow growth: consult the previous frame's
+        ``required_work`` (device scalar) every ``_overflow_stride`` (8)
+        frames, and only when already materialized — never stalling the
+        pipeline (the fetch costs ~1.3 ms through the axon tunnel). While
+        the pair table is <= 128 MiB the rasterizer's in-graph lax.cond
+        fallback (4x capacity) keeps spiking frames complete throughout;
+        past that cap (raster_exact.rasterize_exact's cf_bytes guard) a
+        demand spike can drop fragments for up to ``_overflow_stride``
+        frames before this deferred growth adopts the new demand."""
         prev = self._last_required
         if prev is None:
             return

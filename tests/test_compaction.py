@@ -135,3 +135,60 @@ def test_stage_parity_is_exact(rt_example):
     a1 = T.ambient_occlusion(surf, ctx, mats, key, 2, 2.0, compact=False)
     a2 = T.ambient_occlusion(surf, ctx, mats, key, 2, 2.0, compact=True)
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+
+
+def test_stage_parity_is_exact_pallas(rt_example, monkeypatch):
+    """Same bitwise stage parity on the PACKET KERNEL path (the path that
+    actually runs on TPU): regrouping changes per-packet traversal order
+    and which packets share a stack, so this asserts the kernel's winner
+    updates really are order-independent — not just the XLA fallback's.
+    Runs the kernels in the Pallas interpreter (as test_trace_kernel.py)
+    with the backend gate bypassed."""
+    from paperrenderer_tpu.ops import accel as A
+    from paperrenderer_tpu.ops import trace_kernel as TK
+
+    monkeypatch.setattr(TK, "INTERPRET", True)
+    monkeypatch.setattr(TK, "pallas_traversal_ok",
+                        lambda scene, n: n >= TK.PACKET)
+    monkeypatch.setattr(TK, "pallas_resolve_ok",
+                        lambda scene, n, *a, **kw: n >= TK.PACKET)
+
+    eng, rt, cam = rt_example
+    scene = eng.scene
+    blasset, meta, anim_rest, anim_nodes = A.build_blas_set(scene)
+    instances = scene.flush()
+    inst_blas = np.zeros(instances.capacity, np.int32)
+    for inst in scene.instances:
+        inst_blas[inst.index] = meta.blas_of_model[inst.model.model_id]
+    tri_attr = A.build_tri_attr(scene)
+    masks = [jnp.ones(instances.capacity, bool)]
+    rts, roots = A.assemble_scene(
+        blasset, meta, anim_rest, anim_nodes, instances,
+        jnp.asarray(inst_blas), masks, tri_attr)
+    ss = A.required_stack_size(meta, instances.capacity)
+    ctx = A.SceneTracer(rts, rt._slot_material_array(instances.capacity),
+                        rt.materials.table(), root_code=roots[0],
+                        stack_size=ss, use_pallas=True)
+    mats = rt.materials.table()
+    side = 64            # 4096 rays: exactly compaction.MIN_RAYS
+    tiled = T.pick_tile(side, side)
+    o, d = T.raygen(cam.matrices, side, side, tile_order=tiled)
+    tm = jnp.full(o.shape[0], 1000.0)
+    surf = ctx.trace_resolve(o, d, tm)
+    key = jax.random.PRNGKey(3)
+    sv1, ao1 = T.shadow_and_ao(surf, ctx, mats, rt.lights, key, key,
+                               shadow_samples=2, ao_samples=1,
+                               ao_radius=2.0, compact=False)
+    sv2, ao2 = T.shadow_and_ao(surf, ctx, mats, rt.lights, key, key,
+                               shadow_samples=2, ao_samples=1,
+                               ao_radius=2.0, compact=True)
+    np.testing.assert_array_equal(np.asarray(sv1), np.asarray(sv2))
+    np.testing.assert_array_equal(np.asarray(ao1), np.asarray(ao2))
+    rdir = T._reflection_dir(surf, mats, cam.matrices.cam_pos, key, 0)
+    o2 = surf.world_pos + surf.normal * 5e-3
+    h1 = ctx.trace_resolve(o2, rdir, tm, active=surf.valid)
+    h2 = T._compact_trace_resolve(ctx, o2, rdir, tm, active=surf.valid,
+                                  use_alpha=False, cull_mask=0xFF)
+    for f in ("world_pos", "normal", "uv", "material", "valid", "t"):
+        np.testing.assert_array_equal(np.asarray(getattr(h1, f)),
+                                      np.asarray(getattr(h2, f)))
