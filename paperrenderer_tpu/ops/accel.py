@@ -425,18 +425,168 @@ def _emit_blas_node_rows(
     return rows, np.stack([codes(c0), codes(c1)], axis=-1)
 
 
+# --- BLAS chunking (round 5): arbitrary-size models on the paged path ------
+# A model whose BLAS exceeds BL_LEAVES leaf rows is decomposed into subtree
+# CHUNKS streamed HBM->SMEM on pop (exactly the TLAS-chunk mechanism, in
+# object space): the cut-line subtrees (<= BL_LEAVES leaves each) become
+# chunk blocks; the rows above the cuts stay static with TYPE_CHUNK|OBJ
+# children. One BLAS-chunk scratch block suffices by the same LIFO argument
+# as TLAS chunks (a chunk's subtree is fully traversed before any sibling).
+# Replaces the 620 KiB all-BLAS-resident cap (round-4 trace_paged.py:50) —
+# matches the reference's HBM-sized BLAS envelope
+# (src/PaperRenderer/AccelerationStructure.cpp:139-216).
+BL_LEAVES = 256             # leaf rows per BLAS chunk (= 2048 triangles)
+BL_NROWS = 2 * BL_LEAVES    # node-row region size (clip-safe: BROWS)
+BCH_NODE = BL_NROWS * 12    # f32 per chunk node block (6144)
+BCH_CODE = BL_NROWS * 2     # i32 per chunk code block (1024)
+BCH_POS = BL_LEAVES * 72    # f32 per chunk leaf-position block (18432)
+BCH_PRIM = BL_LEAVES * K    # i32 per chunk prim block (2048)
+BCH_UV = BL_LEAVES * 48     # f32 per chunk uv block (12288)
+BCH_NRM = BL_LEAVES * 72    # f32 per chunk normal block (18432)
+
+
+def _chunk_blas_host(b: "_BLASBuild", first_chunk: int):
+    """Cut one big explicit-topology BLAS into subtree chunks.
+
+    Returns (top_rows, top_codes_fn, chunks) where ``chunks`` is a list of
+    dicts with local node rows/codes + leaf rows/nrm/prim, and
+    ``top_codes_fn(node_off)`` emits the static top rows' child codes
+    (TYPE_BOX|obj at global offsets above the cuts, TYPE_CHUNK|obj at
+    cut children). ``first_chunk`` is the global chunk index of this
+    BLAS's first chunk."""
+    l = b.num_leaves
+    nn = l - 1
+    counts = np.zeros(nn, np.int64)
+
+    def leaf_count(kind, idx):
+        return 1 if kind == 1 else counts[idx]
+
+    # children precede parents nowhere in particular — compute by post-order
+    order = []
+    stack = [(0, False)]
+    while stack:
+        ni, seen = stack.pop()
+        if seen:
+            order.append(ni)
+            continue
+        stack.append((ni, True))
+        for k in range(2):
+            if b.child_kind[ni, k] == 0:
+                stack.append((int(b.child_idx[ni, k]), False))
+    for ni in order:
+        c = 0
+        for k in range(2):
+            c += leaf_count(b.child_kind[ni, k], int(b.child_idx[ni, k]))
+        counts[ni] = c
+
+    chunks = []
+
+    def cut(kind, idx):
+        """Collect the subtree at (kind, idx) into a chunk; return chunk id."""
+        nodes, leaves = [], []
+
+        def walk(kind, idx):
+            if kind == 1:
+                leaves.append(int(idx))
+                return (1, len(leaves) - 1)
+            me = len(nodes)
+            nodes.append(None)
+            links = []
+            for k in range(2):
+                links.append(walk(int(b.child_kind[idx, k]),
+                                  int(b.child_idx[idx, k])))
+            nodes[me] = (int(idx), links)
+            return (0, me)
+
+        import sys as _sys
+        old = _sys.getrecursionlimit()
+        _sys.setrecursionlimit(old + 4 * BL_LEAVES + 100)
+        try:
+            walk(kind, idx)
+        finally:
+            _sys.setrecursionlimit(old)
+        n_rows = np.zeros((BL_NROWS, 12), np.float32)
+        n_codes = np.zeros((BL_NROWS, 2), np.int32)
+        for li, (src, links) in enumerate(nodes):
+            n_rows[li] = b.node_rows[src]
+            for k, (ck, ci) in enumerate(links):
+                if ck == 1:
+                    n_codes[li, k] = _code(TYPE_LEAF, ci, obj=True) | LOCAL_FLAG
+                else:
+                    n_codes[li, k] = _code(TYPE_BOX, ci, obj=True) | LOCAL_FLAG
+        lp = np.zeros((BL_LEAVES, LEAF_ROW), np.float32)
+        ln = np.zeros((BL_LEAVES, K * 9), np.float32)
+        pr = np.full((BL_LEAVES, K), -1, np.int32)
+        for li, src in enumerate(leaves):
+            lp[li] = b.leaf_rows[src]
+            ln[li] = b.leaf_nrm[src]
+            pr[li] = b.leaf_prim[src]
+        # single-leaf chunk: the local root must still be a BOX row — wrap
+        # the leaf in a degenerate one-child node
+        if not nodes:
+            # child 0 box: permissive (the chunk pop's own AABB already
+            # gated entry); child 1 dead (min > max)
+            n_rows[0, 0:3] = -3.0e38
+            n_rows[0, 3:6] = 3.0e38
+            n_rows[0, 6:9] = 1.0   # dead child 1 (min > max)
+            n_rows[0, 9:12] = -1.0
+            n_codes[0, 0] = _code(TYPE_LEAF, 0, obj=True) | LOCAL_FLAG
+            n_codes[0, 1] = _code(TYPE_LEAF, 0, obj=True) | LOCAL_FLAG
+        chunks.append(dict(nodes=n_rows, codes=n_codes, lpos=lp, lnrm=ln,
+                           lprim=pr))
+        return first_chunk + len(chunks) - 1
+
+    # top tree: nodes with > BL_LEAVES leaves stay static; their children
+    # with <= BL_LEAVES leaves are cut into chunks
+    top_ids = [ni for ni in range(nn) if counts[ni] > BL_LEAVES]
+    # the root must be in the top (callers push root_code = global box row)
+    if not top_ids:
+        top_ids = [0]
+    remap = {ni: i for i, ni in enumerate(sorted(top_ids))}
+    t = len(remap)
+    top_rows = np.zeros((t, 12), np.float32)
+    top_kind = np.zeros((t, 2), np.int8)   # 0=box(top) 2=chunk
+    top_link = np.zeros((t, 2), np.int32)
+    for ni, i in remap.items():
+        top_rows[i] = b.node_rows[ni]
+        for k in range(2):
+            ck, ci = int(b.child_kind[ni, k]), int(b.child_idx[ni, k])
+            if ck == 0 and ci in remap:
+                top_kind[i, k] = 0
+                top_link[i, k] = remap[ci]
+            else:
+                top_kind[i, k] = 2
+                top_link[i, k] = cut(ck, ci)
+
+    def top_codes(node_off: int) -> np.ndarray:
+        return np.where(
+            top_kind == 0,
+            _code(TYPE_BOX, node_off + top_link, obj=True),
+            _code(TYPE_CHUNK, top_link, obj=True),
+        ).astype(np.int32)
+
+    return top_rows, top_codes, chunks
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class BLASSet:
     """All static BLASes packed (device pytree). Row offsets are baked into
     the child codes, so these arrays concatenate directly into the frame's
-    unified node table (static BLAS rows come first)."""
+    unified node table (static BLAS rows come first). Big models' rows
+    live in the ``bch_*`` chunk blocks instead (see _chunk_blas_host)."""
 
     nodes: jax.Array      # f32[NB, 12] internal rows (child boxes)
     codes: jax.Array      # i32[NB, 2] child codes
     leaf_rows: jax.Array  # f32[LB, 120] positions + uvs
     leaf_nrm: jax.Array   # f32[LB, 72] object-space vertex normals
     leaf_prim: jax.Array  # i32[LB, K] tagged prim ids
+    bch_nodes: jax.Array  # f32[NBC * BCH_NODE] flat BLAS-chunk node blocks
+    bch_codes: jax.Array  # i32[NBC * BCH_CODE]
+    bch_lpos: jax.Array   # f32[NBC * BCH_POS]
+    bch_lprim: jax.Array  # i32[NBC * BCH_PRIM]
+    bch_luv: jax.Array    # f32[NBC * BCH_UV]
+    bch_lnrm: jax.Array   # f32[NBC * BCH_NRM]
     root_min: jax.Array   # f32[B, 3] object-space root AABBs
     root_max: jax.Array   # f32[B, 3]
     root_code: jax.Array  # i32[B]
@@ -475,6 +625,7 @@ class BLASSetMeta:
     anim_node_codes: np.ndarray = None   # i32[NA, 2] (static per topology)
     anim_leaf_prim: np.ndarray = None    # i32[LA, K]
     anim_leaf_nrm: np.ndarray = None     # f32[LA, K*9] rest normals
+    num_bchunks: int = 0                 # BLAS chunks (big models; paged-only)
 
     @property
     def total_nodes(self) -> int:
@@ -543,6 +694,17 @@ def build_blas_set(scene):
     for inst in anim_instances:
         builds.append(_build_blas_host(*model_tris(inst.model)))
 
+    # --- chunk big static BLASes (round 5: paged-path BLAS streaming) ------
+    chunked = {}       # build index -> (top_rows, top_codes_fn, chunks)
+    all_bchunks = []
+    for bi in range(num_models_blas):
+        b = builds[bi]
+        if b.num_leaves > BL_LEAVES and b.node_rows is not None:
+            top_rows, top_codes_fn, chunks = _chunk_blas_host(
+                b, len(all_bchunks))
+            chunked[bi] = (top_rows, top_codes_fn)
+            all_bchunks.extend(chunks)
+
     # --- assign global row offsets (static rows first, then anim rows) -----
     node_offs, leaf_offs = [], []
     no = lo = 0
@@ -550,8 +712,11 @@ def build_blas_set(scene):
     for bi, b in enumerate(builds):
         node_offs.append(no)
         leaf_offs.append(lo)
-        no += max(b.num_leaves - 1, 0)
-        lo += b.num_leaves
+        if bi in chunked:
+            no += chunked[bi][0].shape[0]       # top rows only; leaves paged
+        else:
+            no += max(b.num_leaves - 1, 0)
+            lo += b.num_leaves
         if bi < num_models_blas:
             static_no, static_lo = no, lo
 
@@ -564,12 +729,17 @@ def build_blas_set(scene):
     root_max = np.zeros((len(builds), 3), np.float32)
     root_code = np.zeros(len(builds), np.int32)
     for bi, b in enumerate(builds):
-        rows, codes = _emit_blas_node_rows(b, node_offs[bi], leaf_offs[bi])
-        node_rows.append(rows)
-        node_codes.append(codes)
-        leaf_rows.append(b.leaf_rows)
-        leaf_nrms.append(b.leaf_nrm)
-        leaf_prims.append(b.leaf_prim)
+        if bi in chunked:
+            top_rows, top_codes_fn = chunked[bi]
+            node_rows.append(top_rows)
+            node_codes.append(top_codes_fn(node_offs[bi]))
+        else:
+            rows, codes = _emit_blas_node_rows(b, node_offs[bi], leaf_offs[bi])
+            node_rows.append(rows)
+            node_codes.append(codes)
+            leaf_rows.append(b.leaf_rows)
+            leaf_nrms.append(b.leaf_nrm)
+            leaf_prims.append(b.leaf_prim)
         root_min[bi] = np.where(np.isfinite(b.node_min[0]), b.node_min[0], 0.0)
         root_max[bi] = np.where(np.isfinite(b.node_max[0]), b.node_max[0], 0.0)
         root_code[bi] = (
@@ -614,13 +784,33 @@ def build_blas_set(scene):
         anim_node_codes=all_codes[static_no:],
         anim_leaf_prim=all_prims[static_lo:],
         anim_leaf_nrm=all_nrms[static_lo:],
+        num_bchunks=len(all_bchunks),
     )
+    nbc = len(all_bchunks)
+    if nbc:
+        bch_nodes = np.stack([c["nodes"] for c in all_bchunks])
+        bch_codes = np.stack([c["codes"] for c in all_bchunks])
+        bch_lp = np.stack([c["lpos"] for c in all_bchunks])
+        bch_nr = np.stack([c["lnrm"] for c in all_bchunks])
+        bch_pr = np.stack([c["lprim"] for c in all_bchunks])
+    else:
+        bch_nodes = np.zeros((0, BL_NROWS, 12), np.float32)
+        bch_codes = np.zeros((0, BL_NROWS, 2), np.int32)
+        bch_lp = np.zeros((0, BL_LEAVES, LEAF_ROW), np.float32)
+        bch_nr = np.zeros((0, BL_LEAVES, K * 9), np.float32)
+        bch_pr = np.zeros((0, BL_LEAVES, K), np.int32)
     blasset = BLASSet(
         nodes=jnp.asarray(all_nodes[:static_no]),
         codes=jnp.asarray(all_codes[:static_no]),
         leaf_rows=jnp.asarray(all_leaves[:static_lo]),
         leaf_nrm=jnp.asarray(all_nrms[:static_lo]),
         leaf_prim=jnp.asarray(all_prims[:static_lo]),
+        bch_nodes=jnp.asarray(bch_nodes.reshape(-1)),
+        bch_codes=jnp.asarray(bch_codes.reshape(-1)),
+        bch_lpos=jnp.asarray(bch_lp[:, :, :_UV].reshape(-1)),
+        bch_lprim=jnp.asarray(bch_pr.reshape(-1)),
+        bch_luv=jnp.asarray(bch_lp[:, :, _UV:].reshape(-1)),
+        bch_lnrm=jnp.asarray(bch_nr.reshape(-1)),
         root_min=jnp.asarray(root_min),
         root_max=jnp.asarray(root_max),
         root_code=jnp.asarray(root_code),
@@ -1342,6 +1532,7 @@ def make_scene_tracer(
     animate: Optional[Callable] = None,
     image_shape=None,
     wide: bool = False,
+    pack: int = 1,
     inst_mask: Optional[jax.Array] = None,    # i32[N] 8-bit visibility masks
     inst_opaque: Optional[jax.Array] = None,  # bool[N] force-opaque flags
     resplit: bool = False,
@@ -1365,6 +1556,7 @@ def make_scene_tracer(
             root_code=root, stack_size=stack_size,
             leaf_cutout=leaf_cutout, use_pallas=use_pallas,
             textures=textures, image_shape=image_shape, wide=wide,
+            pack=pack,
         )
     rt_scene, roots = assemble_scene(
         blasset, meta, anim_rest, anim_rest_nodes, instances, inst_blas,
@@ -1375,7 +1567,7 @@ def make_scene_tracer(
         rt_scene, slot_materials, materials,
         root_code=roots[tlas_index], stack_size=stack_size,
         leaf_cutout=leaf_cutout, use_pallas=use_pallas,
-        textures=textures, image_shape=image_shape, wide=wide,
+        textures=textures, image_shape=image_shape, wide=wide, pack=pack,
     )
 
 
@@ -1707,6 +1899,7 @@ class SceneTracer:
         textures=None,
         image_shape=None,
         wide: bool = False,
+        pack: int = 1,
     ):
         self.scene = scene
         self.slot_materials = slot_materials
@@ -1718,6 +1911,11 @@ class SceneTracer:
         self.use_pallas = use_pallas
         # 4-wide grandchild box steps in the packet kernels (A/B perf knob)
         self.wide = wide
+        # fat packets: rays per packet = 1024 * pack sharing ONE stack walk
+        # (the traversal step is scalar/branch-bound — round-5 measurement —
+        # so a wider packet's extra vector sub-blocks pipeline nearly free;
+        # the union footprint grows with the packet's pixel area instead)
+        self.pack = pack
         # (H, W): group R == H*W wavefronts as (8, 128) pixel-tile packets
         # (trace_kernel.image_mode_ok) — secondary rays derived from image-
         # layout G-buffers keep tile-footprint coherence with zero relayout
@@ -1782,7 +1980,7 @@ class SceneTracer:
                     any_hit=any_hit, active=active,
                     max_steps=self._step_bound(),
                     image_shape=self._image_shape(o.shape[0]),
-                    wide=self.wide, cull_mask=cull_mask,
+                    wide=self.wide, pack=self.pack, cull_mask=cull_mask,
                 )
         return trace_scene(
             self.scene, o, d, t_max,
@@ -1810,7 +2008,7 @@ class SceneTracer:
                     self.scene, o, tuple(dirs), tuple(t_caps),
                     root_code=self.root_code, stack_size=self.stack_size,
                     active=active, max_steps=self._step_bound(),
-                    wide=self.wide, cull_mask=cull_mask,
+                    wide=self.wide, pack=self.pack, cull_mask=cull_mask,
                 )
         bits = jnp.zeros((o.shape[0],), jnp.int32)
         for s, (d, tc) in enumerate(zip(dirs, t_caps)):
@@ -1844,7 +2042,7 @@ class SceneTracer:
                     ao_actives=None if ao_actives is None
                     else tuple(ao_actives),
                     max_steps=self._step_bound(),
-                    wide=self.wide, cull_mask=cull_mask,
+                    wide=self.wide, pack=self.pack, cull_mask=cull_mask,
                 )
         r = o.shape[0]
         bits = jnp.zeros((r,), jnp.int32)
@@ -1914,7 +2112,7 @@ class SceneTracer:
                     else tuple(ao_actives),
                     rs_active=rs_active,
                     max_steps=self._step_bound(),
-                    wide=self.wide, cull_mask=cull_mask,
+                    wide=self.wide, pack=self.pack, cull_mask=cull_mask,
                 )
                 return bits, ao_ts, self._surface_from_resolved(out, o, rs_d)
         bits, ao_ts = self.trace_shadow_ao_bundle(
@@ -1947,7 +2145,7 @@ class SceneTracer:
                     shading_model=(self.materials.shading_model
                                    if alpha_needed else None),
                     image_shape=self._image_shape(o.shape[0]),
-                    wide=self.wide, cull_mask=cull_mask,
+                    wide=self.wide, pack=self.pack, cull_mask=cull_mask,
                 )
                 return self._surface_from_resolved(out, o, d)
         rec = self.trace(o, d, t_max, active=active, use_alpha=use_alpha,
@@ -2031,6 +2229,7 @@ class PagedSceneTracer:
         textures=None,
         image_shape=None,
         wide: bool = False,
+        pack: int = 1,
     ):
         self.scene = scene
         self.slot_materials = slot_materials
@@ -2046,6 +2245,8 @@ class PagedSceneTracer:
         # gone: chunk codes are non-box children and are never dereferenced
         # before their own pop runs the DMA)
         self.wide = wide
+        # fat packets (see SceneTracer.pack)
+        self.pack = pack
         self.image_shape = tuple(image_shape) if image_shape else None
         self._flat = None
 
@@ -2096,7 +2297,7 @@ class PagedSceneTracer:
                     any_hit=any_hit, active=active,
                     max_steps=self._step_bound(),
                     image_shape=self._image_shape(o.shape[0]),
-                    wide=self.wide, cull_mask=cull_mask,
+                    wide=self.wide, pack=self.pack, cull_mask=cull_mask,
                 )
         return self._flat_tracer().trace(
             o, d, t_max, any_hit=any_hit, active=active, use_alpha=use_alpha,
@@ -2136,7 +2337,7 @@ class PagedSceneTracer:
                     shading_model=(self.materials.shading_model
                                    if alpha_needed else None),
                     image_shape=self._image_shape(o.shape[0]),
-                    wide=self.wide, cull_mask=cull_mask,
+                    wide=self.wide, pack=self.pack, cull_mask=cull_mask,
                 )
                 hit = out["prim"] >= 0
                 t = jnp.where(hit, out["t"], 0.0)

@@ -78,6 +78,11 @@ class RTParams:
     # full-coverage scene the reorder is ~2-4 ms of pure overhead @1080p —
     # disable there.
     compact_secondary: bool = True
+    # group-compact + spatially sort ONLY the reflection-side secondary
+    # wavefronts (the bundle at bounce hits, ~36% scattered liveness) while
+    # the primary-side wavefronts run unpermuted. Independent of
+    # ``compact_secondary`` (which covers everything).
+    compact_refl: bool = False
 
     # static dataclass (python ints) — used as jit static argument
 
@@ -450,7 +455,10 @@ def _compact_bundle(ctx, origin, occ_ds, occ_tcs, occ_actives,
             occ_actives=occ_actives, ao_actives=ao_actives,
             rs_active=rs_active, cull_mask=cull_mask)
 
-    order, inv = C.compaction_order(live)
+    # group key: liveness partition + morton sort of live-group origin
+    # centroids (spatial packet clustering — shrinks the shared-stack union
+    # even at scattered liveness, where the partition alone cannot pack)
+    order, inv = C.compaction_order(live, pos=origin)
     n_occ, n_ao = len(occ_ds), len(ao_ds)
     all_ds = list(occ_ds) + list(ao_ds) + ([rs_d] if has_rs else [])
     planes = [origin[:, 0], origin[:, 1], origin[:, 2]]
@@ -501,7 +509,7 @@ def _compact_trace_resolve(ctx, o, d, t_max, *, active, use_alpha,
     if active is None or not C.compactable(r):
         return ctx.trace_resolve(o, d, t_max, active=active,
                                  use_alpha=use_alpha, cull_mask=cull_mask)
-    order, inv = C.compaction_order(active)
+    order, inv = C.compaction_order(active, pos=o)
     p = C.permute_flat(
         [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
          jnp.asarray(t_max, jnp.float32) + o[:, 0] * 0.0, active], order)
@@ -996,7 +1004,7 @@ def reflections(
             # secondary origin: keeps the fused-bundle path (shared origin)
             # bit-comparable with this unfused path
             o = surf.world_pos + surf.normal * 5e-3
-            if params.compact_secondary:
+            if params.compact_secondary or params.compact_refl:
                 hit2 = _compact_trace_resolve(
                     ctx, o, rdir, jnp.full((r,), 1000.0),
                     active=surf.valid, use_alpha=params.leaf_cutout,
@@ -1014,7 +1022,7 @@ def reflections(
             ao_samples=params.ao_samples, ao_radius=params.ao_radius,
             cull_mask=params.cull_mask,
             shadow_cull_mask=params.shadow_cull_mask,
-            compact=params.compact_secondary,
+            compact=params.compact_secondary or params.compact_refl,
         )
         color2 = shade_surfaces(hit2, materials, lights, surf.world_pos,
                                 svis, ao2, getattr(ctx, "textures", None))

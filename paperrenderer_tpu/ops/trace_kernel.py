@@ -228,7 +228,7 @@ def _wide_pushes(stack_ref, flag_ref, sp, is_box, is_inst, c0, S,
 def _make_kernel(root_code: int, max_steps: int, any_hit: bool,
                  debug_steps: bool = False, image_mode: bool = False,
                  wide: bool = False, cull_mask: int = 0xFF,
-                 sub_n: int = 1):
+                 sub_n: int = 1, pack: int = 1):
     """Packet kernel. Vector state (best hit planes, object-space ray) lives
     in VMEM scratch refs mutated under ``pl.when`` — real branches with no
     state yields, so a step costs only its own branch's work. The while carry
@@ -239,6 +239,7 @@ def _make_kernel(root_code: int, max_steps: int, any_hit: bool,
     step (``_wide_box_step``)."""
     S = _STACK
     ld, st = _io_helpers(image_mode)
+    V = (8 * pack, 128)      # packet vector shape (pack sub-blocks, one stack)
     FI = 8 if wide else 3    # flag slot: current instance id
     FH = 9 if wide else 4    # flag slot: all-rays-hit (any-hit early exit)
 
@@ -264,14 +265,14 @@ def _make_kernel(root_code: int, max_steps: int, any_hit: bool,
             # [5]=prune bound for box tests (an actual t, one divide per leaf
             # step): closest mode tracks best t; any-hit mode drops to -3e38
             # once a ray commits, removing it from every later slab-test union.
-            neg1 = pltpu.bitcast(jnp.full((8, 128), -1, jnp.int32), jnp.float32)
+            neg1 = pltpu.bitcast(jnp.full(V, -1, jnp.int32), jnp.float32)
             best_ref[0] = ld(tmax_ref, sub)
             best_ref[1] = neg1
             best_ref[2] = neg1
-            best_ref[3] = jnp.zeros((8, 128), jnp.float32)
-            best_ref[4] = jnp.zeros((8, 128), jnp.float32)
+            best_ref[3] = jnp.zeros(V, jnp.float32)
+            best_ref[4] = jnp.zeros(V, jnp.float32)
             best_ref[5] = ld(tmax_ref, sub)
-            best_ref[6] = jnp.ones((8, 128), jnp.float32)
+            best_ref[6] = jnp.ones(V, jnp.float32)
             # object-space ray planes: o(3) d(3) inv(3)
             for i, v in enumerate((wox, woy, woz, wdx, wdy, wdz, wix, wiy, wiz)):
                 obj_ref[i] = v
@@ -487,7 +488,7 @@ def _make_kernel(root_code: int, max_steps: int, any_hit: bool,
             st(inst_out, sub, jnp.where(miss, -1, best_inst))
             if debug_steps:
                 st(u_out, sub,
-                   jnp.full((8, 128), fin[0], jnp.int32).astype(jnp.float32))
+                   jnp.full(V, fin[0], jnp.int32).astype(jnp.float32))
             else:
                 st(u_out, sub, best_ref[3] * inv_den)
             st(v_out, sub, best_ref[4] * inv_den)
@@ -506,7 +507,7 @@ def _make_resolve_kernel(root_code: int, max_steps: int, n_slots: int,
                          n_inst: int, alpha_test: bool = False,
                          n_mats: int = 1, image_mode: bool = False,
                          wide: bool = False, cull_mask: int = 0xFF,
-                         sub_n: int = 1):
+                         sub_n: int = 1, pack: int = 1):
     """Fused trace+resolve packet kernel.
 
     Identical traversal to _make_kernel, but hit attributes are interpolated
@@ -523,6 +524,7 @@ def _make_resolve_kernel(root_code: int, max_steps: int, n_slots: int,
     alpha at the hit uv is below 0.5 — evaluated in-kernel from the uv the
     resolve path already interpolates."""
     S = _STACK
+    V = (8 * pack, 128)      # packet vector shape (pack sub-blocks, one stack)
     ld, st = _io_helpers(image_mode)
     FI = 8 if wide else 3    # flag slot: current instance id
 
@@ -544,7 +546,7 @@ def _make_resolve_kernel(root_code: int, max_steps: int, n_slots: int,
 
             wix, wiy, wiz = safe_inv(wdx), safe_inv(wdy), safe_inv(wdz)
 
-            neg1 = pltpu.bitcast(jnp.full((8, 128), -1, jnp.int32), jnp.float32)
+            neg1 = pltpu.bitcast(jnp.full(V, -1, jnp.int32), jnp.float32)
             # ratio winner state (see _make_kernel): [0]=t num, [3..7]=uv/normal
             # NUMERATORS, [9]=|det| den (1.0 = none), [10]=prune t plane for the
             # box tests (one divide per leaf step, not per candidate)
@@ -552,9 +554,9 @@ def _make_resolve_kernel(root_code: int, max_steps: int, n_slots: int,
             best_ref[1] = neg1
             best_ref[2] = neg1
             for i in range(3, 8):
-                best_ref[i] = jnp.zeros((8, 128), jnp.float32)
-            best_ref[8] = pltpu.bitcast(jnp.zeros((8, 128), jnp.int32), jnp.float32)
-            best_ref[9] = jnp.ones((8, 128), jnp.float32)
+                best_ref[i] = jnp.zeros(V, jnp.float32)
+            best_ref[8] = pltpu.bitcast(jnp.zeros(V, jnp.int32), jnp.float32)
+            best_ref[9] = jnp.ones(V, jnp.float32)
             best_ref[10] = ld(tmax_ref, sub)
             for i, v in enumerate((wox, woy, woz, wdx, wdy, wdz, wix, wiy, wiz)):
                 obj_ref[i] = v
@@ -832,7 +834,8 @@ def image_mode_ok(image_shape, n_rays: int) -> bool:
     return h % 8 == 0 and w % 128 == 0 and h * w == n_rays
 
 
-def _pack_rays(ray_o, ray_d, t_cap, image_shape, sub_cap: int = 0):
+def _pack_rays(ray_o, ray_d, t_cap, image_shape, sub_cap: int = 0,
+               pack: int = 1):
     """Ray wavefront -> per-component packet blocks + specs.
 
     Returns (args, ray_spec, out_spec, grid, out_shape_fn, unflatten, sub_n):
@@ -849,43 +852,47 @@ def _pack_rays(ray_o, ray_d, t_cap, image_shape, sub_cap: int = 0):
     r = ray_o.shape[0]
     if image_mode_ok(image_shape, r):
         h, w = image_shape
+        if h % (8 * pack):
+            pack = 1          # fat packets need 8*pack-row image blocks
+        bh = 8 * pack
         ntx = w // 128
-        g = (h // 8) * ntx
-        spec = pl.BlockSpec((8, 128), lambda i: (i // ntx, i % ntx),
+        g = (h // bh) * ntx
+        spec = pl.BlockSpec((bh, 128), lambda i: (i // ntx, i % ntx),
                             memory_space=pltpu.VMEM)
         args = [ray_o[:, k].reshape(h, w) for k in range(3)]
         args += [ray_d[:, k].reshape(h, w) for k in range(3)]
         args.append(t_cap.reshape(h, w))
         out_shape = lambda dt: jax.ShapeDtypeStruct((h, w), dt)
         unflatten = lambda x: x.reshape(r)
-        return args, spec, spec, g, out_shape, unflatten, 1
+        return args, spec, spec, g, out_shape, unflatten, 1, pack
 
     # group SUBPACKETS packets per grid step; a short wavefront degrades
     # gracefully to fewer packets per step (pad rays park dead — see below).
     # sub_cap=0 -> module default, read at call time (bench sweeps patch it)
-    sub = max(1, min(sub_cap or SUBPACKETS, -(-r // PACKET)))
-    step = sub * PACKET
+    fat = PACKET * pack
+    sub = max(1, min(sub_cap or SUBPACKETS, -(-r // fat)))
+    step = sub * fat
     r_pad = -(-r // step) * step
     g = r_pad // step
-    spec = pl.BlockSpec((sub, 8, 128), lambda i: (i, 0, 0),
+    spec = pl.BlockSpec((sub, 8 * pack, 128), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
 
     def comp(x, fill):
         return jnp.pad(x, (0, r_pad - r),
-                       constant_values=fill).reshape(g * sub, 8, 128)
+                       constant_values=fill).reshape(g * sub, 8 * pack, 128)
 
     args = [comp(ray_o[:, k], 0.0) for k in range(3)]
     args += [comp(ray_d[:, k], 1.0) for k in range(3)]
     args.append(comp(t_cap, -3e38))   # pad rays park at origin: see above
-    out_shape = lambda dt: jax.ShapeDtypeStruct((g * sub, 8, 128), dt)
+    out_shape = lambda dt: jax.ShapeDtypeStruct((g * sub, 8 * pack, 128), dt)
     unflatten = lambda x: x.reshape(r_pad)[:r]
-    return args, spec, spec, g, out_shape, unflatten, sub
+    return args, spec, spec, g, out_shape, unflatten, sub, pack
 
 
 @partial(
     jax.jit,
     static_argnames=("root_code", "stack_size", "max_steps", "image_shape",
-                     "wide", "cull_mask", "sub_cap"),
+                     "wide", "cull_mask", "sub_cap", "pack"),
 )
 def trace_resolve_scene_pallas(
     scene: RTScene,
@@ -903,6 +910,7 @@ def trace_resolve_scene_pallas(
     wide: bool = False,
     cull_mask: int = 0xFF,
     sub_cap: int = 0,
+    pack: int = 1,
 ):
     """Fused closest-hit + attribute resolve. Returns a dict of flat arrays:
     t, prim, inst, uv f32[R, 2], normal f32[R, 3] (unnormalized world),
@@ -919,8 +927,10 @@ def trace_resolve_scene_pallas(
         t_cap = jnp.where(active, t_cap, -3e38)
 
     image_mode = image_mode_ok(image_shape, r)
-    ray_args, ray_spec, out_spec, g, out_shape, unflatten, sub = _pack_rays(
-        ray_o, ray_d, t_cap, image_shape, sub_cap=sub_cap)
+    pack = max(1, min(pack, r // PACKET))
+    (ray_args, ray_spec, out_spec, g, out_shape, unflatten, sub,
+     pack) = _pack_rays(ray_o, ray_d, t_cap, image_shape, sub_cap=sub_cap,
+                        pack=pack)
 
     boxes, codes, lpos, lprim = _split_scene(scene)
     luv = scene.leaf_rows[:, _UV:].reshape(-1)
@@ -938,7 +948,7 @@ def trace_resolve_scene_pallas(
     kernel = _make_resolve_kernel(root_code, max_steps, n_slots, n_inst,
                                   alpha_test=alpha_test, n_mats=n_mats,
                                   image_mode=image_mode, wide=wide,
-                                  cull_mask=cull_mask, sub_n=sub)
+                                  cull_mask=cull_mask, sub_n=sub, pack=pack)
 
     smem = lambda n: pl.BlockSpec(
         (n,), lambda i: (0,), memory_space=pltpu.SMEM)
@@ -959,8 +969,8 @@ def trace_resolve_scene_pallas(
         out_specs=[out_spec] * 9,
         out_shape=[out_shape(dt) for dt in out_dts],
         scratch_shapes=[
-            pltpu.VMEM((9, 8, 128), jnp.float32),   # object-space ray planes
-            pltpu.VMEM((11, 8, 128), jnp.float32),  # best planes (+den+prune)
+            pltpu.VMEM((9, 8 * pack, 128), jnp.float32),   # object-space ray
+            pltpu.VMEM((11, 8 * pack, 128), jnp.float32),  # best (+den+prune)
             pltpu.SMEM((12 if wide else 8,), jnp.int32),  # cross-branch scalars
             pltpu.SMEM((12,), jnp.float32),         # current instance inverse
             pltpu.SMEM((_STACK + 1,), jnp.int32),   # scalar stack + trash slot
@@ -979,29 +989,31 @@ def trace_resolve_scene_pallas(
     }
 
 
-def _pack_planes(comps, fills, sub_cap: int = 0):
+def _pack_planes(comps, fills, sub_cap: int = 0, pack: int = 1):
     """Generic flat-mode packet packing: [r] components -> (g*sub, 8, 128)
     blocks + specs (the variable-arity cousin of ``_pack_rays`` for bundle
     kernels). Returns (args, spec, grid, out_shape_fn, unflatten, sub)."""
     r = comps[0].shape[0]
-    sub = max(1, min(sub_cap or SUBPACKETS, -(-r // PACKET)))
-    step = sub * PACKET
+    fat = PACKET * pack
+    sub = max(1, min(sub_cap or SUBPACKETS, -(-r // fat)))
+    step = sub * fat
     r_pad = -(-r // step) * step
     g = r_pad // step
-    spec = pl.BlockSpec((sub, 8, 128), lambda i: (i, 0, 0),
+    spec = pl.BlockSpec((sub, 8 * pack, 128), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     args = [jnp.pad(x, (0, r_pad - r),
-                    constant_values=f).reshape(g * sub, 8, 128)
+                    constant_values=f).reshape(g * sub, 8 * pack, 128)
             for x, f in zip(comps, fills)]
-    out_shape = lambda dt: jax.ShapeDtypeStruct((g * sub, 8, 128), dt)
+    out_shape = lambda dt: jax.ShapeDtypeStruct((g * sub, 8 * pack, 128), dt)
     unflatten = lambda x: x.reshape(r_pad)[:r]
-    return args, spec, g, out_shape, unflatten, sub
+    return args, spec, g, out_shape, unflatten, sub, pack
 
 
 def _make_bundle_kernel(root_code: int, max_steps: int, s_n: int,
                         ao_n: int = 0, rs_n: int = 0, n_slots: int = 1,
                         n_inst: int = 1, wide: bool = False,
-                        cull_mask: int = 0xFF, sub_n: int = 1):
+                        cull_mask: int = 0xFF, sub_n: int = 1,
+                        pack: int = 1):
     """Origin-shared BUNDLE kernel: S rays per lane share one origin and run
     ONE traversal over the union footprint — the per-sample footprints
     overlap heavily near the shared origin (and exactly for soft-shadow
@@ -1034,6 +1046,7 @@ def _make_bundle_kernel(root_code: int, max_steps: int, s_n: int,
     ``wide`` grandchild step mirrors ``_wide_box_step`` with the per-sample
     slab union folded into each child's key."""
     S = _STACK
+    V = (8 * pack, 128)      # packet vector shape (pack sub-blocks, one stack)
     FI = 8 if wide else 3
     FH = 9 if wide else 4
     occ_n = s_n - ao_n - rs_n
@@ -1078,18 +1091,18 @@ def _make_bundle_kernel(root_code: int, max_steps: int, s_n: int,
                 prune_ref[s] = tcs[s]
             for j in range(ao_n):
                 prune_ref[s_n + j] = tcs[occ_n + j]          # num (t winner)
-                prune_ref[s_n + ao_n + j] = jnp.ones((8, 128), jnp.float32)
+                prune_ref[s_n + ao_n + j] = jnp.ones(V, jnp.float32)
             if rs_n:
                 neg1 = pltpu.bitcast(
-                    jnp.full((8, 128), -1, jnp.int32), jnp.float32)
+                    jnp.full(V, -1, jnp.int32), jnp.float32)
                 zero_i = pltpu.bitcast(
-                    jnp.zeros((8, 128), jnp.int32), jnp.float32)
+                    jnp.zeros(V, jnp.int32), jnp.float32)
                 prune_ref[RS + 0] = tcs[occ_n + ao_n]        # num (t winner)
-                prune_ref[RS + 1] = jnp.ones((8, 128), jnp.float32)  # den
+                prune_ref[RS + 1] = jnp.ones(V, jnp.float32)  # den
                 prune_ref[RS + 2] = neg1                     # prim
                 prune_ref[RS + 3] = neg1                     # inst
                 for i in range(4, 9):                        # uv + normal
-                    prune_ref[RS + i] = jnp.zeros((8, 128), jnp.float32)
+                    prune_ref[RS + i] = jnp.zeros(V, jnp.float32)
                 prune_ref[RS + 9] = zero_i                   # material
                 for k in range(12):
                     minv_ref[k] = jnp.float32(
@@ -1376,7 +1389,7 @@ def _make_bundle_kernel(root_code: int, max_steps: int, s_n: int,
             jax.lax.while_loop(
                 cond, body, (jnp.int32(0), jnp.int32(1), jnp.int32(0)))
 
-            bits = jnp.zeros((8, 128), jnp.int32)
+            bits = jnp.zeros(V, jnp.int32)
             for s in range(occ_n):
                 occ = prune_ref[s] < jnp.float32(-1e38)
                 bits = bits | (occ.astype(jnp.int32) << s)
@@ -1413,7 +1426,7 @@ def _make_bundle_kernel(root_code: int, max_steps: int, s_n: int,
 @partial(
     jax.jit,
     static_argnames=("root_code", "stack_size", "max_steps", "wide",
-                     "cull_mask", "sub_cap"),
+                     "cull_mask", "sub_cap", "pack"),
 )
 def trace_bundle_pallas(
     scene: RTScene,
@@ -1435,6 +1448,7 @@ def trace_bundle_pallas(
     wide: bool = False,
     cull_mask: int = 0xFF,
     sub_cap: int = 0,
+    pack: int = 1,
 ):
     """S origin-shared rays per lane in ONE traversal: any-hit occlusion
     samples (shadows) + closest-t samples (RTAO) + at most one closest-hit
@@ -1470,8 +1484,9 @@ def trace_bundle_pallas(
         comps.append(t)
         fills.append(-3e38)
 
-    args, spec, g, out_shape, unflatten, sub = _pack_planes(
-        comps, fills, sub_cap=sub_cap)
+    pack = max(1, min(pack, r // PACKET))
+    args, spec, g, out_shape, unflatten, sub, pack = _pack_planes(
+        comps, fills, sub_cap=sub_cap, pack=pack)
 
     boxes, codes, lpos, lprim = _split_scene(scene)
     if max_steps is None:
@@ -1495,13 +1510,14 @@ def trace_bundle_pallas(
 
     kernel = _make_bundle_kernel(root_code, max_steps, s_n, ao_n=ao_n,
                                  rs_n=rs_n, n_slots=n_slots, n_inst=n_inst,
-                                 wide=wide, cull_mask=cull_mask, sub_n=sub)
+                                 wide=wide, cull_mask=cull_mask, sub_n=sub,
+                                 pack=pack)
     rs_dts = [f32, jnp.int32, jnp.int32, f32, f32, f32, f32, f32, jnp.int32]
     scratch = [
-        pltpu.VMEM((3 + 6 * s_n, 8, 128), jnp.float32),  # o + d/inv per s
+        pltpu.VMEM((3 + 6 * s_n, 8 * pack, 128), jnp.float32),  # o + d/inv
         # per-sample prune planes + (num, den) winners per AO sample
         # + the resolve sample's 10 winner planes
-        pltpu.VMEM((s_n + 2 * ao_n + 10 * rs_n, 8, 128), jnp.float32),
+        pltpu.VMEM((s_n + 2 * ao_n + 10 * rs_n, 8 * pack, 128), jnp.float32),
         pltpu.SMEM((12 if wide else 8,), jnp.int32),
     ]
     if rs_n:
@@ -1548,6 +1564,7 @@ def trace_shadow_bundle_pallas(
     wide: bool = False,
     cull_mask: int = 0xFF,
     sub_cap: int = 0,
+    pack: int = 1,
 ) -> jax.Array:
     """All-occlusion bundle (the original shadow-only surface): S any-hit
     origin-shared rays -> i32[R] occlusion bitmask. See trace_bundle_pallas."""
@@ -1556,7 +1573,7 @@ def trace_shadow_bundle_pallas(
         scene, ray_o, tuple(ray_ds), tuple(t_caps),
         root_code=root_code, stack_size=stack_size, max_steps=max_steps,
         occ_actives=None if active is None else (active,) * s_n,
-        wide=wide, cull_mask=cull_mask, sub_cap=sub_cap,
+        wide=wide, cull_mask=cull_mask, sub_cap=sub_cap, pack=pack,
     )
     return bits
 
@@ -1578,7 +1595,7 @@ def trace_shadow_bundle_pallas(
     jax.jit,
     static_argnames=("root_code", "stack_size", "any_hit", "debug_steps",
                      "max_steps", "image_shape", "wide", "cull_mask",
-                     "sub_cap"),
+                     "sub_cap", "pack"),
 )
 def trace_scene_pallas(
     scene: RTScene,
@@ -1596,6 +1613,7 @@ def trace_scene_pallas(
     wide: bool = False,
     cull_mask: int = 0xFF,
     sub_cap: int = 0,
+    pack: int = 1,
 ) -> HitRecord2:
     """Packet-traversal front end: rays run in their given order (pixel-major
     wavefronts are already strip-coherent — see ordering note above), or as
@@ -1610,8 +1628,10 @@ def trace_scene_pallas(
         t_cap = jnp.where(active, t_cap, -3e38)   # never hits, never pushes
 
     image_mode = image_mode_ok(image_shape, r)
-    ray_args, ray_spec, out_spec, g, out_shape, unflatten, sub = _pack_rays(
-        ray_o, ray_d, t_cap, image_shape, sub_cap=sub_cap)
+    pack = max(1, min(pack, r // PACKET))
+    (ray_args, ray_spec, out_spec, g, out_shape, unflatten, sub,
+     pack) = _pack_rays(ray_o, ray_d, t_cap, image_shape, sub_cap=sub_cap,
+                        pack=pack)
 
     boxes, codes, lpos, lprim = _split_scene(scene)
     if max_steps is None:
@@ -1624,7 +1644,8 @@ def trace_scene_pallas(
 
     kernel = _make_kernel(root_code, max_steps, any_hit,
                           debug_steps=debug_steps, image_mode=image_mode,
-                          wide=wide, cull_mask=cull_mask, sub_n=sub)
+                          wide=wide, cull_mask=cull_mask, sub_n=sub,
+                          pack=pack)
 
     smem = lambda n: pl.BlockSpec(
         (n,), lambda i: (0,), memory_space=pltpu.SMEM)
@@ -1641,8 +1662,8 @@ def trace_scene_pallas(
         out_specs=[out_spec] * 5,
         out_shape=[out_shape(dt) for dt in out_dts],
         scratch_shapes=[
-            pltpu.VMEM((9, 8, 128), jnp.float32),   # object-space ray planes
-            pltpu.VMEM((7, 8, 128), jnp.float32),   # best-hit + prune + den
+            pltpu.VMEM((9, 8 * pack, 128), jnp.float32),   # object-space ray
+            pltpu.VMEM((7, 8 * pack, 128), jnp.float32),   # best + prune + den
             pltpu.SMEM((12 if wide else 8,), jnp.int32),  # cross-branch scalars
             pltpu.SMEM((_STACK + 1,), jnp.int32),   # scalar stack + trash slot
         ],

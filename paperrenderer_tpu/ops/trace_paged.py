@@ -53,10 +53,33 @@ _SMEM_BUDGET = 620 * 1024
 INTERPRET = False
 
 
-def _wide_box_step_paged(sb_ref, sc_ref, cb, cc, flag_ref, payload, local,
-                         c0, c1, px, py, pz, ix, iy, iz, best_t, ns):
+def _pad1024(n: int) -> int:
+    """In-kernel HBM->SMEM DMA wants 1024-element-multiple 1-D blocks."""
+    return max(1024, -(-n // 1024) * 1024)
+
+
+def _row_offsets(code, payload, ns: int, pad12: int, pad2: int):
+    """Unified-table offsets for a popped code.
+
+    The kernel keeps ONE SMEM node array: static rows at [0, ns*12) and the
+    current chunk block at [pad12, pad12+_BF) (codes likewise at [0, ns*2) /
+    [pad2, pad2+_CI)), so a row load is a single SMEM load — the round-4
+    dual-table form (``jnp.where(local, cb[..], sb[..])``) paid two loads
+    plus a select per PLANE; this pays one select per POP."""
+    local = ((code >> 27) & 1) == 1
+    gp = jnp.clip(payload, 0, ns - 1)
+    lp = jnp.clip(payload, 0, BROWS - 1)
+    row12 = jnp.where(local, pad12 + lp * 12, gp * 12)
+    row2 = jnp.where(local, pad2 + lp * 2, gp * 2)
+    return row12, row2, lp
+
+
+def _wide_box_step_paged(un, unc, flag_ref, row12, c0, c1,
+                         px, py, pz, ix, iy, iz, best_t, ns,
+                         pad12, pad2):
     """4-wide grandchild box step for the paged kernel (port of
-    trace_kernel._wide_box_step with per-row LOCALITY selection).
+    trace_kernel._wide_box_step on the UNIFIED node table — one SMEM load
+    per plane, one offset select per child row).
 
     Safe against the 'not-yet-resident chunk' hazard that kept the paged
     tracer binary (round-3 accel.PagedSceneTracer comment): a box-typed
@@ -68,12 +91,9 @@ def _wide_box_step_paged(sb_ref, sc_ref, cb, cc, flag_ref, payload, local,
     the binary step)."""
     inf = jnp.float32(3e38)
 
-    def slab(loc, bl, bg):
-        def ld(o):
-            return jnp.where(loc, cb[bl + o], sb_ref[bg + o])
-
-        lx, ly, lz = ld(0), ld(1), ld(2)
-        hx, hy, hz = ld(3), ld(4), ld(5)
+    def slab(b):
+        lx, ly, lz = un[b], un[b + 1], un[b + 2]
+        hx, hy, hz = un[b + 3], un[b + 4], un[b + 5]
         tx0 = (lx - px) * ix
         tx1 = (hx - px) * ix
         ty0 = (ly - py) * iy
@@ -89,27 +109,19 @@ def _wide_box_step_paged(sb_ref, sc_ref, cb, cc, flag_ref, payload, local,
         hit = (tf >= jnp.maximum(tn, 0.0)) & (tn <= best_t) & (lx <= hx)
         return jnp.min(jnp.where(hit, tn, inf))
 
-    par_l = jnp.clip(payload, 0, BROWS - 1) * 12
-    par_g = jnp.clip(payload, 0, ns - 1) * 12
     keys = []
     codes = []
     for side, cs in ((0, c0), (1, c1)):
         is_b = ((cs >> _TYPE_SHIFT) & 3) == TYPE_BOX
-        cl = ((cs >> 27) & 1) == 1           # CHILD row locality
-        gp = jnp.where(is_b, cs & _PAYLOAD_MASK_P, 0)
-        gl = jnp.clip(gp, 0, BROWS - 1)
-        gg = jnp.clip(gp, 0, ns - 1)
+        crow12, crow2, _ = _row_offsets(
+            cs, jnp.where(is_b, cs & _PAYLOAD_MASK_P, 0), ns, pad12, pad2)
         # box child -> its two grandchildren rows (child's table); other ->
         # the child itself with the box stored in the popped row's side
-        keys.append(slab(
-            jnp.where(is_b, cl, local),
-            jnp.where(is_b, gl * 12, par_l + side * 6),
-            jnp.where(is_b, gg * 12, par_g + side * 6)))
-        codes.append(jnp.where(
-            is_b, jnp.where(cl, cc[gl * 2], sc_ref[gg * 2]), cs))
-        k1 = slab(cl, gl * 12 + 6, gg * 12 + 6)
+        keys.append(slab(jnp.where(is_b, crow12, row12 + side * 6)))
+        codes.append(jnp.where(is_b, unc[crow2], cs))
+        k1 = slab(crow12 + 6)
         keys.append(jnp.where(is_b, k1, inf))
-        codes.append(jnp.where(cl, cc[gl * 2 + 1], sc_ref[gg * 2 + 1]))
+        codes.append(unc[crow2 + 1])
 
     for i, j in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
         a, b = keys[i], keys[j]
@@ -179,24 +191,41 @@ def _split_static(scene: PagedScene):
 
 
 def _make_kernel_paged(root_code: int, max_steps: int, any_hit: bool,
+                       ns: int, pad12: int, pad2: int,
                        image_mode: bool = False, wide: bool = False,
-                       debug_steps: bool = False, cull_mask: int = 0xFF):
+                       debug_steps: bool = False, cull_mask: int = 0xFF,
+                       pack: int = 1):
     """Paged closest/any-hit packet kernel (mirror of trace_kernel._make_kernel
-    with the chunk-DMA branch and dual-space row loads). ``wide`` swaps in
-    the 4-wide grandchild box step (locality-aware — see
-    _wide_box_step_paged)."""
+    with the chunk-DMA branch) on the UNIFIED node table: static rows are
+    DMA'd HBM->SMEM once at grid step 0 into [0, ns*12) of one scratch
+    array, the current chunk block lives at [pad12, pad12+_BF) of the same
+    array — every plane load is a single SMEM load (round-5: the dual-table
+    select form cost ~2x the scalar work per box step). ``wide`` swaps in
+    the 4-wide grandchild box step (_wide_box_step_paged)."""
     from .trace_kernel import _io_helpers
 
     S = _STACK
     rd, stv = _io_helpers(image_mode)
+    V = (8 * pack, 128)      # packet vector shape (pack sub-blocks, one stack)
     FI = 8 if wide else 3    # flag slot: current instance id
     FH = 9 if wide else 4    # flag slot: all-rays-hit (any-hit early exit)
 
-    def kernel(sb_ref, sc_ref, lpos_ref, lprim_ref,
+    def kernel(sb_hbm, sc_hbm, lpos_ref, lprim_ref,
                cbox_hbm, ccode_hbm,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                t_out, prim_out, inst_out, u_out, v_out,
-               obj_ref, best_ref, flag_ref, cb, cc, sems, stack_ref):
+               obj_ref, best_ref, flag_ref, un, unc, sems, stack_ref):
+        @pl.when(pl.program_id(0) == 0)
+        def _load_static():
+            d0 = pltpu.make_async_copy(
+                sb_hbm, un.at[pl.ds(0, pad12)], sems.at[2])
+            d1 = pltpu.make_async_copy(
+                sc_hbm, unc.at[pl.ds(0, pad2)], sems.at[3])
+            d0.start()
+            d1.start()
+            d0.wait()
+            d1.wait()
+
         wox, woy, woz = rd(ox_ref, 0), rd(oy_ref, 0), rd(oz_ref, 0)
         wdx, wdy, wdz = rd(dx_ref, 0), rd(dy_ref, 0), rd(dz_ref, 0)
 
@@ -205,23 +234,25 @@ def _make_kernel_paged(root_code: int, max_steps: int, any_hit: bool,
 
         wix, wiy, wiz = safe_inv(wdx), safe_inv(wdy), safe_inv(wdz)
 
-        neg1 = pltpu.bitcast(jnp.full((8, 128), -1, jnp.int32), jnp.float32)
+        neg1 = pltpu.bitcast(jnp.full(V, -1, jnp.int32), jnp.float32)
         # ratio winner state (see trace_kernel._make_kernel): [0]=t num,
         # [3]/[4]=u/v num, [6]=|det| den (1.0 = none), [5]=prune t plane
         best_ref[0] = rd(tmax_ref, 0)
         best_ref[1] = neg1
         best_ref[2] = neg1
-        best_ref[3] = jnp.zeros((8, 128), jnp.float32)
-        best_ref[4] = jnp.zeros((8, 128), jnp.float32)
+        best_ref[3] = jnp.zeros(V, jnp.float32)
+        best_ref[4] = jnp.zeros(V, jnp.float32)
         # [5] = box-test prune bound: any-hit drops committed rays to -3e38
         best_ref[5] = rd(tmax_ref, 0)
-        best_ref[6] = jnp.ones((8, 128), jnp.float32)
+        best_ref[6] = jnp.ones(V, jnp.float32)
         for i, v in enumerate((wox, woy, woz, wdx, wdy, wdz, wix, wiy, wiz)):
             obj_ref[i] = v
         flag_ref[FI] = jnp.int32(0)   # cur_inst
         flag_ref[FH] = jnp.int32(0)   # all-hit (any_hit early exit)
+        if debug_steps:
+            flag_ref[FH + 1] = jnp.int32(0)   # chunk-pop counter
+            flag_ref[FH + 2] = jnp.int32(0)   # leaf | inst<<11 pop counts
 
-        ns = sb_ref.shape[0] // 12
         # SMEM scalar stack (see trace_kernel._make_kernel): slot S = trash
         stack_ref[0] = jnp.int32(root_code)
 
@@ -234,7 +265,6 @@ def _make_kernel_paged(root_code: int, max_steps: int, any_hit: bool,
             sp = sp - 1
             code = stack_ref[sp]
             typ = (code >> _TYPE_SHIFT) & 3
-            local = ((code >> 27) & 1) == 1
             payload = code & _PAYLOAD_MASK_P
             obj = ((code >> 30) & 1) == 1
             is_box = typ == TYPE_BOX
@@ -242,10 +272,9 @@ def _make_kernel_paged(root_code: int, max_steps: int, any_hit: bool,
             is_inst = typ == TYPE_INST
             is_chunk = typ == TYPE_CHUNK
 
-            gp = jnp.clip(payload, 0, ns - 1)
-            lp = jnp.clip(payload, 0, BROWS - 1)
-            c0 = jnp.where(local, cc[lp * 2], sc_ref[gp * 2])
-            c1 = jnp.where(local, cc[lp * 2 + 1], sc_ref[gp * 2 + 1])
+            row12, row2, lp = _row_offsets(code, payload, ns, pad12, pad2)
+            c0 = unc[row2]
+            c1 = unc[row2 + 1]
             # instance record word c1 = [mask:8 | opaque:1 | id:23]
             inst_ok = (((c1 >> 24) & cull_mask) != 0).astype(jnp.int32)
 
@@ -254,13 +283,23 @@ def _make_kernel_paged(root_code: int, max_steps: int, any_hit: bool,
                 cpay = jnp.clip(payload, 0,
                                 cbox_hbm.shape[0] // _BF - 1)
                 d0 = pltpu.make_async_copy(
-                    cbox_hbm.at[pl.ds(cpay * _BF, _BF)], cb, sems.at[0])
+                    cbox_hbm.at[pl.ds(cpay * _BF, _BF)],
+                    un.at[pl.ds(pad12, _BF)], sems.at[0])
                 d1 = pltpu.make_async_copy(
-                    ccode_hbm.at[pl.ds(cpay * _CI, _CI)], cc, sems.at[1])
+                    ccode_hbm.at[pl.ds(cpay * _CI, _CI)],
+                    unc.at[pl.ds(pad2, _CI)], sems.at[1])
                 d0.start()
                 d1.start()
                 d0.wait()
                 d1.wait()
+                if debug_steps:
+                    flag_ref[FH + 1] = flag_ref[FH + 1] + 1
+
+            if debug_steps:
+                # pack (leaf | inst<<10 | chunk<<20) pop counts in one slot
+                flag_ref[FH + 2] = (
+                    flag_ref[FH + 2] + is_leaf.astype(jnp.int32)
+                    + (is_inst.astype(jnp.int32) << 11))
 
             @pl.when(is_box)
             def _box():
@@ -275,16 +314,12 @@ def _make_kernel_paged(root_code: int, max_steps: int, any_hit: bool,
                 iz = jnp.where(obj, obj_ref[8], wiz)
                 if wide:
                     _wide_box_step_paged(
-                        sb_ref, sc_ref, cb, cc, flag_ref, payload, local,
-                        c0, c1, px, py, pz, ix, iy, iz, best_t, ns)
+                        un, unc, flag_ref, row12, c0, c1,
+                        px, py, pz, ix, iy, iz, best_t, ns, pad12, pad2)
                     return
 
-                gb = gp * 12
-                lb = lp * 12
-                loc = local
-
                 def ld(o):
-                    return jnp.where(loc, cb[lb + o], sb_ref[gb + o])
+                    return un[row12 + o]
 
                 def slab(o6):
                     lx, ly, lz = ld(o6), ld(o6 + 1), ld(o6 + 2)
@@ -322,8 +357,7 @@ def _make_kernel_paged(root_code: int, max_steps: int, any_hit: bool,
             @pl.when(is_inst)
             def _inst():
                 # instance rows live ONLY in chunk blocks (always local)
-                b = lp * 12
-                m = [cb[b + k] for k in range(12)]
+                m = [un[row12 + k] for k in range(12)]
                 oox = m[0] * wox + m[1] * woy + m[2] * woz + m[3]
                 ooy = m[4] * wox + m[5] * woy + m[6] * woz + m[7]
                 ooz = m[8] * wox + m[9] * woy + m[10] * woz + m[11]
@@ -448,20 +482,24 @@ def _make_kernel_paged(root_code: int, max_steps: int, any_hit: bool,
         stv(inst_out, 0, jnp.where(miss, -1, best_inst))
         if debug_steps:
             stv(u_out, 0,
-                jnp.full((8, 128), fin[0], jnp.int32).astype(jnp.float32))
+                jnp.full(V, fin[0], jnp.int32).astype(jnp.float32))
+            stv(v_out, 0, jnp.full(V, flag_ref[FH + 2],
+                                   jnp.int32).astype(jnp.float32))
         else:
             stv(u_out, 0, best_ref[3] * inv_den)
-        stv(v_out, 0, best_ref[4] * inv_den)
+            stv(v_out, 0, best_ref[4] * inv_den)
 
     return kernel
 
 
 def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
+                               ns: int, pad12: int, pad2: int,
                                alpha_test: bool = False, n_mats: int = 1,
                                image_mode: bool = False, wide: bool = False,
-                               cull_mask: int = 0xFF):
+                               cull_mask: int = 0xFF, pack: int = 1):
     """Paged fused trace+resolve kernel (mirror of
-    trace_kernel._make_resolve_kernel). Hit attributes interpolate at hit
+    trace_kernel._make_resolve_kernel) on the UNIFIED node table (see
+    _make_kernel_paged). Hit attributes interpolate at hit
     time from SMEM leaf tables; the material id comes from the CURRENT
     CHUNK's slot table (DMA'd with the block), so slot_materials never
     needs global SMEM residency."""
@@ -470,10 +508,11 @@ def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
     S = _STACK
     sblk = smat_block(n_slots)
     rd, stv = _io_helpers(image_mode)
+    V = (8 * pack, 128)      # packet vector shape (pack sub-blocks, one stack)
     FI = 8 if wide else 3    # flag slot: current instance id
     FLI = 10 if wide else 5  # flag slot: current chunk-local instance k
 
-    def kernel(sb_ref, sc_ref, lpos_ref, lprim_ref, luv_ref, lnrm_ref,
+    def kernel(sb_hbm, sc_hbm, lpos_ref, lprim_ref, luv_ref, lnrm_ref,
                cbox_hbm, ccode_hbm, csmat_hbm, *rest):
         if alpha_test:
             smodel_ref = rest[0]
@@ -481,8 +520,20 @@ def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
         (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
          t_out, prim_out, inst_out, uvx_out, uvy_out,
          nx_out, ny_out, nz_out, mat_out,
-         obj_ref, best_ref, flag_ref, minv_ref, cb, cc, cs, sems,
+         obj_ref, best_ref, flag_ref, minv_ref, un, unc, cs, sems,
          stack_ref) = rest
+
+        @pl.when(pl.program_id(0) == 0)
+        def _load_static():
+            d0 = pltpu.make_async_copy(
+                sb_hbm, un.at[pl.ds(0, pad12)], sems.at[3])
+            d1 = pltpu.make_async_copy(
+                sc_hbm, unc.at[pl.ds(0, pad2)], sems.at[4])
+            d0.start()
+            d1.start()
+            d0.wait()
+            d1.wait()
+
         wox, woy, woz = rd(ox_ref, 0), rd(oy_ref, 0), rd(oz_ref, 0)
         wdx, wdy, wdz = rd(dx_ref, 0), rd(dy_ref, 0), rd(dz_ref, 0)
 
@@ -491,17 +542,17 @@ def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
 
         wix, wiy, wiz = safe_inv(wdx), safe_inv(wdy), safe_inv(wdz)
 
-        neg1 = pltpu.bitcast(jnp.full((8, 128), -1, jnp.int32), jnp.float32)
+        neg1 = pltpu.bitcast(jnp.full(V, -1, jnp.int32), jnp.float32)
         # ratio winner state (see trace_kernel._make_resolve_kernel):
         # [0]=t num, [3..7]=uv/normal numerators, [9]=|det| den, [10]=prune t
         best_ref[0] = rd(tmax_ref, 0)
         best_ref[1] = neg1
         best_ref[2] = neg1
         for i in range(3, 8):
-            best_ref[i] = jnp.zeros((8, 128), jnp.float32)
+            best_ref[i] = jnp.zeros(V, jnp.float32)
         best_ref[8] = pltpu.bitcast(
-            jnp.zeros((8, 128), jnp.int32), jnp.float32)
-        best_ref[9] = jnp.ones((8, 128), jnp.float32)
+            jnp.zeros(V, jnp.int32), jnp.float32)
+        best_ref[9] = jnp.ones(V, jnp.float32)
         best_ref[10] = rd(tmax_ref, 0)
         for i, v in enumerate((wox, woy, woz, wdx, wdy, wdz, wix, wiy, wiz)):
             obj_ref[i] = v
@@ -510,7 +561,6 @@ def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
         for i in range(12):
             minv_ref[i] = jnp.float32(1.0 if i in (0, 5, 10) else 0.0)
 
-        ns = sb_ref.shape[0] // 12
         # SMEM scalar stack (see trace_kernel._make_kernel): slot S = trash
         stack_ref[0] = jnp.int32(root_code)
 
@@ -523,7 +573,6 @@ def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
             sp = sp - 1
             code = stack_ref[sp]
             typ = (code >> _TYPE_SHIFT) & 3
-            local = ((code >> 27) & 1) == 1
             payload = code & _PAYLOAD_MASK_P
             obj = ((code >> 30) & 1) == 1
             is_box = typ == TYPE_BOX
@@ -531,10 +580,9 @@ def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
             is_inst = typ == TYPE_INST
             is_chunk = typ == TYPE_CHUNK
 
-            gp = jnp.clip(payload, 0, ns - 1)
-            lp = jnp.clip(payload, 0, BROWS - 1)
-            c0 = jnp.where(local, cc[lp * 2], sc_ref[gp * 2])
-            c1 = jnp.where(local, cc[lp * 2 + 1], sc_ref[gp * 2 + 1])
+            row12, row2, lp = _row_offsets(code, payload, ns, pad12, pad2)
+            c0 = unc[row2]
+            c1 = unc[row2 + 1]
             # instance record word c1 = [mask:8 | opaque:1 | id:23]
             inst_ok = (((c1 >> 24) & cull_mask) != 0).astype(jnp.int32)
 
@@ -542,9 +590,11 @@ def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
             def _chunk():
                 cpay = jnp.clip(payload, 0, cbox_hbm.shape[0] // _BF - 1)
                 d0 = pltpu.make_async_copy(
-                    cbox_hbm.at[pl.ds(cpay * _BF, _BF)], cb, sems.at[0])
+                    cbox_hbm.at[pl.ds(cpay * _BF, _BF)],
+                    un.at[pl.ds(pad12, _BF)], sems.at[0])
                 d1 = pltpu.make_async_copy(
-                    ccode_hbm.at[pl.ds(cpay * _CI, _CI)], cc, sems.at[1])
+                    ccode_hbm.at[pl.ds(cpay * _CI, _CI)],
+                    unc.at[pl.ds(pad2, _CI)], sems.at[1])
                 d2 = pltpu.make_async_copy(
                     csmat_hbm.at[pl.ds(cpay * sblk, sblk)], cs, sems.at[2])
                 d0.start()
@@ -567,16 +617,12 @@ def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
                 iz = jnp.where(obj, obj_ref[8], wiz)
                 if wide:
                     _wide_box_step_paged(
-                        sb_ref, sc_ref, cb, cc, flag_ref, payload, local,
-                        c0, c1, px, py, pz, ix, iy, iz, best_t, ns)
+                        un, unc, flag_ref, row12, c0, c1,
+                        px, py, pz, ix, iy, iz, best_t, ns, pad12, pad2)
                     return
 
-                gb = gp * 12
-                lb = lp * 12
-                loc = local
-
                 def ld(o):
-                    return jnp.where(loc, cb[lb + o], sb_ref[gb + o])
+                    return un[row12 + o]
 
                 def slab(o6):
                     lx, ly, lz = ld(o6), ld(o6 + 1), ld(o6 + 2)
@@ -613,8 +659,7 @@ def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
 
             @pl.when(is_inst)
             def _inst():
-                b = lp * 12
-                m = [cb[b + k] for k in range(12)]
+                m = [un[row12 + k] for k in range(12)]
                 oox = m[0] * wox + m[1] * woy + m[2] * woz + m[3]
                 ooy = m[4] * wox + m[5] * woy + m[6] * woz + m[7]
                 ooz = m[8] * wox + m[9] * woy + m[10] * woz + m[11]
@@ -798,7 +843,7 @@ def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
 @partial(
     jax.jit,
     static_argnames=("root_code", "stack_size", "max_steps", "n_slots",
-                     "image_shape", "wide", "cull_mask"),
+                     "image_shape", "wide", "cull_mask", "pack"),
 )
 def trace_resolve_scene_pallas_paged(
     scene: PagedScene,
@@ -815,6 +860,7 @@ def trace_resolve_scene_pallas_paged(
     image_shape=None,
     wide: bool = False,
     cull_mask: int = 0xFF,
+    pack: int = 1,
 ):
     """Paged fused closest-hit + attribute resolve (mirror of
     trace_resolve_scene_pallas). ``n_slots`` must match the slot_materials
@@ -827,12 +873,19 @@ def trace_resolve_scene_pallas_paged(
         t_cap = jnp.where(active, t_cap, -3e38)  # see trace_kernel: origin-inside boxes
 
     image_mode = image_mode_ok(image_shape, r)
-    ray_args, ray_spec, out_spec, g, out_shape, unflatten, _sub = _pack_rays(
-        ray_o, ray_d, t_cap, image_shape, sub_cap=1)
+    pack = max(1, min(pack, r // PACKET))
+    (ray_args, ray_spec, out_spec, g, out_shape, unflatten, _sub,
+     pack) = _pack_rays(ray_o, ray_d, t_cap, image_shape, sub_cap=1,
+                        pack=pack)
 
     sb, sc, lpos, lprim = _split_static(scene)
     luv = scene.leaf_rows[:, _UV:].reshape(-1)
     lnrm = scene.leaf_nrm.reshape(-1)
+    ns = sb.shape[0] // 12
+    pad12 = _pad1024(sb.shape[0])
+    pad2 = _pad1024(sc.shape[0])
+    sb = jnp.pad(sb, (0, pad12 - sb.shape[0]))
+    sc = jnp.pad(sc, (0, pad2 - sc.shape[0]))
     # wide steps push up to 3 net entries per pop over half the depth
     eff_stack = (stack_size * 3) // 2 + 2 if wide else stack_size
     assert eff_stack <= _STACK, "scene too deep for the packet kernel"
@@ -840,8 +893,9 @@ def trace_resolve_scene_pallas_paged(
     alpha_test = shading_model is not None
     n_mats = shading_model.shape[0] if alpha_test else 1
     kernel = _make_resolve_kernel_paged(
-        root_code, max_steps, n_slots, alpha_test=alpha_test, n_mats=n_mats,
-        image_mode=image_mode, wide=wide, cull_mask=cull_mask)
+        root_code, max_steps, n_slots, ns, pad12, pad2,
+        alpha_test=alpha_test, n_mats=n_mats,
+        image_mode=image_mode, wide=wide, cull_mask=cull_mask, pack=pack)
 
     smem = lambda n: pl.BlockSpec(
         (n,), lambda i: (0,), memory_space=pltpu.SMEM)
@@ -856,7 +910,7 @@ def trace_resolve_scene_pallas_paged(
         kernel,
         grid=(g,),
         in_specs=[
-            smem(sb.shape[0]), smem(sc.shape[0]),
+            anyspace, anyspace,
             smem(lpos.shape[0]), smem(lprim.shape[0]),
             smem(luv.shape[0]), smem(lnrm.shape[0]),
             anyspace, anyspace, anyspace,
@@ -864,14 +918,14 @@ def trace_resolve_scene_pallas_paged(
         out_specs=[out_spec] * 9,
         out_shape=[out_shape(dt) for dt in out_dts],
         scratch_shapes=[
-            pltpu.VMEM((9, 8, 128), jnp.float32),   # object-space ray planes
-            pltpu.VMEM((11, 8, 128), jnp.float32),  # best planes (+den+prune)
+            pltpu.VMEM((9, 8 * pack, 128), jnp.float32),   # object-space ray
+            pltpu.VMEM((11, 8 * pack, 128), jnp.float32),  # best (+den+prune)
             pltpu.SMEM((12 if wide else 8,), jnp.int32),  # cross-branch
             pltpu.SMEM((12,), jnp.float32),         # current instance inverse
-            pltpu.SMEM((_BF,), jnp.float32),        # chunk box scratch
-            pltpu.SMEM((_CI,), jnp.int32),          # chunk code scratch
+            pltpu.SMEM((pad12 + _BF,), jnp.float32),  # unified nodes + chunk
+            pltpu.SMEM((pad2 + _CI,), jnp.int32),     # unified codes + chunk
             pltpu.SMEM((smat_block(n_slots),), jnp.int32),  # chunk smat
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((5,)),
             pltpu.SMEM((_STACK + 1,), jnp.int32),   # scalar stack + trash slot
         ],
         interpret=INTERPRET,
@@ -892,7 +946,8 @@ def trace_resolve_scene_pallas_paged(
 @partial(
     jax.jit,
     static_argnames=("root_code", "stack_size", "any_hit", "max_steps",
-                     "image_shape", "wide", "debug_steps", "cull_mask"),
+                     "image_shape", "wide", "debug_steps", "cull_mask",
+                     "pack"),
 )
 def trace_scene_pallas_paged(
     scene: PagedScene,
@@ -909,6 +964,7 @@ def trace_scene_pallas_paged(
     wide: bool = False,
     debug_steps: bool = False,
     cull_mask: int = 0xFF,
+    pack: int = 1,
 ) -> HitRecord2:
     """Paged packet traversal front end (mirror of trace_scene_pallas)."""
     from .trace_kernel import _pack_rays, image_mode_ok
@@ -919,18 +975,26 @@ def trace_scene_pallas_paged(
         t_cap = jnp.where(active, t_cap, -3e38)  # see trace_kernel: origin-inside boxes
 
     image_mode = image_mode_ok(image_shape, r)
-    ray_args, ray_spec, out_spec, g, out_shape, unflatten, _sub = _pack_rays(
-        ray_o, ray_d, t_cap, image_shape, sub_cap=1)
+    pack = max(1, min(pack, r // PACKET))
+    (ray_args, ray_spec, out_spec, g, out_shape, unflatten, _sub,
+     pack) = _pack_rays(ray_o, ray_d, t_cap, image_shape, sub_cap=1,
+                        pack=pack)
 
     sb, sc, lpos, lprim = _split_static(scene)
+    ns = sb.shape[0] // 12
+    pad12 = _pad1024(sb.shape[0])
+    pad2 = _pad1024(sc.shape[0])
+    sb = jnp.pad(sb, (0, pad12 - sb.shape[0]))
+    sc = jnp.pad(sc, (0, pad2 - sc.shape[0]))
     # wide steps push up to 3 net entries per pop over half the depth
     eff_stack = (stack_size * 3) // 2 + 2 if wide else stack_size
     assert eff_stack <= _STACK, "scene too deep for the packet kernel"
 
     kernel = _make_kernel_paged(root_code, max_steps, any_hit,
+                                ns, pad12, pad2,
                                 image_mode=image_mode, wide=wide,
                                 debug_steps=debug_steps,
-                                cull_mask=cull_mask)
+                                cull_mask=cull_mask, pack=pack)
 
     smem = lambda n: pl.BlockSpec(
         (n,), lambda i: (0,), memory_space=pltpu.SMEM)
@@ -942,19 +1006,19 @@ def trace_scene_pallas_paged(
         kernel,
         grid=(g,),
         in_specs=[
-            smem(sb.shape[0]), smem(sc.shape[0]),
+            anyspace, anyspace,
             smem(lpos.shape[0]), smem(lprim.shape[0]),
             anyspace, anyspace,
         ] + [ray_spec] * 7,
         out_specs=[out_spec] * 5,
         out_shape=[out_shape(dt) for dt in out_dts],
         scratch_shapes=[
-            pltpu.VMEM((9, 8, 128), jnp.float32),   # object-space ray planes
-            pltpu.VMEM((7, 8, 128), jnp.float32),   # best-hit + prune + den
+            pltpu.VMEM((9, 8 * pack, 128), jnp.float32),   # object-space ray
+            pltpu.VMEM((7, 8 * pack, 128), jnp.float32),   # best + prune + den
             pltpu.SMEM((12 if wide else 8,), jnp.int32),  # cross-branch
-            pltpu.SMEM((_BF,), jnp.float32),        # chunk box scratch
-            pltpu.SMEM((_CI,), jnp.int32),          # chunk code scratch
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((pad12 + _BF,), jnp.float32),  # unified nodes + chunk
+            pltpu.SMEM((pad2 + _CI,), jnp.int32),     # unified codes + chunk
+            pltpu.SemaphoreType.DMA((4,)),
             pltpu.SMEM((_STACK + 1,), jnp.int32),   # scalar stack + trash slot
         ],
         interpret=INTERPRET,

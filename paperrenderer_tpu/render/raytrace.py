@@ -196,7 +196,8 @@ class AccelCache:
 
 def make_rt_frame(meta, animate: Optional[Callable], n_tlas: int,
                   use_pallas: bool = False, paged: bool = False,
-                  wide: bool = False, resplit: bool = False):
+                  wide: bool = False, resplit: bool = False,
+                  pack: int = 1):
     """Build the jitted two-level RT frame for one scene topology.
 
     ``meta``/``animate`` are host-side (closed over; anim node codes become
@@ -212,7 +213,8 @@ def make_rt_frame(meta, animate: Optional[Callable], n_tlas: int,
             "width", "height", "stack_size", "shadow_samples",
             "reflection_samples", "ao_samples", "ao_radius", "leaf_cutout",
             "tlas_index", "reflection_half_rate", "cull_mask",
-            "shadow_cull_mask", "compact_secondary",
+            "shadow_cull_mask", "compact_secondary", "compact_refl",
+            "fuse_bounce",
         ),
     )
     def rt_frame2(
@@ -247,6 +249,8 @@ def make_rt_frame(meta, animate: Optional[Callable], n_tlas: int,
         cull_mask: int = 0xFF,
         shadow_cull_mask: int = 0xFF,
         compact_secondary: bool = True,
+        compact_refl: bool = False,
+        fuse_bounce: bool = False,
     ):
         ctx = ACC.make_scene_tracer(
             blasset, meta, anim_rest, anim_nodes, instances, inst_blas,
@@ -254,6 +258,7 @@ def make_rt_frame(meta, animate: Optional[Callable], n_tlas: int,
             tlas_index=tlas_index, stack_size=stack_size,
             leaf_cutout=leaf_cutout, use_pallas=use_pallas, paged=paged,
             textures=textures, time=time, animate=animate, wide=wide,
+            pack=pack,
             inst_mask=inst_mask, inst_opaque=inst_opaque, resplit=resplit,
         )
         params = RTParams(
@@ -266,6 +271,8 @@ def make_rt_frame(meta, animate: Optional[Callable], n_tlas: int,
             cull_mask=cull_mask,
             shadow_cull_mask=shadow_cull_mask,
             compact_secondary=compact_secondary,
+            compact_refl=compact_refl,
+            fuse_bounce=fuse_bounce,
         )
         hdr = trace_frame(
             ctx, materials, lights, camera, key,
@@ -305,11 +312,19 @@ class RayTraceRender:
         use_pallas: Optional[bool] = None,
         reflection_half_rate: bool = False,
         bvh_wide: bool = True,
-        compact_secondary: bool = True,  # group-compact secondary wavefronts
+        compact_refl: bool = True,      # group-compact + spatially sort only
+        #                                  the reflection-side wavefronts
+        fuse_bounce: bool = False,      # bounce ray rides the primary bundle
+        compact_secondary: bool = False,  # group-compact secondary wavefronts
         #                                  (ops/compaction.py; result-identical)
         cull_mask: int = 0xFF,          # traceRayEXT cullMask for camera/
         #                                 reflection/AO rays (rgen:33)
         shadow_cull_mask: int = 0xFF,   # cullMask for shadow rays
+        packet_pack: Optional[int] = None,  # rays/packet = 1024*pack; None =
+        #                                 auto (2 resident / 1 paged — round-5
+        #                                 A/B: small-union scenes gain ~1.6x
+        #                                 from the shared stack walk, dense
+        #                                 crowd unions lose)
     ):
         self.scene = scene
         self.materials = materials
@@ -327,6 +342,8 @@ class RayTraceRender:
         self.ao_radius = ao_radius
         self.reflection_half_rate = reflection_half_rate
         self.compact_secondary = compact_secondary
+        self.compact_refl = compact_refl
+        self.fuse_bounce = fuse_bounce
         self.animate = animate
         # re-sort anim BLAS leaf order at the animated pose each frame (the
         # reference's per-frame BLAS rebuild quality, main.cpp:908-921);
@@ -340,6 +357,7 @@ class RayTraceRender:
         # hits — see trace_kernel._wide_box_step; the paged tracer honors it
         # too via trace_paged._wide_box_step_paged)
         self.bvh_wide = bvh_wide
+        self.packet_pack = packet_pack
         self._key = jax.random.PRNGKey(seed)
         self._frame = 0
         # per-TLAS instance sets: index -> {slot: material id}
@@ -485,13 +503,14 @@ class RayTraceRender:
         blasset, meta, anim_rest, anim_nodes = self.accel.blas()
         paged = self.use_pallas and ACC.prefer_paged(
             meta, instances.capacity, max(1, self.scene.max_slots))
+        pack = self.packet_pack if self.packet_pack else (1 if paged else 2)
         key_sig = (self.accel._blas_key, len(self._tlas_bindings), paged,
-                   self.bvh_wide, self.anim_resplit)
+                   self.bvh_wide, self.anim_resplit, pack)
         if self._frame_fn is None or self._frame_key != key_sig:
             self._frame_fn = make_rt_frame(
                 meta, self.animate, len(self._tlas_bindings),
                 use_pallas=self.use_pallas, paged=paged, wide=self.bvh_wide,
-                resplit=self.anim_resplit,
+                resplit=self.anim_resplit, pack=pack,
             )
             self._frame_key = key_sig
         slots, masks, table = self._device_inputs(instances.capacity)
@@ -518,4 +537,6 @@ class RayTraceRender:
             cull_mask=self.cull_mask,
             shadow_cull_mask=self.shadow_cull_mask,
             compact_secondary=self.compact_secondary,
+            compact_refl=self.compact_refl,
+            fuse_bounce=self.fuse_bounce,
         )

@@ -72,13 +72,12 @@ def test_trace_frame_parity_compact_vs_not(rt_example):
     exactly 0 on TPU), so the pixel tolerance here is fusion-level, far
     below the golden-image band."""
     eng, rt, cam = rt_example
-    assert rt.compact_secondary  # default on
+    rt.compact_secondary = True   # round 5: default now False (pack=2 made
     rt._frame = 0  # pin the per-frame RNG key for both renders
-    img_on, _ = rt.render(cam)
-    rt.compact_secondary = False
+    img_on, _ = rt.render(cam)    # the permutes a net loss on TPU) — parity
+    rt.compact_secondary = False  # must hold either way
     rt._frame = 0
     img_off, _ = rt.render(cam)
-    rt.compact_secondary = True
     a, b = np.asarray(img_on), np.asarray(img_off)
     assert np.abs(a - b).max() <= 5e-4, np.abs(a - b).max()
 
