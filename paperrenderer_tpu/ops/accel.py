@@ -436,6 +436,10 @@ def _emit_blas_node_rows(
 # matches the reference's HBM-sized BLAS envelope
 # (src/PaperRenderer/AccelerationStructure.cpp:139-216).
 BL_LEAVES = 256             # leaf rows per BLAS chunk (= 2048 triangles)
+# chunking threshold: models whose leaf data could never be SMEM-resident
+# anyway (rows * ~800 B vs the ~620 KiB budget). Models below it keep the
+# resident fast path; above it they page at full packet speed.
+BL_THRESH = 512
 BL_NROWS = 2 * BL_LEAVES    # node-row region size (clip-safe: BROWS)
 BCH_NODE = BL_NROWS * 12    # f32 per chunk node block (6144)
 BCH_CODE = BL_NROWS * 2     # i32 per chunk code block (1024)
@@ -699,7 +703,7 @@ def build_blas_set(scene):
     all_bchunks = []
     for bi in range(num_models_blas):
         b = builds[bi]
-        if b.num_leaves > BL_LEAVES and b.node_rows is not None:
+        if b.num_leaves > BL_THRESH and b.node_rows is not None:
             top_rows, top_codes_fn, chunks = _chunk_blas_host(
                 b, len(all_bchunks))
             chunked[bi] = (top_rows, top_codes_fn)
@@ -1159,6 +1163,9 @@ def assemble_scene(
     ``resplit=True`` re-sorts anim leaf order at the animated pose before the
     refit (``resplit_anim_tables`` — the reference's per-frame BLAS rebuild
     quality, main.cpp:908-921)."""
+    assert meta.num_bchunks == 0, (
+        "scene has chunked big-model BLASes — use assemble_scene_paged "
+        "(prefer_paged routes these scenes to the paged layout)")
     n = instances.capacity
     l = _next_pow2(n)
     nb = meta.num_static_nodes
@@ -1268,6 +1275,14 @@ class PagedScene:
     fwd_rows: jax.Array       # f32[N, 12] forward mats (XLA resolve)
     inv_rows: jax.Array       # f32[N, 12] inverse mats (XLA resolve)
     tri_attr: jax.Array       # f32[Ta, 16]
+    # BLAS chunks (big models; see _chunk_blas_host) — streamed HBM->SMEM
+    # on TYPE_CHUNK|OBJ pops, in their own scratch regions (object space)
+    bch_nodes: jax.Array      # f32[NBC * BCH_NODE]
+    bch_codes: jax.Array      # i32[NBC * BCH_CODE]
+    bch_lpos: jax.Array       # f32[NBC * BCH_POS]
+    bch_lprim: jax.Array      # i32[NBC * BCH_PRIM]
+    bch_luv: jax.Array        # f32[NBC * BCH_UV]
+    bch_lnrm: jax.Array       # f32[NBC * BCH_NRM]
 
 
 def smat_block(n_slots: int) -> int:
@@ -1494,6 +1509,12 @@ def assemble_scene_paged(
         fwd_rows=mats.reshape(-1, 12),
         inv_rows=inv12,
         tri_attr=tri_attr,
+        bch_nodes=blasset.bch_nodes,
+        bch_codes=blasset.bch_codes,
+        bch_lpos=blasset.bch_lpos,
+        bch_lprim=blasset.bch_lprim,
+        bch_luv=blasset.bch_luv,
+        bch_lnrm=blasset.bch_lnrm,
     )
     return scene, root_code
 
@@ -1502,6 +1523,9 @@ def prefer_paged(meta: BLASSetMeta, capacity: int, n_slots: int = 1) -> bool:
     """Host-side (static) choice: chunked-TLAS paging when the flat scene
     would overflow the resident packet kernels' SMEM budget (the old
     behavior was a silent fall-back to the XLA lockstep path)."""
+    if meta.num_bchunks > 0:
+        # chunked big-model BLASes exist ONLY in the paged layout
+        return True
     l = _next_pow2(capacity)
     nn = meta.total_nodes + capacity + max(l - 1, 0)
     nl = meta.num_static_leaves + meta.num_anim_leaves
@@ -1581,6 +1605,9 @@ def paged_to_flat(scene: PagedScene) -> Tuple[RTScene, Callable]:
     remap_root(root_code) maps the paged root code."""
     ns = scene.static_nodes.shape[0]
     nc = scene.chunk_boxes.shape[0] // (BROWS * 12)
+    nbc = scene.bch_codes.shape[0] // BCH_CODE
+    l0 = scene.leaf_rows.shape[0]      # static + anim leaf rows
+    bnode0 = ns + nc * BROWS           # first BLAS-chunk node row (flat)
     blocks_f = scene.chunk_boxes.reshape(nc, BROWS, 12)
     blocks_i = scene.chunk_codes.reshape(nc, BROWS, 2)
 
@@ -1611,24 +1638,66 @@ def paged_to_flat(scene: PagedScene) -> Tuple[RTScene, Callable]:
     # misread the mask bits as type/locality flags; restore them verbatim
     flat_codes = flat_codes.at[:, CHUNK - 1 : 2 * CHUNK - 1, 1].set(
         blocks_i[:, CHUNK - 1 : 2 * CHUNK - 1, 1])
-    # static rows may themselves hold CHUNK codes (root region)
+    # static rows may themselves hold CHUNK codes: world-space (TLAS root
+    # region) -> box at the block's local root; object-space (big-model top
+    # trees, round 5) -> box at the BLAS chunk's local root row
     def remap_static(c):
         typ = (c >> _TYPE_SHIFT) & 3
+        obj = (c >> 30) & 1
         pay = c & _PAYLOAD_MASK_P
-        return jnp.where(
-            typ == TYPE_CHUNK,
+        c2 = jnp.where(
+            (typ == TYPE_CHUNK) & (obj == 0),
             jnp.int32(_code(TYPE_BOX, 0)) + ns + pay * BROWS,
             c,
         )
+        return jnp.where(
+            (typ == TYPE_CHUNK) & (obj == 1),
+            jnp.int32(_code(TYPE_BOX, 0, obj=True)) + bnode0
+            + pay * BL_NROWS,
+            c2,
+        )
+
+    # BLAS chunk blocks: local box codes -> appended node rows, local leaf
+    # codes -> appended leaf rows (after the static+anim leaves)
+    if nbc:
+        bcodes = scene.bch_codes.reshape(nbc, BL_NROWS, 2)
+        bnb = bnode0 + jnp.arange(nbc, dtype=jnp.int32)[:, None, None] \
+            * BL_NROWS
+        blb = l0 + jnp.arange(nbc, dtype=jnp.int32)[:, None, None] \
+            * BL_LEAVES
+
+        def remap_b(c):
+            typ = (c >> _TYPE_SHIFT) & 3
+            pay = c & _PAYLOAD_MASK_P
+            strip = c & ~jnp.int32(LOCAL_FLAG | _PAYLOAD_MASK_P)
+            c2 = jnp.where(typ == TYPE_BOX, strip + bnb + pay, c)
+            return jnp.where(typ == TYPE_LEAF, strip + blb + pay, c2)
+
+        b_nodes = scene.bch_nodes.reshape(-1, 12)
+        b_codes = remap_b(bcodes).reshape(-1, 2)
+        b_leaf_rows = jnp.concatenate(
+            [scene.bch_lpos.reshape(nbc * BL_LEAVES, _UV),
+             scene.bch_luv.reshape(nbc * BL_LEAVES, LEAF_ROW - _UV)], axis=1)
+        b_leaf_nrm = scene.bch_lnrm.reshape(-1, K * 9)
+        b_leaf_prim = scene.bch_lprim.reshape(-1, K)
+    else:
+        b_nodes = jnp.zeros((0, 12), jnp.float32)
+        b_codes = jnp.zeros((0, 2), jnp.int32)
+        b_leaf_rows = jnp.zeros((0, LEAF_ROW), jnp.float32)
+        b_leaf_nrm = jnp.zeros((0, K * 9), jnp.float32)
+        b_leaf_prim = jnp.zeros((0, K), jnp.int32)
 
     nodes = jnp.concatenate(
-        [scene.static_nodes, blocks_f.reshape(-1, 12)], axis=0)
+        [scene.static_nodes, blocks_f.reshape(-1, 12), b_nodes], axis=0)
     codes = jnp.concatenate(
-        [remap_static(scene.static_codes), flat_codes.reshape(-1, 2)], axis=0)
+        [remap_static(scene.static_codes), flat_codes.reshape(-1, 2),
+         b_codes], axis=0)
     flat = RTScene(
         nodes=nodes, codes=codes,
-        leaf_rows=scene.leaf_rows, leaf_nrm=scene.leaf_nrm,
-        leaf_prim=scene.leaf_prim, fwd_rows=scene.fwd_rows,
+        leaf_rows=jnp.concatenate([scene.leaf_rows, b_leaf_rows], axis=0),
+        leaf_nrm=jnp.concatenate([scene.leaf_nrm, b_leaf_nrm], axis=0),
+        leaf_prim=jnp.concatenate([scene.leaf_prim, b_leaf_prim], axis=0),
+        fwd_rows=scene.fwd_rows,
         inv_rows=scene.inv_rows, tri_attr=scene.tri_attr,
     )
 
@@ -1667,7 +1736,8 @@ def required_stack_size(meta: BLASSetMeta, capacity: int) -> int:
     """Traversal stack bound: one pending far-child per level of each tree +
     one instance entry + slack, rounded to a vector-friendly multiple."""
     d1 = max(1, _next_pow2(capacity).bit_length() - 1)
-    return -(-(d1 + meta.max_depth + 8) // 8) * 8
+    bch = 1 if meta.num_bchunks else 0   # BLAS-chunk pop pushes a local root
+    return -(-(d1 + meta.max_depth + 8 + bch) // 8) * 8
 
 
 # ---------------------------------------------------------------------------
@@ -2271,8 +2341,10 @@ class PagedSceneTracer:
 
     def _step_bound(self) -> int:
         nn = (self.scene.static_nodes.shape[0]
-              + self.scene.chunk_codes.shape[0] // 2)
-        nl = self.scene.leaf_rows.shape[0]
+              + self.scene.chunk_codes.shape[0] // 2
+              + self.scene.bch_codes.shape[0] // 2)
+        nl = (self.scene.leaf_rows.shape[0]
+              + self.scene.bch_lprim.shape[0] // K)
         n = self.slot_materials.shape[0]
         return min(2**31 - 2, 2 * n * (nl + 2) + nn + 64)
 

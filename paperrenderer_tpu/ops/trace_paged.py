@@ -33,7 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .accel import (
     _PAYLOAD_MASK_P, _POS, _TYPE_SHIFT, _UV, BROWS, CHUNK,
-    INST_ID_MASK, INST_OPAQUE_BIT, K, LOCAL_FLAG,
+    BCH_CODE, BCH_NODE, BCH_NRM, BCH_POS, BCH_PRIM, BCH_UV, BL_LEAVES,
+    INST_ID_MASK, INST_OPAQUE_BIT, K, LOCAL_FLAG, OBJ_FLAG,
     TYPE_BOX, TYPE_CHUNK, TYPE_INST, TYPE_LEAF,
     HitRecord2, PagedScene, smat_block,
 )
@@ -58,25 +59,36 @@ def _pad1024(n: int) -> int:
     return max(1024, -(-n // 1024) * 1024)
 
 
-def _row_offsets(code, payload, ns: int, pad12: int, pad2: int):
+def _row_offsets(code, payload, ns: int, pad12: int, pad2: int,
+                 has_b: bool = False):
     """Unified-table offsets for a popped code.
 
-    The kernel keeps ONE SMEM node array: static rows at [0, ns*12) and the
-    current chunk block at [pad12, pad12+_BF) (codes likewise at [0, ns*2) /
-    [pad2, pad2+_CI)), so a row load is a single SMEM load — the round-4
+    The kernel keeps ONE SMEM node array: static rows at [0, ns*12), the
+    current TLAS chunk block at [pad12, pad12+_BF), and (when the scene has
+    chunked big-model BLASes, ``has_b``) the current BLAS chunk block at
+    [pad12+_BF, +BCH_NODE) — codes likewise — so a row load is a single
+    SMEM load. A local row's region is named by the code's OBJ bit: TLAS
+    chunk rows are world-space, BLAS chunk rows object-space. The round-4
     dual-table form (``jnp.where(local, cb[..], sb[..])``) paid two loads
-    plus a select per PLANE; this pays one select per POP."""
+    plus a select per PLANE; this pays one or two selects per POP."""
     local = ((code >> 27) & 1) == 1
     gp = jnp.clip(payload, 0, ns - 1)
     lp = jnp.clip(payload, 0, BROWS - 1)
-    row12 = jnp.where(local, pad12 + lp * 12, gp * 12)
-    row2 = jnp.where(local, pad2 + lp * 2, gp * 2)
-    return row12, row2, lp
+    if has_b:
+        objb = ((code >> 30) & 1) == 1
+        loc12 = jnp.where(objb, pad12 + _BF, pad12) + lp * 12
+        loc2 = jnp.where(objb, pad2 + _CI, pad2) + lp * 2
+    else:
+        loc12 = pad12 + lp * 12
+        loc2 = pad2 + lp * 2
+    row12 = jnp.where(local, loc12, gp * 12)
+    row2 = jnp.where(local, loc2, gp * 2)
+    return row12, row2, lp, local
 
 
 def _wide_box_step_paged(un, unc, flag_ref, row12, c0, c1,
                          px, py, pz, ix, iy, iz, best_t, ns,
-                         pad12, pad2):
+                         pad12, pad2, has_b: bool = False):
     """4-wide grandchild box step for the paged kernel (port of
     trace_kernel._wide_box_step on the UNIFIED node table — one SMEM load
     per plane, one offset select per child row).
@@ -113,8 +125,9 @@ def _wide_box_step_paged(un, unc, flag_ref, row12, c0, c1,
     codes = []
     for side, cs in ((0, c0), (1, c1)):
         is_b = ((cs >> _TYPE_SHIFT) & 3) == TYPE_BOX
-        crow12, crow2, _ = _row_offsets(
-            cs, jnp.where(is_b, cs & _PAYLOAD_MASK_P, 0), ns, pad12, pad2)
+        crow12, crow2, _, _ = _row_offsets(
+            cs, jnp.where(is_b, cs & _PAYLOAD_MASK_P, 0), ns, pad12, pad2,
+            has_b)
         # box child -> its two grandchildren rows (child's table); other ->
         # the child itself with the box stored in the popped row's side
         keys.append(slab(jnp.where(is_b, crow12, row12 + side * 6)))
@@ -140,19 +153,21 @@ def _wide_box_step_paged(un, unc, flag_ref, row12, c0, c1,
 
 
 def _wide_pushes_paged(stack_ref, flag_ref, sp, is_box, is_inst, is_chunk,
-                       c0, S, inst_ok=None):
+                       c0, S, inst_ok=None, chunk_root=None):
     """The 4 conditional pushes reported by ``_wide_box_step_paged``
     (instance pops push their BLAS root — gated on the instance's 8-bit
     visibility mask via ``inst_ok`` — and chunk pops the chunk-local
-    root)."""
+    root; ``chunk_root`` carries the popped chunk's OBJ bit so BLAS
+    chunks re-enter in object space)."""
     box_i = is_box.astype(jnp.int32)
     for k in range(4):
         pf = flag_ref[k] * box_i
         pv = flag_ref[4 + k]
         if k == 0:
             ok = jnp.int32(1) if inst_ok is None else inst_ok
+            cr = jnp.int32(_LOCAL_ROOT) if chunk_root is None else chunk_root
             pf = jnp.where(is_chunk, 1, jnp.where(is_inst, ok, pf))
-            pv = jnp.where(is_chunk, jnp.int32(_LOCAL_ROOT),
+            pv = jnp.where(is_chunk, cr,
                            jnp.where(is_inst, c0, pv))
         stack_ref[jnp.where(pf == 1, jnp.minimum(sp, S - 1), S)] = pv
         sp = sp + pf
@@ -163,6 +178,9 @@ def paged_traversal_ok(scene: PagedScene, n_rays: int) -> bool:
     ns = scene.static_nodes.shape[0]
     nl = scene.leaf_rows.shape[0]
     resident = ns * 12 * 4 + ns * 2 * 4 + nl * 72 * 4 + nl * K * 4
+    if scene.bch_codes.shape[0]:
+        # BLAS-chunk scratch regions (nodes+codes+leaf pos+prim)
+        resident += (BCH_NODE + BCH_POS) * 4 + (BCH_CODE + BCH_PRIM) * 4
     return (
         jax.default_backend() == "tpu"
         and resident <= _SMEM_BUDGET
@@ -175,6 +193,9 @@ def paged_resolve_ok(scene: PagedScene, n_rays: int) -> bool:
     nl = scene.leaf_rows.shape[0]
     resident = (ns * 12 * 4 + ns * 2 * 4 + nl * 72 * 4 + nl * K * 4
                 + nl * (48 + 72) * 4)
+    if scene.bch_codes.shape[0]:
+        resident += ((BCH_NODE + BCH_POS + BCH_UV + BCH_NRM) * 4
+                     + (BCH_CODE + BCH_PRIM) * 4)
     return (
         jax.default_backend() == "tpu"
         and resident <= _SMEM_BUDGET
@@ -192,6 +213,7 @@ def _split_static(scene: PagedScene):
 
 def _make_kernel_paged(root_code: int, max_steps: int, any_hit: bool,
                        ns: int, pad12: int, pad2: int,
+                       nbc: int = 0, lpad_pos: int = 0, lpad_prim: int = 0,
                        image_mode: bool = False, wide: bool = False,
                        debug_steps: bool = False, cull_mask: int = 0xFF,
                        pack: int = 1):
@@ -210,21 +232,40 @@ def _make_kernel_paged(root_code: int, max_steps: int, any_hit: bool,
     FI = 8 if wide else 3    # flag slot: current instance id
     FH = 9 if wide else 4    # flag slot: all-rays-hit (any-hit early exit)
 
-    def kernel(sb_hbm, sc_hbm, lpos_ref, lprim_ref,
-               cbox_hbm, ccode_hbm,
-               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
-               t_out, prim_out, inst_out, u_out, v_out,
-               obj_ref, best_ref, flag_ref, un, unc, sems, stack_ref):
+    has_b = nbc > 0
+
+    def kernel(*refs):
+        (sb_hbm, sc_hbm, lpos_in, lprim_in, cbox_hbm, ccode_hbm), refs = \
+            refs[:6], refs[6:]
+        if has_b:
+            (bnodes_hbm, bcodes_hbm, blpos_hbm, blprim_hbm), refs = \
+                refs[:4], refs[4:]
+        (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
+         t_out, prim_out, inst_out, u_out, v_out,
+         obj_ref, best_ref, flag_ref, un, unc), refs = refs[:17], refs[17:]
+        if has_b:
+            (ulp, ulpr), refs = refs[:2], refs[2:]
+        else:
+            ulp, ulpr = lpos_in, lprim_in   # SMEM inputs (no leaf paging)
+        sems, stack_ref = refs
+
         @pl.when(pl.program_id(0) == 0)
         def _load_static():
-            d0 = pltpu.make_async_copy(
-                sb_hbm, un.at[pl.ds(0, pad12)], sems.at[2])
-            d1 = pltpu.make_async_copy(
-                sc_hbm, unc.at[pl.ds(0, pad2)], sems.at[3])
-            d0.start()
-            d1.start()
-            d0.wait()
-            d1.wait()
+            ds = [
+                pltpu.make_async_copy(
+                    sb_hbm, un.at[pl.ds(0, pad12)], sems.at[2]),
+                pltpu.make_async_copy(
+                    sc_hbm, unc.at[pl.ds(0, pad2)], sems.at[3]),
+            ]
+            if has_b:
+                ds.append(pltpu.make_async_copy(
+                    lpos_in, ulp.at[pl.ds(0, lpad_pos)], sems.at[4]))
+                ds.append(pltpu.make_async_copy(
+                    lprim_in, ulpr.at[pl.ds(0, lpad_prim)], sems.at[5]))
+            for d in ds:
+                d.start()
+            for d in ds:
+                d.wait()
 
         wox, woy, woz = rd(ox_ref, 0), rd(oy_ref, 0), rd(oz_ref, 0)
         wdx, wdy, wdz = rd(dx_ref, 0), rd(dy_ref, 0), rd(dz_ref, 0)
@@ -272,13 +313,14 @@ def _make_kernel_paged(root_code: int, max_steps: int, any_hit: bool,
             is_inst = typ == TYPE_INST
             is_chunk = typ == TYPE_CHUNK
 
-            row12, row2, lp = _row_offsets(code, payload, ns, pad12, pad2)
+            row12, row2, lp, local = _row_offsets(
+                code, payload, ns, pad12, pad2, has_b)
             c0 = unc[row2]
             c1 = unc[row2 + 1]
             # instance record word c1 = [mask:8 | opaque:1 | id:23]
             inst_ok = (((c1 >> 24) & cull_mask) != 0).astype(jnp.int32)
 
-            @pl.when(is_chunk)
+            @pl.when(is_chunk & jnp.logical_not(obj))
             def _chunk():
                 cpay = jnp.clip(payload, 0,
                                 cbox_hbm.shape[0] // _BF - 1)
@@ -295,8 +337,35 @@ def _make_kernel_paged(root_code: int, max_steps: int, any_hit: bool,
                 if debug_steps:
                     flag_ref[FH + 1] = flag_ref[FH + 1] + 1
 
+            if has_b:
+                @pl.when(is_chunk & obj)
+                def _bchunk():
+                    # big-model BLAS chunk: nodes/codes into the BLAS region,
+                    # its leaf rows into the paged leaf regions (LIFO: one
+                    # block suffices — the chunk's subtree completes before
+                    # any other BLAS chunk pops)
+                    bp = jnp.clip(payload, 0, nbc - 1)
+                    ds = [
+                        pltpu.make_async_copy(
+                            bnodes_hbm.at[pl.ds(bp * BCH_NODE, BCH_NODE)],
+                            un.at[pl.ds(pad12 + _BF, BCH_NODE)], sems.at[6]),
+                        pltpu.make_async_copy(
+                            bcodes_hbm.at[pl.ds(bp * BCH_CODE, BCH_CODE)],
+                            unc.at[pl.ds(pad2 + _CI, BCH_CODE)], sems.at[7]),
+                        pltpu.make_async_copy(
+                            blpos_hbm.at[pl.ds(bp * BCH_POS, BCH_POS)],
+                            ulp.at[pl.ds(lpad_pos, BCH_POS)], sems.at[8]),
+                        pltpu.make_async_copy(
+                            blprim_hbm.at[pl.ds(bp * BCH_PRIM, BCH_PRIM)],
+                            ulpr.at[pl.ds(lpad_prim, BCH_PRIM)], sems.at[9]),
+                    ]
+                    for d in ds:
+                        d.start()
+                    for d in ds:
+                        d.wait()
+
             if debug_steps:
-                # pack (leaf | inst<<10 | chunk<<20) pop counts in one slot
+                # pack (leaf | inst<<11) pop counts in one slot
                 flag_ref[FH + 2] = (
                     flag_ref[FH + 2] + is_leaf.astype(jnp.int32)
                     + (is_inst.astype(jnp.int32) << 11))
@@ -315,7 +384,8 @@ def _make_kernel_paged(root_code: int, max_steps: int, any_hit: bool,
                 if wide:
                     _wide_box_step_paged(
                         un, unc, flag_ref, row12, c0, c1,
-                        px, py, pz, ix, iy, iz, best_t, ns, pad12, pad2)
+                        px, py, pz, ix, iy, iz, best_t, ns, pad12, pad2,
+                        has_b)
                     return
 
                 def ld(o):
@@ -377,8 +447,14 @@ def _make_kernel_paged(root_code: int, max_steps: int, any_hit: bool,
 
             @pl.when(is_leaf)
             def _leaf():
-                b = payload * 72
-                pb = payload * K
+                if has_b:
+                    # local leaf rows live in the paged BLAS-chunk region
+                    lb = jnp.clip(payload, 0, BL_LEAVES - 1)
+                    b = jnp.where(local, lpad_pos + lb * 72, payload * 72)
+                    pb = jnp.where(local, lpad_prim + lb * K, payload * K)
+                else:
+                    b = payload * 72
+                    pb = payload * K
                 oox, ooy, ooz = obj_ref[0], obj_ref[1], obj_ref[2]
                 odx, ody, odz = obj_ref[3], obj_ref[4], obj_ref[5]
                 num_b = best_ref[0]
@@ -391,13 +467,13 @@ def _make_kernel_paged(root_code: int, max_steps: int, any_hit: bool,
                 for k in range(K):
                     tb = b + k * 9
                     # leaf rows store (a, e1, e2) — edges read directly
-                    ax, ay, az = (lpos_ref[tb], lpos_ref[tb + 1],
-                                  lpos_ref[tb + 2])
-                    e1x, e1y, e1z = (lpos_ref[tb + 3], lpos_ref[tb + 4],
-                                     lpos_ref[tb + 5])
-                    e2x, e2y, e2z = (lpos_ref[tb + 6], lpos_ref[tb + 7],
-                                     lpos_ref[tb + 8])
-                    ptag = lprim_ref[pb + k]
+                    ax, ay, az = (ulp[tb], ulp[tb + 1],
+                                  ulp[tb + 2])
+                    e1x, e1y, e1z = (ulp[tb + 3], ulp[tb + 4],
+                                     ulp[tb + 5])
+                    e2x, e2y, e2z = (ulp[tb + 6], ulp[tb + 7],
+                                     ulp[tb + 8])
+                    ptag = ulpr[pb + k]
                     px_ = ody * e2z - odz * e2y
                     py_ = odz * e2x - odx * e2z
                     pz_ = odx * e2y - ody * e2x
@@ -441,8 +517,10 @@ def _make_kernel_paged(root_code: int, max_steps: int, any_hit: bool,
                     best_ref[5] = best_t
 
             if wide:
-                sp = _wide_pushes_paged(stack_ref, flag_ref, sp, is_box,
-                                        is_inst, is_chunk, c0, S, inst_ok)
+                sp = _wide_pushes_paged(
+                    stack_ref, flag_ref, sp, is_box, is_inst, is_chunk, c0,
+                    S, inst_ok,
+                    jnp.int32(_LOCAL_ROOT) | (code & jnp.int32(OBJ_FLAG)))
             else:
                 box_i = is_box.astype(jnp.int32)
                 any0 = flag_ref[0] * box_i
@@ -456,7 +534,9 @@ def _make_kernel_paged(root_code: int, max_steps: int, any_hit: bool,
                 # pushes the chunk-local root; box pushes far then near
                 p1 = jnp.where(is_chunk, 1,
                                jnp.where(is_inst, inst_ok, far_ok))
-                p1_val = jnp.where(is_chunk, jnp.int32(_LOCAL_ROOT),
+                chunk_root = jnp.int32(_LOCAL_ROOT) | (
+                    code & jnp.int32(OBJ_FLAG))
+                p1_val = jnp.where(is_chunk, chunk_root,
                                    jnp.where(is_inst, c0, far_c))
                 stack_ref[
                     jnp.where(p1 == 1, jnp.minimum(sp, S - 1), S)] = p1_val
@@ -494,6 +574,9 @@ def _make_kernel_paged(root_code: int, max_steps: int, any_hit: bool,
 
 def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
                                ns: int, pad12: int, pad2: int,
+                               nbc: int = 0, lpad_pos: int = 0,
+                               lpad_prim: int = 0, lpad_uv: int = 0,
+                               lpad_nrm: int = 0,
                                alpha_test: bool = False, n_mats: int = 1,
                                image_mode: bool = False, wide: bool = False,
                                cull_mask: int = 0xFF, pack: int = 1):
@@ -512,27 +595,49 @@ def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
     FI = 8 if wide else 3    # flag slot: current instance id
     FLI = 10 if wide else 5  # flag slot: current chunk-local instance k
 
-    def kernel(sb_hbm, sc_hbm, lpos_ref, lprim_ref, luv_ref, lnrm_ref,
-               cbox_hbm, ccode_hbm, csmat_hbm, *rest):
+    has_b = nbc > 0
+
+    def kernel(*refs):
+        (sb_hbm, sc_hbm, lpos_in, lprim_in, luv_in, lnrm_in,
+         cbox_hbm, ccode_hbm, csmat_hbm), refs = refs[:9], refs[9:]
+        if has_b:
+            (bnodes_hbm, bcodes_hbm, blpos_hbm, blprim_hbm, bluv_hbm,
+             blnrm_hbm), refs = refs[:6], refs[6:]
         if alpha_test:
-            smodel_ref = rest[0]
-            rest = rest[1:]
+            smodel_ref = refs[0]
+            refs = refs[1:]
         (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
          t_out, prim_out, inst_out, uvx_out, uvy_out,
          nx_out, ny_out, nz_out, mat_out,
-         obj_ref, best_ref, flag_ref, minv_ref, un, unc, cs, sems,
-         stack_ref) = rest
+         obj_ref, best_ref, flag_ref, minv_ref, un, unc, cs), refs = \
+            refs[:23], refs[23:]
+        if has_b:
+            (ulp, ulpr, uuv, unr), refs = refs[:4], refs[4:]
+        else:
+            ulp, ulpr, uuv, unr = lpos_in, lprim_in, luv_in, lnrm_in
+        sems, stack_ref = refs
 
         @pl.when(pl.program_id(0) == 0)
         def _load_static():
-            d0 = pltpu.make_async_copy(
-                sb_hbm, un.at[pl.ds(0, pad12)], sems.at[3])
-            d1 = pltpu.make_async_copy(
-                sc_hbm, unc.at[pl.ds(0, pad2)], sems.at[4])
-            d0.start()
-            d1.start()
-            d0.wait()
-            d1.wait()
+            ds = [
+                pltpu.make_async_copy(
+                    sb_hbm, un.at[pl.ds(0, pad12)], sems.at[3]),
+                pltpu.make_async_copy(
+                    sc_hbm, unc.at[pl.ds(0, pad2)], sems.at[4]),
+            ]
+            if has_b:
+                ds.append(pltpu.make_async_copy(
+                    lpos_in, ulp.at[pl.ds(0, lpad_pos)], sems.at[5]))
+                ds.append(pltpu.make_async_copy(
+                    lprim_in, ulpr.at[pl.ds(0, lpad_prim)], sems.at[6]))
+                ds.append(pltpu.make_async_copy(
+                    luv_in, uuv.at[pl.ds(0, lpad_uv)], sems.at[7]))
+                ds.append(pltpu.make_async_copy(
+                    lnrm_in, unr.at[pl.ds(0, lpad_nrm)], sems.at[8]))
+            for d in ds:
+                d.start()
+            for d in ds:
+                d.wait()
 
         wox, woy, woz = rd(ox_ref, 0), rd(oy_ref, 0), rd(oz_ref, 0)
         wdx, wdy, wdz = rd(dx_ref, 0), rd(dy_ref, 0), rd(dz_ref, 0)
@@ -580,13 +685,14 @@ def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
             is_inst = typ == TYPE_INST
             is_chunk = typ == TYPE_CHUNK
 
-            row12, row2, lp = _row_offsets(code, payload, ns, pad12, pad2)
+            row12, row2, lp, local = _row_offsets(
+                code, payload, ns, pad12, pad2, has_b)
             c0 = unc[row2]
             c1 = unc[row2 + 1]
             # instance record word c1 = [mask:8 | opaque:1 | id:23]
             inst_ok = (((c1 >> 24) & cull_mask) != 0).astype(jnp.int32)
 
-            @pl.when(is_chunk)
+            @pl.when(is_chunk & jnp.logical_not(obj))
             def _chunk():
                 cpay = jnp.clip(payload, 0, cbox_hbm.shape[0] // _BF - 1)
                 d0 = pltpu.make_async_copy(
@@ -604,6 +710,38 @@ def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
                 d1.wait()
                 d2.wait()
 
+            if has_b:
+                @pl.when(is_chunk & obj)
+                def _bchunk():
+                    # big-model BLAS chunk (see _make_kernel_paged._bchunk)
+                    bp = jnp.clip(payload, 0, nbc - 1)
+                    ds = [
+                        pltpu.make_async_copy(
+                            bnodes_hbm.at[pl.ds(bp * BCH_NODE, BCH_NODE)],
+                            un.at[pl.ds(pad12 + _BF, BCH_NODE)], sems.at[9]),
+                        pltpu.make_async_copy(
+                            bcodes_hbm.at[pl.ds(bp * BCH_CODE, BCH_CODE)],
+                            unc.at[pl.ds(pad2 + _CI, BCH_CODE)],
+                            sems.at[10]),
+                        pltpu.make_async_copy(
+                            blpos_hbm.at[pl.ds(bp * BCH_POS, BCH_POS)],
+                            ulp.at[pl.ds(lpad_pos, BCH_POS)], sems.at[11]),
+                        pltpu.make_async_copy(
+                            blprim_hbm.at[pl.ds(bp * BCH_PRIM, BCH_PRIM)],
+                            ulpr.at[pl.ds(lpad_prim, BCH_PRIM)],
+                            sems.at[12]),
+                        pltpu.make_async_copy(
+                            bluv_hbm.at[pl.ds(bp * BCH_UV, BCH_UV)],
+                            uuv.at[pl.ds(lpad_uv, BCH_UV)], sems.at[13]),
+                        pltpu.make_async_copy(
+                            blnrm_hbm.at[pl.ds(bp * BCH_NRM, BCH_NRM)],
+                            unr.at[pl.ds(lpad_nrm, BCH_NRM)], sems.at[14]),
+                    ]
+                    for d in ds:
+                        d.start()
+                    for d in ds:
+                        d.wait()
+
             @pl.when(is_box)
             def _box():
                 best_t = best_ref[10]
@@ -618,7 +756,8 @@ def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
                 if wide:
                     _wide_box_step_paged(
                         un, unc, flag_ref, row12, c0, c1,
-                        px, py, pz, ix, iy, iz, best_t, ns, pad12, pad2)
+                        px, py, pz, ix, iy, iz, best_t, ns, pad12, pad2,
+                        has_b)
                     return
 
                 def ld(o):
@@ -682,10 +821,18 @@ def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
 
             @pl.when(is_leaf)
             def _leaf():
-                b = payload * 72
-                ub = payload * 48
-                nb = payload * 72
-                pb = payload * K
+                if has_b:
+                    # local leaf rows live in the paged BLAS-chunk regions
+                    lb = jnp.clip(payload, 0, BL_LEAVES - 1)
+                    b = jnp.where(local, lpad_pos + lb * 72, payload * 72)
+                    ub = jnp.where(local, lpad_uv + lb * 48, payload * 48)
+                    nb = jnp.where(local, lpad_nrm + lb * 72, payload * 72)
+                    pb = jnp.where(local, lpad_prim + lb * K, payload * K)
+                else:
+                    b = payload * 72
+                    ub = payload * 48
+                    nb = payload * 72
+                    pb = payload * K
                 oox, ooy, ooz = obj_ref[0], obj_ref[1], obj_ref[2]
                 odx, ody, odz = obj_ref[3], obj_ref[4], obj_ref[5]
                 best_prim = pltpu.bitcast(best_ref[1], jnp.int32)
@@ -705,13 +852,13 @@ def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
                 for k in range(K):
                     tb = b + k * 9
                     # leaf rows store (a, e1, e2) — edges read directly
-                    ax, ay, az = (lpos_ref[tb], lpos_ref[tb + 1],
-                                  lpos_ref[tb + 2])
-                    e1x, e1y, e1z = (lpos_ref[tb + 3], lpos_ref[tb + 4],
-                                     lpos_ref[tb + 5])
-                    e2x, e2y, e2z = (lpos_ref[tb + 6], lpos_ref[tb + 7],
-                                     lpos_ref[tb + 8])
-                    ptag = lprim_ref[pb + k]
+                    ax, ay, az = (ulp[tb], ulp[tb + 1],
+                                  ulp[tb + 2])
+                    e1x, e1y, e1z = (ulp[tb + 3], ulp[tb + 4],
+                                     ulp[tb + 5])
+                    e2x, e2y, e2z = (ulp[tb + 6], ulp[tb + 7],
+                                     ulp[tb + 8])
+                    ptag = ulpr[pb + k]
                     px_ = ody * e2z - odz * e2y
                     py_ = odz * e2x - odx * e2z
                     pz_ = odx * e2y - ody * e2x
@@ -735,17 +882,17 @@ def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
                     )
                     dw0 = adet - du - dv
                     kb = ub + k * 6
-                    uvx = (dw0 * luv_ref[kb] + du * luv_ref[kb + 2]
-                           + dv * luv_ref[kb + 4])
-                    uvy = (dw0 * luv_ref[kb + 1] + du * luv_ref[kb + 3]
-                           + dv * luv_ref[kb + 5])
+                    uvx = (dw0 * uuv[kb] + du * uuv[kb + 2]
+                           + dv * uuv[kb + 4])
+                    uvy = (dw0 * uuv[kb + 1] + du * uuv[kb + 3]
+                           + dv * uuv[kb + 5])
                     kn = nb + k * 9
-                    n0x, n0y, n0z = (lnrm_ref[kn], lnrm_ref[kn + 1],
-                                     lnrm_ref[kn + 2])
-                    n1x, n1y, n1z = (lnrm_ref[kn + 3], lnrm_ref[kn + 4],
-                                     lnrm_ref[kn + 5])
-                    n2x, n2y, n2z = (lnrm_ref[kn + 6], lnrm_ref[kn + 7],
-                                     lnrm_ref[kn + 8])
+                    n0x, n0y, n0z = (unr[kn], unr[kn + 1],
+                                     unr[kn + 2])
+                    n1x, n1y, n1z = (unr[kn + 3], unr[kn + 4],
+                                     unr[kn + 5])
+                    n2x, n2y, n2z = (unr[kn + 6], unr[kn + 7],
+                                     unr[kn + 8])
                     nox = dw0 * n0x + du * n1x + dv * n2x
                     noy = dw0 * n0y + du * n1y + dv * n2y
                     noz = dw0 * n0z + du * n1z + dv * n2z
@@ -794,8 +941,10 @@ def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
                 best_ref[10] = num_b / den_b
 
             if wide:
-                sp = _wide_pushes_paged(stack_ref, flag_ref, sp, is_box,
-                                        is_inst, is_chunk, c0, S, inst_ok)
+                sp = _wide_pushes_paged(
+                    stack_ref, flag_ref, sp, is_box, is_inst, is_chunk, c0,
+                    S, inst_ok,
+                    jnp.int32(_LOCAL_ROOT) | (code & jnp.int32(OBJ_FLAG)))
             else:
                 box_i = is_box.astype(jnp.int32)
                 any0 = flag_ref[0] * box_i
@@ -807,7 +956,9 @@ def _make_resolve_kernel_paged(root_code: int, max_steps: int, n_slots: int,
                 far_ok = jnp.where(first0 == 1, any1, any0)
                 p1 = jnp.where(is_chunk, 1,
                                jnp.where(is_inst, inst_ok, far_ok))
-                p1_val = jnp.where(is_chunk, jnp.int32(_LOCAL_ROOT),
+                chunk_root = jnp.int32(_LOCAL_ROOT) | (
+                    code & jnp.int32(OBJ_FLAG))
+                p1_val = jnp.where(is_chunk, chunk_root,
                                    jnp.where(is_inst, c0, far_c))
                 stack_ref[
                     jnp.where(p1 == 1, jnp.minimum(sp, S - 1), S)] = p1_val
@@ -886,6 +1037,19 @@ def trace_resolve_scene_pallas_paged(
     pad2 = _pad1024(sc.shape[0])
     sb = jnp.pad(sb, (0, pad12 - sb.shape[0]))
     sc = jnp.pad(sc, (0, pad2 - sc.shape[0]))
+    nbc = scene.bch_codes.shape[0] // BCH_CODE
+    if nbc:
+        # big-model BLAS chunks: leaves page too — unified leaf scratch
+        lpad_pos = _pad1024(lpos.shape[0])
+        lpad_prim = _pad1024(lprim.shape[0])
+        lpad_uv = _pad1024(luv.shape[0])
+        lpad_nrm = _pad1024(lnrm.shape[0])
+        lpos = jnp.pad(lpos, (0, lpad_pos - lpos.shape[0]))
+        lprim = jnp.pad(lprim, (0, lpad_prim - lprim.shape[0]))
+        luv = jnp.pad(luv, (0, lpad_uv - luv.shape[0]))
+        lnrm = jnp.pad(lnrm, (0, lpad_nrm - lnrm.shape[0]))
+    else:
+        lpad_pos = lpad_prim = lpad_uv = lpad_nrm = 0
     # wide steps push up to 3 net entries per pop over half the depth
     eff_stack = (stack_size * 3) // 2 + 2 if wide else stack_size
     assert eff_stack <= _STACK, "scene too deep for the packet kernel"
@@ -894,6 +1058,7 @@ def trace_resolve_scene_pallas_paged(
     n_mats = shading_model.shape[0] if alpha_test else 1
     kernel = _make_resolve_kernel_paged(
         root_code, max_steps, n_slots, ns, pad12, pad2,
+        nbc, lpad_pos, lpad_prim, lpad_uv, lpad_nrm,
         alpha_test=alpha_test, n_mats=n_mats,
         image_mode=image_mode, wide=wide, cull_mask=cull_mask, pack=pack)
 
@@ -905,16 +1070,28 @@ def trace_resolve_scene_pallas_paged(
     model_specs = [smem(n_mats)] if alpha_test else []
     model_args = (
         [shading_model.astype(jnp.int32).reshape(-1)] if alpha_test else [])
+    leaf_specs = ([anyspace] * 4 if nbc else
+                  [smem(lpos.shape[0]), smem(lprim.shape[0]),
+                   smem(luv.shape[0]), smem(lnrm.shape[0])])
+    bch_specs = [anyspace] * 6 if nbc else []
+    bch_args = ([scene.bch_nodes, scene.bch_codes, scene.bch_lpos,
+                 scene.bch_lprim, scene.bch_luv, scene.bch_lnrm]
+                if nbc else [])
+    leaf_scratch = ([
+        pltpu.SMEM((lpad_pos + BCH_POS,), jnp.float32),
+        pltpu.SMEM((lpad_prim + BCH_PRIM,), jnp.int32),
+        pltpu.SMEM((lpad_uv + BCH_UV,), jnp.float32),
+        pltpu.SMEM((lpad_nrm + BCH_NRM,), jnp.float32),
+    ] if nbc else [])
     out_dts = [f32, jnp.int32, jnp.int32, f32, f32, f32, f32, f32, jnp.int32]
     outs = pl.pallas_call(
         kernel,
         grid=(g,),
         in_specs=[
             anyspace, anyspace,
-            smem(lpos.shape[0]), smem(lprim.shape[0]),
-            smem(luv.shape[0]), smem(lnrm.shape[0]),
+            leaf_specs[0], leaf_specs[1], leaf_specs[2], leaf_specs[3],
             anyspace, anyspace, anyspace,
-        ] + model_specs + [ray_spec] * 7,
+        ] + bch_specs + model_specs + [ray_spec] * 7,
         out_specs=[out_spec] * 9,
         out_shape=[out_shape(dt) for dt in out_dts],
         scratch_shapes=[
@@ -922,16 +1099,19 @@ def trace_resolve_scene_pallas_paged(
             pltpu.VMEM((11, 8 * pack, 128), jnp.float32),  # best (+den+prune)
             pltpu.SMEM((12 if wide else 8,), jnp.int32),  # cross-branch
             pltpu.SMEM((12,), jnp.float32),         # current instance inverse
-            pltpu.SMEM((pad12 + _BF,), jnp.float32),  # unified nodes + chunk
-            pltpu.SMEM((pad2 + _CI,), jnp.int32),     # unified codes + chunk
+            pltpu.SMEM((pad12 + _BF + (BCH_NODE if nbc else 0),),
+                       jnp.float32),                # unified nodes + chunks
+            pltpu.SMEM((pad2 + _CI + (BCH_CODE if nbc else 0),),
+                       jnp.int32),                  # unified codes + chunks
             pltpu.SMEM((smat_block(n_slots),), jnp.int32),  # chunk smat
-            pltpu.SemaphoreType.DMA((5,)),
+        ] + leaf_scratch + [
+            pltpu.SemaphoreType.DMA((15 if nbc else 5,)),
             pltpu.SMEM((_STACK + 1,), jnp.int32),   # scalar stack + trash slot
         ],
         interpret=INTERPRET,
     )(sb, sc, lpos, lprim, luv, lnrm,
       scene.chunk_boxes, scene.chunk_codes, scene.chunk_smat,
-      *model_args, *ray_args)
+      *bch_args, *model_args, *ray_args)
 
     flat = [unflatten(x) for x in outs]
     t_f, prim_f, inst_f, uvx, uvy, nx, ny, nz, mat = flat
@@ -986,12 +1166,22 @@ def trace_scene_pallas_paged(
     pad2 = _pad1024(sc.shape[0])
     sb = jnp.pad(sb, (0, pad12 - sb.shape[0]))
     sc = jnp.pad(sc, (0, pad2 - sc.shape[0]))
+    nbc = scene.bch_codes.shape[0] // BCH_CODE
+    if nbc:
+        # big-model BLAS chunks: leaves page too — unified leaf scratch
+        lpad_pos = _pad1024(lpos.shape[0])
+        lpad_prim = _pad1024(lprim.shape[0])
+        lpos = jnp.pad(lpos, (0, lpad_pos - lpos.shape[0]))
+        lprim = jnp.pad(lprim, (0, lpad_prim - lprim.shape[0]))
+    else:
+        lpad_pos = lpad_prim = 0
     # wide steps push up to 3 net entries per pop over half the depth
     eff_stack = (stack_size * 3) // 2 + 2 if wide else stack_size
     assert eff_stack <= _STACK, "scene too deep for the packet kernel"
 
     kernel = _make_kernel_paged(root_code, max_steps, any_hit,
                                 ns, pad12, pad2,
+                                nbc, lpad_pos, lpad_prim,
                                 image_mode=image_mode, wide=wide,
                                 debug_steps=debug_steps,
                                 cull_mask=cull_mask, pack=pack)
@@ -1000,6 +1190,15 @@ def trace_scene_pallas_paged(
         (n,), lambda i: (0,), memory_space=pltpu.SMEM)
     anyspace = pl.BlockSpec(memory_space=pl.ANY)
 
+    leaf_specs = ([anyspace] * 2 if nbc else
+                  [smem(lpos.shape[0]), smem(lprim.shape[0])])
+    bch_specs = [anyspace] * 4 if nbc else []
+    bch_args = ([scene.bch_nodes, scene.bch_codes, scene.bch_lpos,
+                 scene.bch_lprim] if nbc else [])
+    leaf_scratch = ([
+        pltpu.SMEM((lpad_pos + BCH_POS,), jnp.float32),
+        pltpu.SMEM((lpad_prim + BCH_PRIM,), jnp.int32),
+    ] if nbc else [])
     f32 = jnp.float32
     out_dts = [f32, jnp.int32, jnp.int32, f32, f32]
     t_r, prim_r, inst_r, u_r, v_r = pl.pallas_call(
@@ -1007,23 +1206,26 @@ def trace_scene_pallas_paged(
         grid=(g,),
         in_specs=[
             anyspace, anyspace,
-            smem(lpos.shape[0]), smem(lprim.shape[0]),
+            leaf_specs[0], leaf_specs[1],
             anyspace, anyspace,
-        ] + [ray_spec] * 7,
+        ] + bch_specs + [ray_spec] * 7,
         out_specs=[out_spec] * 5,
         out_shape=[out_shape(dt) for dt in out_dts],
         scratch_shapes=[
             pltpu.VMEM((9, 8 * pack, 128), jnp.float32),   # object-space ray
             pltpu.VMEM((7, 8 * pack, 128), jnp.float32),   # best + prune + den
             pltpu.SMEM((12 if wide else 8,), jnp.int32),  # cross-branch
-            pltpu.SMEM((pad12 + _BF,), jnp.float32),  # unified nodes + chunk
-            pltpu.SMEM((pad2 + _CI,), jnp.int32),     # unified codes + chunk
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SMEM((pad12 + _BF + (BCH_NODE if nbc else 0),),
+                       jnp.float32),                # unified nodes + chunks
+            pltpu.SMEM((pad2 + _CI + (BCH_CODE if nbc else 0),),
+                       jnp.int32),                  # unified codes + chunks
+        ] + leaf_scratch + [
+            pltpu.SemaphoreType.DMA((10 if nbc else 4,)),
             pltpu.SMEM((_STACK + 1,), jnp.int32),   # scalar stack + trash slot
         ],
         interpret=INTERPRET,
     )(sb, sc, lpos, lprim, scene.chunk_boxes, scene.chunk_codes,
-      *ray_args)
+      *bch_args, *ray_args)
 
     return HitRecord2(
         t=unflatten(t_r), prim=unflatten(prim_r), inst=unflatten(inst_r),
