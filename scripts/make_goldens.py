@@ -17,6 +17,10 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8"
+                           ).strip()
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
@@ -65,6 +69,49 @@ def main():
     _, hy, cam4 = build_hybrid_scene(SIZE, SIZE)
     ldr4, _ = hy.render(cam4)
     save("hybrid_example", ldr4)
+
+    # round-5 additions (VERDICT r4 next #7): the untested image paths
+    # crowd = the paged-tracer frame (chunked-TLAS assembly; on CPU the XLA
+    # flat view renders it — scripts/tpu_cpu_crosscheck.py replays the same
+    # golden through the REAL paged packet kernel on TPU)
+    from examples.render_crowd import build_crowd_scene
+
+    _, _, rtc, cam5 = build_crowd_scene(600, SIZE, SIZE)
+    ldr5, _ = rtc.render(cam5)
+    save("crowd_paged", ldr5)
+
+    # ordered supersampling (RenderPass.supersample=2, box resolve)
+    rp6, cam6 = build_example_scene(SIZE, SIZE)
+    rp6.supersample = 2
+    ldr6, _ = rp6.render(cam6)
+    save("raster_supersample2", ldr6)
+
+    # 512^2 raster (bin/page boundaries exercised at a real tile grid)
+    rp7, cam7 = build_example_scene(512, 512)
+    ldr7, _ = rp7.render(cam7)
+    save("raster_512", ldr7)
+
+    # sharded frame (8 virtual CPU devices, 2D screen-tile mesh)
+    if len(jax.devices()) >= 8:
+        from paperrenderer_tpu.ops.static_batch import build_static_mapping
+        from paperrenderer_tpu.parallel.mesh import make_tile_mesh
+        from paperrenderer_tpu.parallel.tiles import (
+            sharded_render_frame_static,
+        )
+
+        rp8, cam8 = build_example_scene(SIZE, SIZE)
+        mesh = make_tile_mesh()
+        arrays = rp8.scene.flush()
+        slots, visible, table = rp8._device_inputs(arrays.capacity)
+        mapping = build_static_mapping(rp8.scene)
+        ldr8 = sharded_render_frame_static(
+            mesh, mapping, arrays, rp8.scene.tables(), table, rp8.lights,
+            cam8.matrices, slots, visible, rp8.tonemap_params,
+            width=SIZE, height=SIZE,
+        )
+        save("sharded_raster", ldr8)
+    else:
+        print("skip sharded golden: fewer than 8 devices")
 
 
 if __name__ == "__main__":

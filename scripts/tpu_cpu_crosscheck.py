@@ -38,7 +38,8 @@ def check(img, name, mean_tol=0.004, frac_tol=0.002, pix_thresh=0.06):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scenes", default="raster,textured,rt,hybrid")
+    ap.add_argument(
+        "--scenes", default="raster,textured,rt,hybrid,crowd,ss,big")
     args = ap.parse_args()
     import jax
 
@@ -70,6 +71,25 @@ def main():
         _, hy, cam = build_hybrid_scene(SIZE, SIZE)
         ok &= check(hy.render(cam)[0], "hybrid_example", mean_tol=0.01,
                     frac_tol=0.01)
+    if "crowd" in scenes:
+        # the REAL paged packet kernel (chunked-TLAS streaming) vs the CPU
+        # golden rendered through the XLA flat view
+        from examples.render_crowd import build_crowd_scene
+
+        _, _, rtc, cam = build_crowd_scene(600, SIZE, SIZE)
+        ok &= check(rtc.render(cam)[0], "crowd_paged", mean_tol=0.01,
+                    frac_tol=0.01)
+    if "ss" in scenes:
+        from examples.render_scene import build_example_scene
+
+        rp, cam = build_example_scene(SIZE, SIZE)
+        rp.supersample = 2
+        ok &= check(rp.render(cam)[0], "raster_supersample2")
+    if "big" in scenes:
+        from examples.render_scene import build_example_scene
+
+        rp, cam = build_example_scene(512, 512)
+        ok &= check(rp.render(cam)[0], "raster_512")
     print("CROSSCHECK", "PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)
 

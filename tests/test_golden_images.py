@@ -78,3 +78,58 @@ def test_hybrid_example_golden():
     _, hy, cam = build_hybrid_scene(SIZE, SIZE)
     ldr, _ = hy.render(cam)
     _assert_matches(ldr, "hybrid_example")
+
+
+def test_crowd_paged_golden():
+    """Pins the paged-tracer frame's image output (chunked-TLAS assembly;
+    the CPU render uses the XLA flat view — scripts/tpu_cpu_crosscheck.py
+    replays this same golden through the real paged packet kernel on TPU)."""
+    from examples.render_crowd import build_crowd_scene
+
+    _, _, rt, cam = build_crowd_scene(600, SIZE, SIZE)
+    ldr, _ = rt.render(cam)
+    _assert_matches(ldr, "crowd_paged")
+
+
+def test_supersample2_golden():
+    """Pins the ordered-SSAA path (supersample=2 + box resolve)."""
+    from examples.render_scene import build_example_scene
+
+    rp, cam = build_example_scene(SIZE, SIZE)
+    rp.supersample = 2
+    ldr, _ = rp.render(cam)
+    _assert_matches(ldr, "raster_supersample2")
+
+
+def test_raster_512_golden():
+    """Pins a >=512^2 render where bin/page boundaries are exercised at a
+    real tile grid (the 128^2 goldens touch only a few bins)."""
+    from examples.render_scene import build_example_scene
+
+    rp, cam = build_example_scene(512, 512)
+    ldr, _ = rp.render(cam)
+    _assert_matches(ldr, "raster_512")
+
+
+def test_sharded_raster_golden():
+    """Pins one sharded frame (8 virtual CPU devices, screen-tile mesh)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    from examples.render_scene import build_example_scene
+    from paperrenderer_tpu.ops.static_batch import build_static_mapping
+    from paperrenderer_tpu.parallel.mesh import make_tile_mesh
+    from paperrenderer_tpu.parallel.tiles import sharded_render_frame_static
+
+    rp, cam = build_example_scene(SIZE, SIZE)
+    mesh = make_tile_mesh()
+    arrays = rp.scene.flush()
+    slots, visible, table = rp._device_inputs(arrays.capacity)
+    mapping = build_static_mapping(rp.scene)
+    ldr = sharded_render_frame_static(
+        mesh, mapping, arrays, rp.scene.tables(), table, rp.lights,
+        cam.matrices, slots, visible, rp.tonemap_params,
+        width=SIZE, height=SIZE,
+    )
+    _assert_matches(ldr, "sharded_raster")
