@@ -59,6 +59,13 @@ class StaticMapping:
     run_slot: jax.Array      # i32[R]
     run_id: jax.Array        # i32[T] run id per triangle (-1 = dead tail)
     start_mask: jax.Array    # bool[T] true at run starts
+    # STATIC fill-forward take masks (round 5): the jump-fill propagation
+    # pattern is fully determined by the (static) run structure, so the
+    # per-pass "(~filled) & shifted_filled & same-run" bookkeeping is
+    # precomputed here — expand's passes become one select each instead of
+    # carrying dynamic bool planes (measured ~5 ms of bitpacked pred
+    # traffic per 100k-instance frame)
+    fill_takes: tuple = ()   # tuple of bool[T], one per pow2 pass
     max_run: int = dataclasses.field(metadata=dict(static=True), default=1)
 
     @property
@@ -165,6 +172,18 @@ def build_static_mapping(
     n_obj = arena._nrm[idx]
     uv = arena._uv[idx]
 
+    # simulate the jump-fill ONCE at build time (run structure is static)
+    takes = []
+    filled = start_mask.copy()
+    k = 1
+    while k < max_run:
+        sf = np.concatenate([np.zeros(k, bool), filled[:-k]])
+        ss = np.concatenate([np.full(k, -2, np.int32), run_id[:-k]])
+        take = (~filled) & sf & (ss == run_id)
+        takes.append(jnp.asarray(take))
+        filled |= take
+        k *= 2
+
     return StaticMapping(
         tri_instance=jnp.asarray(tri_instance),
         tri_lod=jnp.asarray(tri_lod),
@@ -182,6 +201,7 @@ def build_static_mapping(
                              if rows_slot else np.zeros(1, np.int32)),
         run_id=jnp.asarray(run_id),
         start_mask=jnp.asarray(start_mask),
+        fill_takes=tuple(takes),
         max_run=int(max_run),
     )
 
@@ -285,19 +305,13 @@ def expand_static(
     t_cap = mapping.capacity
     vals = jnp.zeros((14, t_cap), jnp.float32).at[
         :, mapping.run_starts].set(seed.T, mode="drop")
-    filled = mapping.start_mask
-    seg = mapping.run_id
+    # jump-fill with BUILD-TIME take masks (see StaticMapping.fill_takes):
+    # each pass is one shifted select over [14, T] — no dynamic bool planes
     k = 1
-    while k < mapping.max_run:
+    for take in mapping.fill_takes:
         pad_v = jnp.zeros((14, k), jnp.float32)
-        pad_b = jnp.zeros((k,), bool)
-        pad_s = jnp.full((k,), -2, jnp.int32)
         sv = jnp.concatenate([pad_v, vals[:, :-k]], axis=1)
-        sf = jnp.concatenate([pad_b, filled[:-k]], axis=0)
-        ss = jnp.concatenate([pad_s, seg[:-k]], axis=0)
-        take = (~filled) & sf & (ss == seg)
         vals = jnp.where(take[None, :], sv, vals)
-        filled = filled | take
         k *= 2
 
     m12 = vals[:12]                                    # [12, T]

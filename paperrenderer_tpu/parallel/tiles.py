@@ -165,6 +165,7 @@ def sharded_render_frame_static(
         # sharded path uses the per-triangle gather route, use_runs=False)
         run_starts=P_(), run_inst=P_(), run_lod=P_(), run_slot=P_(),
         run_id=P_(ax), start_mask=P_(ax),
+        fill_takes=tuple(P_(ax) for _ in mapping.fill_takes),
         max_run=mapping.max_run,
     )
 
@@ -502,6 +503,7 @@ def make_sharded_hybrid_frame(
             v_obj=P_(ax), n_obj=P_(ax), uv=P_(ax), valid=P_(ax),
             run_starts=P_(), run_inst=P_(), run_lod=P_(), run_slot=P_(),
             run_id=P_(ax), start_mask=P_(ax),
+            fill_takes=tuple(P_(ax) for _ in mapping.fill_takes),
             max_run=mapping.max_run,
         )
         n_in = 11 if textures is not None else 10
