@@ -36,7 +36,7 @@ from .renderpass import RenderPass
 
 def make_hybrid_frame(meta, animate: Optional[Callable],
                       use_pallas_trace: bool = False, paged: bool = False,
-                      wide: bool = False):
+                      wide: bool = False, pack: int = 1):
     """Jitted hybrid frame for one scene topology (meta closed over).
     ``paged`` selects the chunked-TLAS path for scenes past the resident
     SMEM budget (accel.prefer_paged)."""
@@ -113,7 +113,7 @@ def make_hybrid_frame(meta, animate: Optional[Callable],
             tlas_index=0, stack_size=stack_size,
             leaf_cutout=leaf_cutout, use_pallas=use_pallas_trace,
             paged=paged, textures=textures, time=time, animate=animate,
-            wide=wide,
+            wide=wide, pack=pack,
             # G-buffer wavefronts are image-row-major: group RT packets as
             # (8, 128) pixel tiles (packet cost ~ union of ray footprints;
             # row strips were the round-2 secondary-ray bottleneck)
@@ -136,6 +136,9 @@ def make_hybrid_frame(meta, animate: Optional[Callable],
             ao_radius=ao_radius,
             leaf_cutout=leaf_cutout,
             reflection_half_rate=reflection_half_rate,
+            # round 5: under fat packets the compaction permutes are a net
+            # loss (see RayTraceRender / docs/PERF.md)
+            compact_secondary=False,
         )
         refl_key = jax.random.fold_in(key, 7)
         svis, ao, pre_bounce = T.shadow_ao_bounce(
@@ -252,12 +255,13 @@ class HybridRender:
         use_pallas_trace = jax.default_backend() not in ("cpu",)
         paged = use_pallas_trace and ACC.prefer_paged(
             meta, instances.capacity, max(1, self.scene.max_slots))
-        key_sig = (self.accel._blas_key, paged, self.bvh_wide)
+        pack = 1 if paged else 2     # fat packets (see RayTraceRender)
+        key_sig = (self.accel._blas_key, paged, self.bvh_wide, pack)
         if self._frame_fn is None or self._frame_key != key_sig:
             self._frame_fn = make_hybrid_frame(
                 meta, self.animate,
                 use_pallas_trace=use_pallas_trace, paged=paged,
-                wide=self.bvh_wide,
+                wide=self.bvh_wide, pack=pack,
             )
             self._frame_key = key_sig
         slots, visible, table = rp._device_inputs(instances.capacity)

@@ -312,8 +312,10 @@ class RayTraceRender:
         use_pallas: Optional[bool] = None,
         reflection_half_rate: bool = False,
         bvh_wide: bool = True,
-        compact_refl: bool = True,      # group-compact + spatially sort only
+        compact_refl: bool = False,     # group-compact + spatially sort only
         #                                  the reflection-side wavefronts
+        #                                  (measured net loss under pack=2:
+        #                                  66.1 vs 61.3 ms RT frame @1080p)
         fuse_bounce: bool = False,      # bounce ray rides the primary bundle
         compact_secondary: bool = False,  # group-compact secondary wavefronts
         #                                  (ops/compaction.py; result-identical)
