@@ -255,7 +255,11 @@ class HybridRender:
         use_pallas_trace = jax.default_backend() not in ("cpu",)
         paged = use_pallas_trace and ACC.prefer_paged(
             meta, instances.capacity, max(1, self.scene.max_slots))
-        pack = 1 if paged else 2     # fat packets (see RayTraceRender)
+        # fat packets stay OFF here: hybrid wavefronts are image-ROW-major
+        # (G-buffer order), so a 2048-ray flat packet spans a whole 1920-px
+        # row — measured 128.0 ms vs 113.3 at pack=1 @1080p (the pure-RT
+        # frame's tile-ordered rays are what make pack=2 pay there)
+        pack = 1
         key_sig = (self.accel._blas_key, paged, self.bvh_wide, pack)
         if self._frame_fn is None or self._frame_key != key_sig:
             self._frame_fn = make_hybrid_frame(
