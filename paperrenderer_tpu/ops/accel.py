@@ -1327,6 +1327,10 @@ def assemble_scene_paged(
     inst_mask: Optional[jax.Array] = None,    # i32[N] 8-bit visibility masks
     inst_opaque: Optional[jax.Array] = None,  # bool[N] force-opaque flags
     resplit: bool = False,
+    order_override: Optional[jax.Array] = None,  # i32[N]: custom instance
+    #   order for chunk assignment (e.g. a host-built balanced k-d
+    #   partition for static scenes); None = in-graph morton sort. Dead
+    #   instances must sort last, exactly as the morton path does.
 ) -> Tuple[PagedScene, int]:
     """Chunked-TLAS frame assembly. Returns (scene, root_code).
 
@@ -1383,9 +1387,13 @@ def assemble_scene_paged(
     centroid = jnp.where(alive[:, None], (wlo + whi) * 0.5, 0.0)
     from .bvh import morton_codes
 
-    codes_m = morton_codes(centroid, jnp.min(blo, axis=0), jnp.max(bhi, axis=0))
-    codes_m = jnp.where(alive, codes_m, jnp.uint32(0xFFFFFFFF))
-    order = jnp.argsort(codes_m).astype(jnp.int32)
+    if order_override is not None:
+        order = order_override.astype(jnp.int32)
+    else:
+        codes_m = morton_codes(centroid, jnp.min(blo, axis=0),
+                               jnp.max(bhi, axis=0))
+        codes_m = jnp.where(alive, codes_m, jnp.uint32(0xFFFFFFFF))
+        order = jnp.argsort(codes_m).astype(jnp.int32)
 
     perm = jnp.full((l,), -1, jnp.int32).at[:n].set(
         jnp.where(alive[order], order, -1))
